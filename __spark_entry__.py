@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    -> flagship query over /root/testdata/sf0.001
+queries()       -> {name: (spark, sf_dir) -> DataFrame} per SURVEY.md §2
+oracle_sql()    -> {name: DuckDB-equivalent ANSI SQL}
+
+Implementations live in etl_pipeline_from_mongo_json_to_postgre_spark/
+(operators/analytics.py, operators/transform_queries.py, ...); this
+module only assembles the registries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline_from_mongo_json_to_postgre_spark.operators import analytics
+from etl_pipeline_from_mongo_json_to_postgre_spark.operators import transform_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ingest orders+lineitem as JSON document collections
+    through the mapping/transform engine, pivot the audit trail
+    (object_name x processing_status) — the reference's dashboard A1
+    over a real engine-produced audit frame."""
+    return transform_queries.audit_status_pivot(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(analytics.QUERIES)
+    out.update(transform_queries.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(analytics.ORACLE_SQL)
+    out.update(transform_queries.ORACLE_SQL)
+    return out

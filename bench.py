@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline_from_mongo_json_to_postgre_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "a1_pivot_status_count",
+    "j1_outer_join",
+    "w1_running_total",
+    "u1_explode_words",
+    "u2_dedup_first",
+    "tumbling_window_agg",
+    "f5_json_extract",
+    "p1_mapped_projection",
+    "audit_status_pivot",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        print(f"bench: data dir not found: {sf_dir}", file=sys.stderr)
+        raise SystemExit(2)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+    spark = get_spark(app_name="bench")
+
+    from __spark_entry__ import queries
+
+    registry = queries()
+    names = [n for n in HEADLINE if n in registry]
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so timings measure the query
+    registry[names[0]](spark, sf_dir).count()
+
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        df = registry[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

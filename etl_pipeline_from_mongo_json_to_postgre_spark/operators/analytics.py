@@ -1,0 +1,602 @@
+"""Relational/analytics operator implementations (SURVEY.md §2 parity).
+
+Every function takes (spark, sf_dir) and returns a DataFrame; the
+matching DuckDB oracle SQL lives in ORACLE_SQL under the same key.
+Column names/types are aligned between both sides (the driver's compare
+is name-sorted + value-hashed).
+
+Determinism discipline for oracle parity:
+- double aggregations go through exact DECIMAL arithmetic, then CAST to
+  DOUBLE at the end (FP summation order differs between engines);
+- top-k queries always carry a unique tie-break key;
+- timestamps compare under UTC sessions (session.tune_for_oracle).
+
+Scale notes are inline: broadcast hints on bounded dims, aggregate
+pushdown before joins, no driver-side collects anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import tune_for_oracle
+from ..sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations
+# ---------------------------------------------------------------------------
+
+def a1_pivot_status_count(spark, sf_dir):
+    """A1: group-by + pivot + count (reference ui/audit_dashboard.py:106-114).
+
+    Pivot values are pinned (no extra distinct scan job) — at 100 TB the
+    value domain must be declared, never discovered.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def a2_group_count(spark, sf_dir):
+    """A2: frequency count, sorted client-side-free
+    (reference ui/audit_dashboard.py:187-192)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+def a3_conditional_count(spark, sf_dir):
+    """A3: COUNT(*) FILTER per day (reference postgres_audit_repository.py:72-84)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
+        F.count("*").alias("total_docs"),
+        F.count(F.when(F.col("o_totalprice") > 1000, 1)).alias("high_value_docs"),
+    )
+
+
+def a4_scalar_count(spark, sf_dir):
+    """A4: filtered scalar count (reference ui/run_pipeline.py:436-450)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_totalprice") > 5000).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def a5_max_date(spark, sf_dir):
+    """A5: MAX(ts::date) latest-run lookup (reference ui/run_pipeline.py:453-469)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(F.max(F.to_date("o_orderdate")).alias("latest_day"))
+
+
+def a6_kpis(spark, sf_dir):
+    """A6+A8: KPI counts + distinct count (reference ui/audit_dashboard.py:53-76)."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("c_mktsegment").alias("distinct_segments"),
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("positive_balance"),
+    )
+
+
+def a8_distinct(spark, sf_dir):
+    """A8: distinct non-null values (reference ui/audit_dashboard.py:69-71)."""
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.select(F.col("c_mktsegment").alias("segment"))
+        .where(F.col("segment").isNotNull())
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins
+# ---------------------------------------------------------------------------
+
+def j1_outer_join(spark, sf_dir):
+    """J1: full outer equi-join of per-customer order aggregates vs the
+    customer dim (reference postgres_audit_repository.py:91-96).
+
+    Aggregate FIRST, join after — shrinks the shuffled side from
+    |orders| to |customers| before the join (map-side combine applies).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spent"),
+    )
+    joined = customer.select("c_custkey", "c_name").join(
+        agg, customer.c_custkey == agg.o_custkey, "full_outer"
+    )
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("cust_key"),
+        F.col("c_name"),
+        F.coalesce("order_count", F.lit(0)).alias("order_count"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+def j2_lookup_join(spark, sf_dir):
+    """J2: tiny-dim lookup join with fallback (reference
+    postgres_audit_repository.py:41-45,62-67). region is broadcast —
+    the 100 TB pattern for any bounded dimension."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+            "left",
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("r_name", "n_name").alias("region_name"),
+        )
+    )
+
+
+def j3_anti_join(spark, sf_dir):
+    """J3: set difference as left_anti (reference pipeline.py:57-65)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def j4_semi_join(spark, sf_dir):
+    """J4: set intersection as left_semi (reference ui/audit_dashboard.py:74)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 explode / dedup / set ops / sorts
+# ---------------------------------------------------------------------------
+
+def u1_explode_words(spark, sf_dir):
+    """U1+A2: array unnest + frequency (reference ui/audit_dashboard.py:178-192)."""
+    documents = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def u2_dedup_first(spark, sf_dir):
+    """U2: deterministic dedup — keep the lowest event_id per key
+    (reference drop_duplicates, postgres_audit_repository.py:68-70;
+    made order-stable here, pandas kept first-seen row)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def u3_set_except(spark, sf_dir):
+    """U3: EXCEPT DISTINCT on key sets (reference set ops, pipeline.py:57-89)."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+        .subtract(supplier.select(F.col("s_nationkey").alias("nationkey")).distinct())
+    )
+
+
+def o1_sort_topn(spark, sf_dir):
+    """O1: global top-N with unique tie-break — TakeOrderedAndProject,
+    no full sort shuffle (reference ORDER BY ... DESC,
+    postgres_audit_repository.py:34)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    )
+
+
+def o2_sort_multikey(spark, sf_dir):
+    """O2: multi-key mixed-order sort w/ nulls-last (reference
+    postgres_audit_repository.py:104-108)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_day"),
+            "o_totalprice",
+        )
+        .orderBy(F.desc_nulls_last("order_day"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 filters + scalar functions
+# ---------------------------------------------------------------------------
+
+def p9_filter_eq(spark, sf_dir):
+    """P9: equality row filter, pushed to the parquet scan."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+def p10_size_filter(spark, sf_dir):
+    """P10: size(array) predicate (reference jsonb_array_length > 0,
+    postgres_audit_repository.py:76-79)."""
+    documents = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("token_count")
+        )
+        .filter(F.col("token_count") > 50)
+    )
+
+
+def p11_positive_filter(spark, sf_dir):
+    """P11: positive-count filter (reference ui/audit_dashboard.py:164-167)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.filter(F.col("l_discount") > 0.05).select(
+        "l_orderkey", "l_linenumber", "l_discount"
+    )
+
+
+def f5_json_extract(spark, sf_dir):
+    """F5: JSON scalar extraction + aggregate (reference jsonb usage,
+    postgres_audit_repository.py:78). get_json_object is JVM-side."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.count("*").alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window / streaming-shaped aggregates (engine extensions, W1/§2.8)
+# ---------------------------------------------------------------------------
+
+def w1_running_total(spark, sf_dir):
+    """Window extension: per-customer running order total. Exact DECIMAL
+    inside the frame, DOUBLE out."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def tumbling_window_agg(spark, sf_dir):
+    """Batch twin of the streaming tumbling-window aggregation
+    (streaming/events.py runs the same plan via readStream)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "cnt", "value_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style scale queries (bench headliners)
+# ---------------------------------------------------------------------------
+
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """Q1-shaped pricing summary: 2-key groupBy, 7 aggregates, exact
+    decimal math. Partial aggregation (map-side combine) does the heavy
+    lifting; shuffle carries only |groups| rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2024-10-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(4,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                price
+                * (F.lit(1).cast("decimal(4,2)") - disc)
+                * (F.lit(1).cast("decimal(4,2)") + tax)
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            # avg = double(exact sum) / count: ONE fp division with
+            # identical operands on both engines (decimal division would
+            # round at engine-specific scales)
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """Q3-shaped: filter + 3-way join + agg + deterministic top-10.
+    Filters applied before joins so Catalyst pushes them to the scans."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_day"))
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    return (
+        joined.orderBy(F.desc("rev_dec"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "order_day",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """Q5-shaped: 6-table join; bounded dims (region/nation) broadcast,
+    fact-to-fact joins shuffle on their keys."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    dim = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(dim), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (same keys; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "a1_pivot_status_count": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "a2_group_count": """
+        SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+    "a3_conditional_count": """
+        SELECT CAST(o_orderdate AS DATE) AS order_day,
+               count(*) AS total_docs,
+               count(*) FILTER (WHERE o_totalprice > 1000) AS high_value_docs
+        FROM orders GROUP BY 1
+    """,
+    "a4_scalar_count": """
+        SELECT count(*) AS cnt FROM orders WHERE o_totalprice > 5000
+    """,
+    "a5_max_date": """
+        SELECT max(CAST(o_orderdate AS DATE)) AS latest_day FROM orders
+    """,
+    "a6_kpis": """
+        SELECT count(*) AS total_rows,
+               count(DISTINCT c_mktsegment) AS distinct_segments,
+               count(*) FILTER (WHERE c_acctbal > 0) AS positive_balance
+        FROM customer
+    """,
+    "a8_distinct": """
+        SELECT DISTINCT c_mktsegment AS segment FROM customer
+        WHERE c_mktsegment IS NOT NULL
+    """,
+    "j1_outer_join": """
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS cust_key,
+               c.c_name,
+               coalesce(o.order_count, 0) AS order_count,
+               coalesce(o.total_spent, 0.0) AS total_spent
+        FROM customer c
+        FULL OUTER JOIN (
+            SELECT o_custkey,
+                   count(*) AS order_count,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+            FROM orders GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
+    """,
+    "j2_lookup_join": """
+        SELECT n.n_nationkey, n.n_name,
+               coalesce(r.r_name, n.n_name) AS region_name
+        FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    "j3_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "j4_semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "u1_explode_words": """
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> '' GROUP BY word
+    """,
+    "u2_dedup_first": """
+        SELECT event_id, user_id, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "u3_set_except": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "o1_sort_topn": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+    "o2_sort_multikey": """
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_day, o_totalprice
+        FROM orders
+        ORDER BY order_day DESC NULLS LAST, o_orderkey LIMIT 50
+    """,
+    "p9_filter_eq": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "p10_size_filter": """
+        SELECT doc_id, len(string_split(text, ' ')) AS token_count
+        FROM documents WHERE len(string_split(text, ' ')) > 50
+    """,
+    "p11_positive_filter": """
+        SELECT l_orderkey, l_linenumber, l_discount
+        FROM lineitem WHERE l_discount > 0.05
+    """,
+    "f5_json_extract": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               count(*) AS cnt
+        FROM events GROUP BY event_type
+    """,
+    "w1_running_total": """
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER w AS rn,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "tumbling_window_agg": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1
+    """,
+    "tpch_q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-10-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3_shipping_priority": """
+        SELECT l_orderkey, order_day, CAST(rev_dec AS DOUBLE) AS revenue FROM (
+            SELECT l.l_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS order_day,
+                   sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                       AS rev_dec
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+        ) ORDER BY rev_dec DESC, l_orderkey LIMIT 10
+    """,
+    "tpch_q5_local_supplier_volume": """
+        SELECT n.n_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+}
+
+
+QUERIES = {
+    "a1_pivot_status_count": a1_pivot_status_count,
+    "a2_group_count": a2_group_count,
+    "a3_conditional_count": a3_conditional_count,
+    "a4_scalar_count": a4_scalar_count,
+    "a5_max_date": a5_max_date,
+    "a6_kpis": a6_kpis,
+    "a8_distinct": a8_distinct,
+    "j1_outer_join": j1_outer_join,
+    "j2_lookup_join": j2_lookup_join,
+    "j3_anti_join": j3_anti_join,
+    "j4_semi_join": j4_semi_join,
+    "u1_explode_words": u1_explode_words,
+    "u2_dedup_first": u2_dedup_first,
+    "u3_set_except": u3_set_except,
+    "o1_sort_topn": o1_sort_topn,
+    "o2_sort_multikey": o2_sort_multikey,
+    "p9_filter_eq": p9_filter_eq,
+    "p10_size_filter": p10_size_filter,
+    "p11_positive_filter": p11_positive_filter,
+    "f5_json_extract": f5_json_extract,
+    "w1_running_total": w1_running_total,
+    "tumbling_window_agg": tumbling_window_agg,
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+}

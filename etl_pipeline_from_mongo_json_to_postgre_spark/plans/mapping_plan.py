@@ -1,0 +1,196 @@
+"""MappingPlan: compile a mapping config into Spark Column expressions.
+
+The reference transforms documents one at a time in Python
+(etl_pipeline/transformer.py:7-40). Here the whole per-collection
+transform is compiled *once* (driver-side) into a declarative projection
+over a raw-JSON string column, so Catalyst/Tungsten execute it
+columnar, fully parallel, with no Python in the hot path.
+
+Semantics preserved (SURVEY.md §7 "hard parts" #1):
+- attribute ABSENT from the document  -> NULL + entry in missing_columns
+  (reference transformer.py:22-25)
+- attribute present but JSON null     -> NULL, no error
+  (reference transformer.py:50-51)
+- attribute present but uncastable    -> NULL + entry in errors
+  (reference transformer.py:76-77)
+
+Absence is detected from the raw JSON itself via json_object_keys
+(Spark >= 3.1), since after a schema-applied read absent and null are
+indistinguishable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config.defaults import DEFAULT_DATE_FORMATS
+from ..config.loader import normalize_type
+from ..functions.casts import build_cast, spark_type_for
+
+
+@dataclass(frozen=True)
+class AttributeMapping:
+    source_attr: str
+    column: str
+    logical_type: str
+
+
+@dataclass
+class MappingPlan:
+    """Compiled projection plan for one collection."""
+
+    collection: str
+    target_table: str
+    attributes: list[AttributeMapping]
+    raw_json_column: str = "raw_json"
+    object_id_attribute: str | None = None
+    date_formats: list[str] = field(default_factory=lambda: list(DEFAULT_DATE_FORMATS))
+
+    @classmethod
+    def from_config(cls, collection: str, spec: dict,
+                    date_formats: list[str] | None = None) -> "MappingPlan":
+        attrs = [
+            AttributeMapping(a, m["column"], normalize_type(m["type"]))
+            for a, m in spec["mappings"].items()
+        ]
+        return cls(
+            collection=collection,
+            target_table=spec["target_table"],
+            attributes=attrs,
+            raw_json_column=spec.get("raw_json_column") or "raw_json",
+            object_id_attribute=spec.get("object_id_attribute"),
+            date_formats=list(date_formats or DEFAULT_DATE_FORMATS),
+        )
+
+    # ---- expression builders over a raw-JSON string column ----
+
+    def _opts(self) -> dict:
+        return {"date_formats": self.date_formats}
+
+    def value_expr(self, raw: Column, attr: AttributeMapping) -> Column:
+        source = F.get_json_object(raw, f"$.{attr.source_attr}")
+        return build_cast(source, attr.logical_type, self._opts()).alias(attr.column)
+
+    def keys_expr(self, raw: Column) -> Column:
+        return F.json_object_keys(raw)
+
+    def missing_expr(self, raw: Column) -> Column:
+        """array<string> of target columns whose source attr is absent
+        (reference transformer.py:22-25 appends target_column names)."""
+        keys = self.keys_expr(raw)
+        entries = [
+            F.when(
+                ~F.array_contains(keys, a.source_attr), F.lit(a.column)
+            )
+            for a in self.attributes
+        ]
+        arr = F.array(*entries)
+        return F.filter(arr, lambda x: x.isNotNull())
+
+    def errors_expr(self, raw: Column) -> Column:
+        """array<string> '<source_attr>: <msg>' for present-but-uncastable
+        values (reference transformer.py:36-38,76-77)."""
+        keys = self.keys_expr(raw)
+        entries = []
+        for a in self.attributes:
+            source = F.get_json_object(raw, f"$.{a.source_attr}")
+            casted = build_cast(source, a.logical_type, self._opts())
+            entries.append(
+                F.when(
+                    F.array_contains(keys, a.source_attr)
+                    & source.isNotNull()
+                    & casted.isNull(),
+                    F.lit(f"{a.source_attr}: invalid {a.logical_type} value"),
+                )
+            )
+        return F.filter(F.array(*entries), lambda x: x.isNotNull())
+
+    def projection(self, raw: Column) -> list[Column]:
+        """Mapped columns only (reference drops unmapped attrs,
+        transformer.py:18-38)."""
+        return [self.value_expr(raw, a) for a in self.attributes]
+
+    def object_id_expr(self, raw: Column) -> Column:
+        """str(document.get(object_id_attribute)) for the audit trail
+        (reference pipeline.py:220-229,256)."""
+        attr = self.object_id_attribute
+        if not attr:
+            return F.lit(None).cast("string")
+        return F.get_json_object(raw, f"$.{attr}").cast("string")
+
+    def spark_schema_fields(self) -> list[tuple[str, str]]:
+        return [(a.column, spark_type_for(a.logical_type)) for a in self.attributes]
+
+    def apply(self, df: DataFrame, raw_col: str | None = None) -> DataFrame:
+        """Project a DataFrame bearing a raw-JSON string column into
+        mapped columns + raw json + missing/error arrays.
+
+        Staged so each cast expression is evaluated ONCE: stage 1
+        extracts sources + top-level keys, stage 2 casts, stage 3
+        derives missing/error arrays from the materialized columns
+        (naively re-deriving errors would re-run every multi-format
+        parse — 2x the transform cost at scale).
+        """
+        raw = F.col(raw_col or self.raw_json_column)
+        opts = self._opts()
+        src = {a.column: f"__src_{a.column}" for a in self.attributes}
+
+        stage1 = df.select(
+            "*",
+            *[
+                F.get_json_object(raw, f"$.{a.source_attr}").alias(src[a.column])
+                for a in self.attributes
+            ],
+            self.keys_expr(raw).alias("__keys"),
+        )
+        stage2 = stage1.select(
+            *[
+                build_cast(F.col(src[a.column]), a.logical_type, opts).alias(a.column)
+                for a in self.attributes
+            ],
+            *[F.col(src[a.column]) for a in self.attributes],
+            F.col("__keys"),
+            raw.alias(self.raw_json_column),
+        )
+        missing = F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.array_contains(F.col("__keys"), a.source_attr),
+                        F.lit(a.column),
+                    )
+                    for a in self.attributes
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        errors = F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.array_contains(F.col("__keys"), a.source_attr)
+                        & F.col(src[a.column]).isNotNull()
+                        & F.col(a.column).isNull(),
+                        F.lit(f"{a.source_attr}: invalid {a.logical_type} value"),
+                    )
+                    for a in self.attributes
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        object_id = (
+            F.get_json_object(F.col(self.raw_json_column), f"$.{self.object_id_attribute}")
+            .cast("string")
+            if self.object_id_attribute
+            else F.lit(None).cast("string")
+        )
+        return stage2.select(
+            *[a.column for a in self.attributes],
+            F.col(self.raw_json_column),
+            missing.alias("missing_columns"),
+            errors.alias("transform_errors"),
+            object_id.alias("_object_id"),
+        )

@@ -1,0 +1,50 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs on local[N]; the same settings (AQE, shuffle
+partitions sized to cores, UTC session time) are what you'd set on a
+real cluster, where ``spark.sql.shuffle.partitions`` should instead be
+sized to ~2-3x total executor cores and AQE left on to coalesce.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "etl_pipeline_from_mongo_json_to_postgre_spark",
+              cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Runtime-settable confs we need regardless of who built the session.
+
+    The correctness driver hands us its own SparkSession; these two confs
+    are runtime-settable and required for oracle parity: UTC timestamps
+    (DuckDB timestamps are UTC-naive) and non-ANSI casts (NULL-on-failure
+    cast semantics, matching the reference's error-capturing transform).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass  # fine if fixed by the hosting session; we also use try_* forms
+    return spark

@@ -1,0 +1,74 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Row-count + name-sorted columns + order-insensitive value comparison.
+Used by tests and by ad-hoc parity runs; exact equality by design (the
+engine keeps aggregate math exact via DECIMAL, so no FP tolerance is
+needed — a mismatch is a bug, not noise).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _rows_canon(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i].lower())
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+    spark_cols = [c.lower() for c in spark_df.columns]
+    spark_rows = spark_df.collect()
+    rel = con.sql(sql)
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_rows = rel.fetchall()
+    if sorted(spark_cols) != sorted(duck_cols):
+        return False, f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
+    a = _rows_canon(spark_df.columns, [tuple(r) for r in spark_rows])
+    b = _rows_canon(rel.columns, duck_rows)
+    if a != b:
+        diffs = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+        detail = "; ".join(f"row{i}: spark={a[i]} duck={b[i]}" for i in diffs)
+        return False, f"values differ ({sum(x != y for x, y in zip(a, b))} rows): {detail}"
+    return True, "ok"

@@ -1,0 +1,89 @@
+"""Config loader/validator parity (reference config_loader.py:36-171)."""
+
+import json
+
+import pytest
+
+from etl_pipeline_from_mongo_json_to_postgre_spark.config import (
+    load_config,
+    normalize_table_name,
+    validate_app_config,
+    validate_mapping_config,
+)
+from etl_pipeline_from_mongo_json_to_postgre_spark.errors import ConfigError
+
+MAPPING = {
+    "customers": {
+        "target_table": "public.customers",
+        "object_id_attribute": "customer_id",
+        "mappings": {
+            "customer_id": {"column": "customer_id", "type": "integer"},
+            "name": {"column": "name", "type": "text"},
+            "signup_date": {"column": "signup_date", "type": "date"},
+        },
+    }
+}
+
+
+def test_load_yaml_and_json(tmp_path):
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps(MAPPING))
+    assert load_config(str(p)) == MAPPING
+    y = tmp_path / "m.yaml"
+    y.write_text("a:\n  b: 1\n")
+    assert load_config(str(y)) == {"a": {"b": 1}}
+
+
+def test_load_rejects_bad_extension(tmp_path):
+    p = tmp_path / "m.txt"
+    p.write_text("{}")
+    with pytest.raises(ConfigError):
+        load_config(str(p))
+
+
+def test_validate_mapping_ok():
+    out = validate_mapping_config(MAPPING)
+    assert out["customers"]["mappings"]["name"]["type"] == "text"
+    assert out["customers"]["raw_json_column"] == "raw_json"
+
+
+def test_validate_mapping_requires_column_and_type():
+    bad = {"c": {"target_table": "t", "mappings": {"a": {"type": "text"}}}}
+    with pytest.raises(ConfigError, match="column"):
+        validate_mapping_config(bad)
+
+
+def test_validate_mapping_rejects_unknown_type():
+    bad = {"c": {"target_table": "t", "mappings": {"a": {"column": "a", "type": "uuid"}}}}
+    with pytest.raises(ConfigError, match="unsupported type"):
+        validate_mapping_config(bad)
+
+
+def test_validate_mapping_rejects_duplicate_columns():
+    bad = {
+        "c": {
+            "target_table": "t",
+            "mappings": {
+                "a": {"column": "x", "type": "text"},
+                "b": {"column": "x", "type": "text"},
+            },
+        }
+    }
+    with pytest.raises(ConfigError, match="duplicate target column"):
+        validate_mapping_config(bad)
+
+
+def test_validate_app_config_defaults():
+    cfg = validate_app_config({})
+    assert len(cfg["runtime"]["date_formats"]) == 10
+    assert cfg["runtime"]["type_mappings"]["text"] == "TEXT"
+
+
+def test_validate_app_config_rejects_empty_formats():
+    with pytest.raises(ConfigError):
+        validate_app_config({"runtime": {"date_formats": []}})
+
+
+def test_normalize_table_name():
+    assert normalize_table_name("Customers") == "public.customers"
+    assert normalize_table_name("Doc_Audit.Ingestion_Audit") == "doc_audit.ingestion_audit"
