@@ -19,8 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from etl_pipeline_from_mongo_json_to_postgre_spark.operators import analytics
-from etl_pipeline_from_mongo_json_to_postgre_spark.operators import transform_queries
+from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    text_queries,
+    transform_queries,
+)
+from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as streaming_events
+
+_MODULES = (analytics, transform_queries, text_queries, dedup, similarity,
+            multimodal, streaming_events)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,13 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(analytics.QUERIES)
-    out.update(transform_queries.QUERIES)
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(analytics.ORACLE_SQL)
-    out.update(transform_queries.ORACLE_SQL)
+    for mod in _MODULES:
+        out.update(mod.ORACLE_SQL)
     return out

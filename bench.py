@@ -29,6 +29,14 @@ HEADLINE = [
     "f5_json_extract",
     "p1_mapped_projection",
     "audit_status_pivot",
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "text_fingerprint",
+    "text_quality_score",
+    "ann_cosine_topk",
+    "sim_cosine_pairs_lsh",
+    "mm_binary_stats",
 ]
 
 

@@ -1,0 +1,349 @@
+"""Deduplication operators over the documents table (training-data
+pipeline extensions): exact, MinHash(+LSH), SimHash, n-gram Jaccard.
+
+Scale design (100 TB target):
+- exact dedup: one hash-groupBy shuffle keyed on the text;
+- minhash/simhash signatures: embarrassingly parallel per-row Column
+  expressions (no shuffle at all);
+- LSH pair generation: explode band keys -> self-join on (band, key)
+  -> candidates only, never the full n^2 cross join;
+- jaccard verify: shingle-explode + equi-join on shingle hash within
+  blocking keys, counts only (no string payload through the shuffle).
+
+Oracle-checked variants use the portable polynomial hashes
+(functions/text.py) so DuckDB reproduces every bit; the fast path for
+pure-Spark runs swaps in xxhash64 (dedup_minhash_pairs, rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MOD,
+    duck_shingle_hashes,
+    duck_word_hashes,
+    shingle_hashes,
+    word_hashes,
+)
+from ..session import tune_for_oracle
+from ..sources.parquet import load_table
+
+# Fixed minhash permutation parameters (a*h + b) % MOD — deterministic,
+# embedded identically in both engines.
+MINHASH_AB = [
+    (2971, 1433), (4297, 7919), (6361, 2749), (8093, 5471),
+    (10169, 3251), (12289, 8731), (14699, 1979), (16127, 6689),
+    (18041, 4409), (20201, 9013), (22147, 2333), (24593, 7561),
+    (26863, 5087), (28657, 1697), (30803, 8269), (32771, 3863),
+]
+SIMHASH_BITS = 30
+JACCARD_THRESHOLD = 0.5
+
+
+def _docs(spark, sf_dir):
+    tune_for_oracle(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: canonical (lowest) doc_id per identical text +
+    duplicate count. One shuffle, map-side combine."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("dup_count"),
+    ).select("doc_id", "dup_count")
+
+
+# ---------------------------------------------------------------------------
+# minhash
+# ---------------------------------------------------------------------------
+
+def _perm_fn(a: int, b: int):
+    # NB: closures, not default-arg lambdas — pyspark counts default args
+    # as higher-order-function parameters (element, index, ...).
+    def f(s):
+        return (s * a + b) % F.lit(MOD)
+
+    return f
+
+
+def _minhash_cols(sh):
+    """16 minhash components from a shingle-hash array column."""
+    return [
+        F.array_min(F.transform(sh, _perm_fn(a, b))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+
+
+def dedup_minhash_signature(spark, sf_dir):
+    """Per-document 16-component MinHash signature over 3-word shingles.
+    Pure projection — zero shuffle; the oracle reproduces every bit via
+    the portable polynomial hashes."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    # Materialize wh, then sh, as real columns between projections:
+    # inlining them would re-evaluate the whole array per element_at
+    # inside the HOF lambdas (O(words^2) interpreted work per row).
+    staged = (
+        d.where(F.size(w) >= 3)
+        .select("doc_id", word_hashes(w).alias("wh"))
+        .select("doc_id", shingle_hashes(F.col("wh"), k=3).alias("sh"))
+    )
+    return staged.select("doc_id", *_minhash_cols(F.col("sh")))
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (fast path, xxhash64 — Spark-native,
+    not SQL-reproducible; driver records a rows-only check).
+
+    4 bands x 4 rows: docs sharing any band key become candidates;
+    candidates are verified by estimated Jaccard = fraction of equal
+    signature components >= 0.5.
+    """
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    wcol = F.col("w")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(wcol) - 3),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at(wcol, i + 1),
+                    F.element_at(wcol, i + 2),
+                    F.element_at(wcol, i + 3),
+                )
+            ),
+        )
+    )
+
+    def _xxh_fn(j):
+        def f(s):
+            return F.xxhash64(s, F.lit(j))
+
+        return f
+
+    mh = [
+        F.array_min(F.transform(F.col("sh"), _xxh_fn(j))).alias(f"mh{j}")
+        for j in range(16)
+    ]
+    # stage words -> shingles -> signature so arrays materialize once
+    sigs = (
+        d.where(F.size(w) >= 3)
+        .select("doc_id", w.alias("w"))
+        .select("doc_id", sh.alias("sh"))
+        .select("doc_id", *mh)
+    )
+    bands = sigs.select(
+        "doc_id",
+        *[F.col(f"mh{j}") for j in range(16)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"mh{b * 4 + r}") for r in range(4)])
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    bands = bands.cache()
+    bands.count()  # materialize before the self-join branches
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.mh{j}").alias(f"amh{j}") for j in range(16)],
+            *[F.col(f"b.mh{j}").alias(f"bmh{j}") for j in range(16)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = sum(
+        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0) for j in range(16)
+    ) / F.lit(16.0)
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark, sf_dir):
+    """Per-document 30-bit SimHash over word hashes (multiset). Majority
+    vote per bit; zero shuffle; portable-hash oracle."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    staged = d.where(F.size(w) > 0).select(
+        "doc_id", word_hashes(w).alias("wh")
+    )
+    wh = F.col("wh")
+    n = F.size(wh)
+
+    def _bit_sum_fn(j):
+        def f(acc, x):
+            return acc + F.shiftright(x, j).bitwiseAND(F.lit(1))
+
+        return f
+
+    bit_sums = [
+        F.aggregate(wh, F.lit(0).cast("bigint"), _bit_sum_fn(j))
+        for j in range(SIMHASH_BITS)
+    ]
+    simhash = sum(
+        F.when(s * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+        for j, s in enumerate(bit_sums)
+    ).cast("bigint")
+    return staged.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Pairwise Jaccard over distinct 3-word-shingle sets, blocked by
+    lang (a real pipeline blocks by cheap keys to avoid n^2). Integer
+    set arithmetic -> exact parity; pairs with J >= 0.5 survive."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    docs = (
+        d.select("doc_id", "lang", word_hashes(w).alias("wh"))
+        .select("doc_id", "lang", F.array_distinct(shingle_hashes(F.col("wh"), k=3)).alias("sh"))
+        .where(F.size("sh") > 0)
+        .cache()  # read 3x below (sizes + both join sides)
+    )
+    # Materialize the cache NOW: if left lazy, the three branches of one
+    # job each re-evaluate the shingle pipeline, and Spark's Generate
+    # inlines it per exploded row (~25x slowdown measured at sf0.001).
+    docs.count()
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = docs.select("doc_id", "lang", F.explode("sh").alias("s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _duck_sig_cte() -> str:
+    """CTE producing doc_id + shingle-hash list 'sh' per document."""
+    return f"""
+        WITH words AS (
+            SELECT doc_id, lang, {_DUCK_WORDS} AS w FROM documents
+        ), hashes AS (
+            SELECT doc_id, lang, {duck_word_hashes('w')} AS wh FROM words
+        ), shingled AS (
+            SELECT doc_id, lang, {duck_shingle_hashes(3)} AS sh FROM hashes
+        )
+    """
+
+
+_MH_SELECT = ", ".join(
+    f"list_min(list_transform(sh, s -> (s*{a} + {b}) % {MOD})) AS mh{j}"
+    for j, (a, b) in enumerate(MINHASH_AB)
+)
+
+_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN 2*list_sum(list_transform(wh, x -> (x >> {j}) & 1)) > len(wh) "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+
+ORACLE_SQL = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM documents GROUP BY text
+    """,
+    "dedup_minhash_signature": _duck_sig_cte()
+    + f"""
+        SELECT doc_id, {_MH_SELECT}
+        FROM shingled WHERE len(sh) > 0
+    """,
+    "dedup_simhash": f"""
+        WITH words AS (
+            SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+        ), hashes AS (
+            SELECT doc_id, {duck_word_hashes('w')} AS wh FROM words
+        )
+        SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
+        FROM hashes WHERE len(wh) > 0
+    """,
+    "dedup_ngram_jaccard": _duck_sig_cte()
+    + f"""
+        , sets AS (
+            SELECT doc_id, lang, list_distinct(sh) AS sh FROM shingled
+            WHERE len(list_distinct(sh)) > 0
+        ), exploded AS (
+            SELECT doc_id, lang, unnest(sh) AS s FROM sets
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM exploded a JOIN exploded b
+              ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(common AS DOUBLE)
+                     / (sa.n + sb.n - common), 6) AS jaccard
+        FROM common
+        JOIN (SELECT doc_id, len(sh) AS n FROM sets) sa ON sa.doc_id = doc_a
+        JOIN (SELECT doc_id, len(sh) AS n FROM sets) sb ON sb.doc_id = doc_b
+        WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signature": dedup_minhash_signature,
+    "dedup_minhash_pairs": dedup_minhash_pairs,  # rows-only (xxhash64)
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}

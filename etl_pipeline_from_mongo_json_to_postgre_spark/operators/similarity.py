@@ -1,0 +1,211 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+- ann_cosine_topk: brute-force top-k for a bounded query set — the
+  correctness baseline. The query side is broadcast; the big side
+  streams once. At 100 TB you bound the query batch, not the corpus.
+- sim_cosine_pairs_lsh: random-hyperplane LSH (4 bands x 2 bits)
+  candidate generation + exact cosine verify — the scale path for
+  all-pairs similarity (explode band keys, equi-join, never n^2).
+
+Determinism: hyperplanes are fixed literals (seeded numpy, embedded in
+both the Spark plan and the DuckDB oracle); all dot products are
+sequential left-folds over doubles in both engines, so cosines are
+bit-identical and thresholds/rankings agree exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, functions as F
+
+from ..session import tune_for_oracle
+from ..sources.parquet import load_table
+
+DIM = 64
+N_BANDS = 4
+BITS_PER_BAND = 2
+PAIR_THRESHOLD = 0.30
+TOPK = 5
+N_QUERIES = 20
+
+_rng = np.random.RandomState(42)
+HYPERPLANES: list[list[float]] = [
+    [float(x) for x in _rng.randn(DIM)] for _ in range(N_BANDS * BITS_PER_BAND)
+]
+
+
+def _emb_d(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in plane])
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def _vectors(spark, sf_dir):
+    tune_for_oracle(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        _emb_d(F.col("embedding")).alias("v"),
+        _norm(_emb_d(F.col("embedding"))).alias("nrm"),
+    )
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Top-5 cosine neighbors for vec_id < 20 (brute force, broadcast
+    query side). Rank by exact cosine desc, vec_id asc."""
+    from pyspark.sql.window import Window
+
+    vecs = _vectors(spark, sf_dir).cache()
+    vecs.count()  # materialize: query side + corpus side both read it
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(queries).crossJoin(vecs).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def sim_cosine_pairs_lsh(spark, sf_dir):
+    """All-pairs cosine >= 0.30 via random-hyperplane LSH banding.
+    Candidates = pairs sharing any band signature; exact cosine verify."""
+    vecs = _vectors(spark, sf_dir)
+    bits = [
+        F.when(_dot(F.col("v"), _plane_lit(p)) > 0, 1).otherwise(0)
+        for p in HYPERPLANES
+    ]
+    band_keys = F.array(
+        *[
+            sum(
+                bits[b * BITS_PER_BAND + r] * (1 << r) for r in range(BITS_PER_BAND)
+            ).cast("int")
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = vecs.select(
+        "vec_id", "v", "nrm", F.posexplode(band_keys).alias("band", "key")
+    ).cache()
+    banded.count()  # materialize before the self-join branches
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return cand.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= PAIR_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — same folds, same literals
+# ---------------------------------------------------------------------------
+
+def _duck_list(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+_DUCK_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _duck_fold_sum(arr: str) -> str:
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (acc, x) -> acc + x)"
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return _duck_fold_sum(f"list_transform(range(1, {DIM}+1), i -> {a}[i] * {b}[i])")
+
+
+_DUCK_NORM = f"sqrt({_duck_fold_sum(f'list_transform({_DUCK_V}, x -> x*x)')})"
+
+_DUCK_BAND_KEYS = "[" + ", ".join(
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN {_duck_dot('v', _duck_list(HYPERPLANES[b * BITS_PER_BAND + r]))} > 0 "
+        f"THEN {1 << r} ELSE 0 END)"
+        for r in range(BITS_PER_BAND)
+    )
+    + " AS INT)"
+    for b in range(N_BANDS)
+) + "]"
+
+ORACLE_SQL = {
+    "ann_cosine_topk": f"""
+        WITH vecs AS (
+            SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   {_duck_dot('q.v', 't.v')} / (q.nrm * t.nrm) AS cos
+            FROM vecs q JOIN vecs t ON t.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOPK}
+    """,
+    "sim_cosine_pairs_lsh": f"""
+        WITH vecs AS (
+            SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+        ), banded AS (
+            SELECT vec_id, v, nrm, idx.i - 1 AS band, t.keys[idx.i] AS key
+            FROM (SELECT vec_id, v, nrm, {_DUCK_BAND_KEYS} AS keys FROM vecs) t,
+                 (SELECT unnest(range(1, {N_BANDS} + 1)) AS i) idx
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               round({_duck_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 6) AS cosine
+        FROM cand
+        JOIN vecs x ON x.vec_id = vec_a
+        JOIN vecs y ON y.vec_id = vec_b
+        WHERE round({_duck_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 6)
+              >= {PAIR_THRESHOLD}
+    """,
+}
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,
+}

@@ -1,0 +1,129 @@
+"""Text-analysis operators over the documents table (training-data
+pipeline extensions: token counting, quality scoring, language ID,
+document fingerprinting). All pure Column expressions; every query has
+a DuckDB oracle twin built from the same hash fragments
+(functions/text.py) so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import MOD, char_fold_hash, duck_char_fold_hash
+from ..session import tune_for_oracle
+from ..sources.parquet import load_table
+
+STOPWORDS = ("the", "a")
+
+
+def _docs(spark, sf_dir):
+    tune_for_oracle(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def text_token_count(spark, sf_dir):
+    """Token + distinct-token counts per document."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("token_count"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("distinct_tokens"),
+    )
+
+
+def text_quality_score(spark, sf_dir):
+    """Length/stopword-ratio quality signals (the classic pre-training
+    quality filter shape). One FP division per ratio — deterministic."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    n = F.size(w).cast("double")
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double")
+    avg_len = (F.length(F.translate("text", " ", "")).cast("double") / F.size(w))
+    return d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("token_count"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop / n, 4).alias("stopword_ratio"),
+    ).where(F.col("token_count") > 0)
+
+
+def text_langid(spark, sf_dir):
+    """Stopword-density language heuristic. The synthetic corpus shares
+    one vocabulary across langs, so this demonstrates the operator shape
+    (deterministic scoring -> thresholded label), not model quality."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("en_score"),
+        F.when(ratio >= 0.08, "en")
+        .when(ratio >= 0.03, "en_maybe")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    ).where(F.size(w) > 0)
+
+
+def text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint over the first 64 chars
+    (cheap near-exact dedup key; full-text hash would shuffle the same
+    way, the prefix keeps the oracle fast)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        char_fold_hash(F.substring("text", 1, 64)).alias("fingerprint"),
+    )
+
+
+ORACLE_SQL = {
+    "text_token_count": f"""
+        SELECT doc_id,
+               len({_DUCK_WORDS}) AS token_count,
+               len(list_distinct({_DUCK_WORDS})) AS distinct_tokens
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        SELECT doc_id,
+               len({_DUCK_WORDS}) AS token_count,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len({_DUCK_WORDS}), 4) AS avg_token_len,
+               round(CAST(len(list_filter({_DUCK_WORDS},
+                     x -> x IN ('the', 'a'))) AS DOUBLE)
+                     / len({_DUCK_WORDS}), 4) AS stopword_ratio
+        FROM documents WHERE len({_DUCK_WORDS}) > 0
+    """,
+    "text_langid": f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter({_DUCK_WORDS}, x -> x IN ('the', 'a')))
+                        AS DOUBLE) / len({_DUCK_WORDS}) AS ratio
+            FROM documents WHERE len({_DUCK_WORDS}) > 0
+        )
+        SELECT doc_id, lang, round(ratio, 4) AS en_score,
+               CASE WHEN ratio >= 0.08 THEN 'en'
+                    WHEN ratio >= 0.03 THEN 'en_maybe'
+                    ELSE 'unknown' END AS predicted_lang
+        FROM s
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               {duck_char_fold_hash("substring(text, 1, 64)")} AS fingerprint
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
