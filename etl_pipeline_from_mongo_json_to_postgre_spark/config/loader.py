@@ -92,6 +92,13 @@ def validate_mapping_config(mapping_config: dict, type_mappings: dict | None = N
     """
     if not isinstance(mapping_config, dict) or not mapping_config:
         raise ConfigError("mapping config must be a non-empty mapping")
+    # reference config files nest everything under a top-level
+    # ``collections:`` key (config/mapping_config.yaml:1); accept both
+    # the wrapped and flat shapes, return flat.
+    if set(mapping_config) == {"collections"}:
+        mapping_config = mapping_config["collections"]
+        if not isinstance(mapping_config, dict) or not mapping_config:
+            raise ConfigError("mapping config 'collections' must be a non-empty mapping")
     known_types = set(SUPPORTED_TYPES)
     if type_mappings:
         known_types &= {normalize_type(t) for t in type_mappings}
