@@ -84,9 +84,10 @@ def cast_integer(col: Column, dtype: str = "int") -> Column:
     non-numeric -> NULL (reference transformer.py:58-61 + int() semantics).
     Going through decimal keeps 19-digit longs exact (double would not).
     """
+    # decimal -> integral cast already truncates toward zero in Spark,
+    # and try_cast NULLs on overflow; one decimal parse per value.
     as_dec = _try_cast(F.trim(col.cast("string")), "decimal(38,18)")
-    truncated = F.when(as_dec >= 0, F.floor(as_dec)).otherwise(-F.floor(-as_dec))
-    return _try_cast(truncated, dtype)
+    return _try_cast(as_dec, dtype)
 
 
 # type name -> (value_expr_builder, spark_sql_type)

@@ -3,9 +3,14 @@
 - ann_cosine_topk: brute-force top-k for a bounded query set — the
   correctness baseline. The query side is broadcast; the big side
   streams once. At 100 TB you bound the query batch, not the corpus.
-- sim_cosine_pairs_lsh: random-hyperplane LSH (4 bands x 2 bits)
+- sim_cosine_pairs_lsh: random-hyperplane LSH (4 bands x 8 bits)
   candidate generation + exact cosine verify — the scale path for
   all-pairs similarity (explode band keys, equi-join, never n^2).
+  Band width matters: b bits -> 2^b buckets per band; too few bits
+  makes every pair a candidate (quadratic blowup disguised as LSH).
+  The self-join carries ONLY (band, key, vec_id) — vectors are
+  re-attached to the deduped pair list by joining the (small) vector
+  frame back, so the bucket-join shuffle is keys-only.
 
 Determinism: hyperplanes are fixed literals (seeded numpy, embedded in
 both the Spark plan and the DuckDB oracle); all dot products are
@@ -23,7 +28,7 @@ from ..sources.parquet import load_table
 
 DIM = 64
 N_BANDS = 4
-BITS_PER_BAND = 2
+BITS_PER_BAND = 8
 PAIR_THRESHOLD = 0.30
 TOPK = 5
 N_QUERIES = 20
@@ -93,8 +98,15 @@ def ann_cosine_topk(spark, sf_dir):
 
 def sim_cosine_pairs_lsh(spark, sf_dir):
     """All-pairs cosine >= 0.30 via random-hyperplane LSH banding.
-    Candidates = pairs sharing any band signature; exact cosine verify."""
-    vecs = _vectors(spark, sf_dir)
+    Candidates = pairs sharing any band signature; exact cosine verify.
+
+    Shuffle discipline (100 TB path): the bucket self-join moves only
+    (band, key, vec_id) triples; vectors rejoin the deduped pair list
+    afterwards (broadcast when the corpus side fits, hash join
+    otherwise). Skewed buckets are AQE's skew-join problem, not ours.
+    """
+    vecs = _vectors(spark, sf_dir).cache()
+    vecs.count()  # reused by banding and twice by the verify join
     bits = [
         F.when(_dot(F.col("v"), _plane_lit(p)) > 0, 1).otherwise(0)
         for p in HYPERPLANES
@@ -108,31 +120,29 @@ def sim_cosine_pairs_lsh(spark, sf_dir):
         ]
     )
     banded = vecs.select(
-        "vec_id", "v", "nrm", F.posexplode(band_keys).alias("band", "key")
-    ).cache()
-    banded.count()  # materialize before the self-join branches
+        "vec_id", F.posexplode(band_keys).alias("band", "key")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        a.join(b, ["band", "key"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    x = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    y = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return cand.select(
-        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
-    ).where(F.col("cosine") >= PAIR_THRESHOLD)
+    out = (
+        cand.join(x, "vec_a").join(y, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= PAIR_THRESHOLD)
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -50,11 +50,21 @@ _ORDERS_PLAN = MappingPlan.from_config(
 )
 
 
+def _fan_out(spark, df):
+    """The testdata parquet is one row group per table, so a scan is ONE
+    task; repartition so the CPU-heavy JSON transform uses every core.
+    On a real cluster the scan arrives pre-split and this shuffle (tiny:
+    it moves the raw rows once) is unnecessary — it exists because
+    single-file-single-rowgroup input is the local worst case."""
+    target = spark.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target // 2 else df
+
+
 def _orders_as_docs(spark, sf_dir):
     """Re-serialize orders as JSON documents; '1-URGENT' priorities are
     dropped from the document (to_json omits nulls) to exercise the
     missing-attribute path on real data."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = _fan_out(spark, load_table(spark, sf_dir, "orders"))
     raw = F.to_json(
         F.struct(
             F.col("o_orderkey"),
@@ -114,7 +124,7 @@ def audit_status_pivot(spark, sf_dir):
     tune_for_oracle(spark)
     docs = _orders_as_docs(spark, sf_dir)
     _, audit_o = transform_collection(docs, _ORDERS_PLAN, ingested_at=RUN_TS)
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _fan_out(spark, load_table(spark, sf_dir, "lineitem"))
     li_docs = li.select(
         F.to_json(
             F.struct(

@@ -128,23 +128,28 @@ class MappingPlan:
         """Project a DataFrame bearing a raw-JSON string column into
         mapped columns + raw json + missing/error arrays.
 
-        Staged so each cast expression is evaluated ONCE: stage 1
-        extracts sources + top-level keys, stage 2 casts, stage 3
-        derives missing/error arrays from the materialized columns
-        (naively re-deriving errors would re-run every multi-format
-        parse — 2x the transform cost at scale).
+        Staged so each JSON document is parsed ONCE (from_json to
+        map<string,string> — scalar values arrive as their JSON text,
+        nested values as compact JSON, exactly like get_json_object, but
+        with 1 parse instead of N+1) and each cast expression is
+        evaluated ONCE: stage 1 parses + extracts sources and keys,
+        stage 2 casts, stage 3 derives missing/error arrays from the
+        materialized columns (naively re-deriving errors would re-run
+        every multi-format parse — 2x the transform cost at scale).
         """
         raw = F.col(raw_col or self.raw_json_column)
         opts = self._opts()
         src = {a.column: f"__src_{a.column}" for a in self.attributes}
 
-        stage1 = df.select(
+        doc = F.from_json(raw, "map<string,string>")
+        stage0 = df.select("*", doc.alias("__doc"))
+        stage1 = stage0.select(
             "*",
             *[
-                F.get_json_object(raw, f"$.{a.source_attr}").alias(src[a.column])
+                F.col("__doc")[a.source_attr].alias(src[a.column])
                 for a in self.attributes
             ],
-            self.keys_expr(raw).alias("__keys"),
+            F.map_keys(F.col("__doc")).alias("__keys"),
         )
         stage2 = stage1.select(
             *[

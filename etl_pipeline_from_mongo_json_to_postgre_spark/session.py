@@ -28,6 +28,10 @@ def get_spark(app_name: str = "etl_pipeline_from_mongo_json_to_postgre_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # codegen-heavy plans (multi-format casts) generate a lot of JIT
+        # code over a long suite; keep the code cache from filling
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
