@@ -29,6 +29,9 @@ HEADLINE = [
     "f5_json_extract",
     "p1_mapped_projection",
     "audit_status_pivot",
+    "audit_report_assembly",
+    "mm_feature_extract",
+    "stream_sessionize",
     "dedup_minhash_signature",
     "dedup_minhash_pairs",
     "dedup_simhash",

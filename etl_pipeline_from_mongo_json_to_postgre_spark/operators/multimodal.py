@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -47,7 +47,9 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("mime", StringType(), True),
         StructField("n_bytes", LongType(), True),
-        StructField("features", ArrayType(FloatType()), True),
+        # double, not float32: the moments are SQL-recomputable and
+        # float32 would shift round()-boundary values vs the oracle
+        StructField("features", ArrayType(DoubleType()), True),
     ]
 )
 
@@ -104,6 +106,88 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing: mapInPandas pass that would decode -> resize ->
+    re-encode. STUB keeps the byte payload and stamps the target
+    dimensions into metadata; the Arrow batch shape, schema, and
+    partition behavior are exactly what a PIL/opencv implementation
+    would use."""
+    out_schema = StructType(
+        MEDIA_SCHEMA.fields
+        + [StructField("width", LongType(), True), StructField("height", LongType(), True)]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            # real impl: pdf["payload"] = [reencode(resize(decode(p))) ...]
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return df.mapInPandas(_resize, schema=out_schema)
+
+
+def frame_sample_stub(df: DataFrame, every_n_bytes: int = 256,
+                      max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: one output row
+    per sampled frame (explode-shaped mapInPandas). STUB samples fixed
+    byte offsets instead of decoded frames; the fan-out shape (row ->
+    N frame rows with frame_no + frame_payload) matches an ffmpeg
+    keyframe sampler."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_no", LongType(), False),
+            StructField("frame_payload", BinaryType(), True),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, payloads = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    if i >= max_frames:
+                        break
+                    ids.append(mid)
+                    frame_nos.append(i)
+                    payloads.append(bytes(payload[off:off + every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "frame_payload": payloads}
+            )
+
+    return df.mapInPandas(_sample, schema=out_schema)
+
+
+def mm_feature_extract(spark, sf_dir):
+    """Oracle-checked slice of the Arrow-batched extract path: the fake
+    feature vector's length/mean components are recomputable in SQL, so
+    the full mapInPandas plumbing is verified end-to-end."""
+    media = documents_as_media(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.element_at("features", 1).cast("double").alias("feat_len"),
+        F.round(F.element_at("features", 2).cast("double"), 3).alias("feat_mean"),
+    )
+
+
+def mm_frame_sample_counts(spark, sf_dir):
+    """Oracle-checked frame-sampling fan-out: frames per document =
+    ceil(bytes/256) capped at 8; total sampled bytes recomputable."""
+    media = documents_as_media(spark, sf_dir)
+    frames = frame_sample_stub(media)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame_payload")).alias("sampled_bytes"),
+        F.max("frame_no").alias("last_frame"),
+    )
+
+
 def mm_binary_stats(spark, sf_dir):
     """Oracle-checked metadata query over the binary column: byte
     lengths computed without leaving the JVM (no decode)."""
@@ -123,8 +207,33 @@ ORACLE_SQL = {
                max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         FROM documents
     """,
+    # the testdata text is pure ASCII (verified), so utf-8 byte values
+    # equal codepoints and the fake features are SQL-recomputable
+    "mm_feature_extract": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS feat_len,
+               round(list_aggregate(
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ord(c) AS DOUBLE)), 'avg'), 3)
+                   AS feat_mean
+        FROM documents
+    """,
+    "mm_frame_sample_counts": """
+        SELECT doc_id AS media_id,
+               CAST(least(ceil(octet_length(encode(text)) / 256.0), 8) AS BIGINT)
+                   AS n_frames,
+               CAST(least(octet_length(encode(text)), 8 * 256) AS BIGINT)
+                   AS sampled_bytes,
+               CAST(least(ceil(octet_length(encode(text)) / 256.0), 8) - 1 AS BIGINT)
+                   AS last_frame
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    """,
 }
 
 QUERIES = {
     "mm_binary_stats": mm_binary_stats,
+    "mm_feature_extract": mm_feature_extract,
+    "mm_frame_sample_counts": mm_frame_sample_counts,
 }

