@@ -59,6 +59,11 @@ def documents_as_media(spark, sf_dir) -> DataFrame:
     metadata. Stands in for an image/audio table with the same shape."""
     tune_for_oracle(spark)
     d = load_table(spark, sf_dir, "documents")
+    # single-rowgroup local file -> 1 scan task; spread rows so the
+    # Arrow-batched Python stages downstream use every core
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target // 2:
+        d = d.repartition(target)
     payload = F.encode("text", "utf-8")
     return d.select(
         F.col("doc_id").alias("media_id"),

@@ -197,11 +197,29 @@ def audit_report_assembly(spark, sf_dir):
     _, audit_l = transform_collection(li_docs, li_plan, ingested_at=RUN_TS)
     audit = audit_o.unionByName(audit_l)
 
+    # ONE pass over the audit frame: pre-aggregate to (object, collection,
+    # day) cardinality, then derive BOTH report inputs from the tiny
+    # pre-aggregate. (Two separate aggregations over a cached frame race
+    # the cache on first materialization — both branches of one job
+    # execute the transform concurrently before either can populate it.)
+    preagg = (
+        audit.groupBy(
+            "object_name",
+            F.col("source_collection"),
+            F.to_date("ingested_at").alias("ingestion_date"),
+        )
+        .agg(
+            F.count(F.when(F.size("missing_columns") > 0, 1)).alias("missing_docs_count"),
+            F.array_distinct(F.flatten(F.collect_list("missing_columns")))
+            .alias("missing_columns_set"),
+        )
+    )
+
     # missing_attributes_report (reference ui/run_pipeline.py:424-433)
     mar = (
-        audit.groupBy("object_name")
+        preagg.groupBy("object_name")
         .agg(F.array_sort(
-            F.array_distinct(F.flatten(F.collect_list("missing_columns")))
+            F.array_distinct(F.flatten(F.collect_list("missing_columns_set")))
         ).alias("missing_columns"))
         .where(F.size("missing_columns") > 0)
         .select(F.lit(RUN_TS).cast("date").alias("ingestion_date"),
@@ -224,12 +242,10 @@ def audit_report_assembly(spark, sf_dir):
     )
     # conditional-count aggregation (A3, reference :72-84)
     df_counts = (
-        audit.where(F.col("source_collection").isNotNull())
-        .groupBy(
-            F.to_date("ingested_at").alias("ingestion_date"),
-            F.col("source_collection").alias("collection_name"),
-        )
-        .agg(F.count(F.when(F.size("missing_columns") > 0, 1)).alias("missing_docs_count"))
+        preagg.where(F.col("source_collection").isNotNull())
+        .groupBy("ingestion_date",
+                 F.col("source_collection").alias("collection_name"))
+        .agg(F.sum("missing_docs_count").cast("bigint").alias("missing_docs_count"))
     )
     # full outer merge + fillna + int cast + NULLs-last multi-key sort
     report = (
