@@ -23,14 +23,15 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     analytics,
     dedup,
     multimodal,
+    scalar_funcs,
     similarity,
     text_queries,
     transform_queries,
 )
 from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as streaming_events
 
-_MODULES = (analytics, transform_queries, text_queries, dedup, similarity,
-            multimodal, streaming_events)
+_MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
+            similarity, multimodal, streaming_events)
 
 
 def entry(spark: SparkSession) -> DataFrame:
