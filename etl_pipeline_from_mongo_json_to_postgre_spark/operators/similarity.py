@@ -32,10 +32,18 @@ BITS_PER_BAND = 8
 PAIR_THRESHOLD = 0.30
 TOPK = 5
 N_QUERIES = 20
+NEAR_DUP_THRESHOLD = 0.35
+N_CENTROIDS = 16
+N_PROBE = 4
 
 _rng = np.random.RandomState(42)
 HYPERPLANES: list[list[float]] = [
     [float(x) for x in _rng.randn(DIM)] for _ in range(N_BANDS * BITS_PER_BAND)
+]
+# IVF coarse quantizer: fixed seeded centroids (at 100 TB these come from a
+# sampled k-means fit, broadcast as literals exactly like this).
+CENTROIDS: list[list[float]] = [
+    [float(x) for x in _rng.randn(DIM)] for _ in range(N_CENTROIDS)
 ]
 
 
@@ -96,17 +104,14 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-def sim_cosine_pairs_lsh(spark, sf_dir):
-    """All-pairs cosine >= 0.30 via random-hyperplane LSH banding.
-    Candidates = pairs sharing any band signature; exact cosine verify.
+def _lsh_verified_pairs(vecs, threshold: float):
+    """LSH-banded candidate pairs verified by exact cosine >= threshold.
 
     Shuffle discipline (100 TB path): the bucket self-join moves only
     (band, key, vec_id) triples; vectors rejoin the deduped pair list
     afterwards (broadcast when the corpus side fits, hash join
     otherwise). Skewed buckets are AQE's skew-join problem, not ours.
     """
-    vecs = _vectors(spark, sf_dir).cache()
-    vecs.count()  # reused by banding and twice by the verify join
     bits = [
         F.when(_dot(F.col("v"), _plane_lit(p)) > 0, 1).otherwise(0)
         for p in HYPERPLANES
@@ -137,12 +142,99 @@ def sim_cosine_pairs_lsh(spark, sf_dir):
     y = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
                     F.col("nrm").alias("nb"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    out = (
+    return (
         cand.join(x, "vec_a").join(y, "vec_b")
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= PAIR_THRESHOLD)
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def sim_cosine_pairs_lsh(spark, sf_dir):
+    """All-pairs cosine >= 0.30 via random-hyperplane LSH banding.
+    Candidates = pairs sharing any band signature; exact cosine verify."""
+    vecs = _vectors(spark, sf_dir).cache()
+    vecs.count()  # reused by banding and twice by the verify join
+    return _lsh_verified_pairs(vecs, PAIR_THRESHOLD)
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate assignment (dedup family).
+
+    LSH candidates -> exact cosine >= 0.35 -> each vector's canonical is
+    the SMALLEST vec_id among itself and its verified near-dup partners
+    (single-hop canonicalization — the reference's keep-first dedup
+    semantics; full transitive closure would be an iterative
+    connected-components pass, deliberately out of scope for one query).
+    Output: (vec_id, canonical_id, is_duplicate).
+    """
+    vecs = _vectors(spark, sf_dir).cache()
+    vecs.count()
+    pairs = _lsh_verified_pairs(vecs, NEAR_DUP_THRESHOLD)
+    # partner_min(vec_b) = min vec_a over pairs (vec_a < vec_b always)
+    partner_min = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("min_partner")
+    )
+    out = (
+        vecs.select("vec_id")
+        .join(partner_min, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.least(
+                F.col("vec_id"), F.coalesce(F.col("min_partner"), F.col("vec_id"))
+            ).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col("canonical_id") != F.col("vec_id"))
     )
     return out
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF top-k: the partition-pruned scale path for ANN search.
+
+    Every vector is assigned to its max-dot coarse centroid (16 fixed
+    literals -> map-side expression, no shuffle); each query probes its
+    4 nearest centroids and searches ONLY those inverted lists. The
+    probe->corpus equi-join on cluster_id is the IVF partition pruning:
+    at 100 TB the corpus is written bucketed/partitioned by cluster_id
+    and a probe touches nprobe/nlist of the data. Query side (20 x 4
+    probes) is broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    vecs = _vectors(spark, sf_dir)
+    dots = F.array(*[_dot(F.col("v"), _plane_lit(c)) for c in CENTROIDS])
+    assigned = vecs.select(
+        "vec_id", "v", "nrm",
+        F.array_position(dots, F.array_max(dots)).alias("cluster_id"),
+    ).cache()
+    assigned.count()  # corpus side + query side both read it
+
+    qprobe_w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cid"))
+    probes = (
+        assigned.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.posexplode(dots).alias("pos", "dot"),
+        )
+        .withColumn("cid", (F.col("pos") + 1).cast("long"))
+        .withColumn("probe_rank", F.row_number().over(qprobe_w))
+        .where(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "qv", "qn", F.col("cid").alias("cluster_id"))
+    )
+    cand = F.broadcast(probes).join(assigned, "cluster_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +307,72 @@ ORACLE_SQL = {
     """,
 }
 
+_DUCK_CENT_DOTS = "[" + ", ".join(
+    _duck_dot("v", _duck_list(c)) for c in CENTROIDS
+) + "]"
+
+ORACLE_SQL["dedup_embedding_cosine"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), banded AS (
+        SELECT vec_id, v, nrm, idx.i - 1 AS band, t.keys[idx.i] AS key
+        FROM (SELECT vec_id, v, nrm, {_DUCK_BAND_KEYS} AS keys FROM vecs) t,
+             (SELECT unnest(range(1, {N_BANDS} + 1)) AS i) idx
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ), pairs AS (
+        SELECT vec_a, vec_b
+        FROM cand
+        JOIN vecs x ON x.vec_id = vec_a
+        JOIN vecs y ON y.vec_id = vec_b
+        WHERE round({_duck_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 6)
+              >= {NEAR_DUP_THRESHOLD}
+    ), pm AS (
+        SELECT vec_b AS vec_id, MIN(vec_a) AS min_partner FROM pairs GROUP BY vec_b
+    )
+    SELECT v.vec_id,
+           least(v.vec_id, coalesce(pm.min_partner, v.vec_id)) AS canonical_id,
+           least(v.vec_id, coalesce(pm.min_partner, v.vec_id)) <> v.vec_id
+               AS is_duplicate
+    FROM vecs v LEFT JOIN pm ON pm.vec_id = v.vec_id
+"""
+
+ORACLE_SQL["ann_ivf_topk"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, v, nrm, dots,
+               list_position(dots, list_max(dots)) AS cluster_id
+        FROM (SELECT vec_id, v, nrm, {_DUCK_CENT_DOTS} AS dots FROM vecs)
+    ), probes AS (
+        SELECT query_id, qv, qn, cluster_id FROM (
+            SELECT a.vec_id AS query_id, a.v AS qv, a.nrm AS qn,
+                   idx.i AS cluster_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY a.dots[idx.i] DESC, idx.i) AS probe_rank
+            FROM assigned a,
+                 (SELECT unnest(range(1, {N_CENTROIDS} + 1)) AS i) idx
+            WHERE a.vec_id < {N_QUERIES}
+        ) WHERE probe_rank <= {N_PROBE}
+    ), scored AS (
+        SELECT p.query_id, t.vec_id AS neighbor_id,
+               {_duck_dot('p.qv', 't.v')} / (p.qn * t.nrm) AS cos
+        FROM probes p JOIN assigned t ON t.cluster_id = p.cluster_id
+        WHERE t.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
