@@ -202,6 +202,17 @@ def audit_report_assembly(spark, sf_dir):
     # pre-aggregate. (Two separate aggregations over a cached frame race
     # the cache on first materialization — both branches of one job
     # execute the transform concurrently before either can populate it.)
+    # The per-object missing-column SET is computed as one boolean flag
+    # per mapped column (max(array_contains(...))) rather than
+    # collect_list over all rows: flags combine map-side, so the shuffle
+    # carries one row per (object, collection, day) group instead of
+    # funneling every row's array through the group's single reducer —
+    # the difference between O(groups) and O(rows) on the hot reducer at
+    # 100 TB.
+    mapped_cols = sorted(
+        {a.column for a in _ORDERS_PLAN.attributes}
+        | {a.column for a in li_plan.attributes}
+    )
     preagg = (
         audit.groupBy(
             "object_name",
@@ -210,17 +221,31 @@ def audit_report_assembly(spark, sf_dir):
         )
         .agg(
             F.count(F.when(F.size("missing_columns") > 0, 1)).alias("missing_docs_count"),
-            F.array_distinct(F.flatten(F.collect_list("missing_columns")))
-            .alias("missing_columns_set"),
+            *[
+                F.max(F.array_contains("missing_columns", c)).alias(f"m{i}")
+                for i, c in enumerate(mapped_cols)
+            ],
         )
     )
 
     # missing_attributes_report (reference ui/run_pipeline.py:424-433)
     mar = (
         preagg.groupBy("object_name")
-        .agg(F.array_sort(
-            F.array_distinct(F.flatten(F.collect_list("missing_columns_set")))
-        ).alias("missing_columns"))
+        .agg(*[F.max(f"m{i}").alias(f"m{i}") for i in range(len(mapped_cols))])
+        .select(
+            "object_name",
+            F.array_sort(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(F.col(f"m{i}"), F.lit(c))
+                            for i, c in enumerate(mapped_cols)
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("missing_columns"),
+        )
         .where(F.size("missing_columns") > 0)
         .select(F.lit(RUN_TS).cast("date").alias("ingestion_date"),
                 "object_name", "missing_columns")
