@@ -38,7 +38,9 @@ HEADLINE = [
     "text_fingerprint",
     "text_quality_score",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "sim_cosine_pairs_lsh",
+    "dedup_embedding_cosine",
     "mm_binary_stats",
 ]
 
