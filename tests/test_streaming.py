@@ -52,3 +52,61 @@ def test_sessionize_stream_matches_batch(spark, sf_dir):
     open_sessions = batch - streamed
     users_open = {u for (u, *_ ) in open_sessions}
     assert len(open_sessions) == len(users_open)
+
+
+def test_stream_load_foreachbatch(spark, sf_dir):
+    """Incremental load path (streaming/load.py): events stream as raw
+    JSON documents -> mapping transform per micro-batch -> batch writer.
+    The writer here collects instead of JDBC-appending (no live DB in
+    CI); counts and audit statuses must match the batch-path answer."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.plans.mapping_plan import (
+        MappingPlan,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as se
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming.load import (
+        stream_load,
+    )
+
+    plan = MappingPlan.from_config(
+        "events_stream",
+        {
+            "target_table": "public.events_loaded",
+            "object_id_attribute": "event_id",
+            "mappings": {
+                "event_id": {"column": "event_id", "type": "bigint"},
+                "user_id": {"column": "user_id", "type": "bigint"},
+                "event_type": {"column": "event_type", "type": "text"},
+                "value": {"column": "amount", "type": "double"},
+            },
+        },
+    )
+    stream = se.events_stream(spark, sf_dir).select(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
+            "raw_json"
+        )
+    )
+    seen = {"data": 0, "audit": 0, "batches": 0, "bad": 0}
+
+    def writer(data_df, audit_df, batch_id):
+        seen["data"] += data_df.count()
+        seen["audit"] += audit_df.where(
+            F.col("processing_status") == "success"
+        ).count()
+        seen["bad"] += audit_df.where(
+            F.col("processing_status") != "success"
+        ).count()
+        seen["batches"] += 1
+
+    q = stream_load(stream, plan, writer, raw_col="raw_json",
+                    ingested_at="2024-06-01 00:00:00")
+    assert q.awaitTermination(300)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert seen["batches"] >= 1
+    assert seen["data"] == n_events
+    assert seen["audit"] == n_events  # every doc castable -> success
+    assert seen["bad"] == 0
