@@ -22,6 +22,8 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "a1_pivot_status_count",
     "j1_outer_join",
+    "j5_asof_join",
+    "j6_range_join",
     "w1_running_total",
     "u1_explode_words",
     "u2_dedup_first",

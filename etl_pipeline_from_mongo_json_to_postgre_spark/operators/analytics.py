@@ -281,6 +281,94 @@ def f5_json_extract(spark, sf_dir):
 # window / streaming-shaped aggregates (engine extensions, W1/§2.8)
 # ---------------------------------------------------------------------------
 
+def j5_asof_join(spark, sf_dir):
+    """As-of join (training-pipeline extension; no Spark primitive):
+    each purchase event joined to the user's most recent view event at
+    or before it.
+
+    Scale shape: NOT an inequality join (which degrades to a per-user
+    cross product) — both sides union into one frame, ONE shuffle on
+    user_id, and a last-non-null carry-forward window walks each user's
+    timeline once. DuckDB oracle uses its native ASOF JOIN, so the
+    operator semantics are pinned against a reference implementation.
+    """
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    # at equal ts the view sorts first -> "at or before" semantics
+    order_tag = F.when(F.col("event_type") == "view", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", order_tag.asc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    view_ts = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("view_event_id", view_id)
+        .withColumn("gap_us", F.col("ts_us") - view_ts)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            "view_event_id",
+            "gap_us",
+        )
+    )
+
+
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def j6_range_join(spark, sf_dir):
+    """Range join (training-pipeline extension): pairs of a user's
+    events within 1 hour of each other.
+
+    Scale shape: NOT the naive inequality join (per-user cross
+    product). Both sides bucket by floor(ts/window); the left emits its
+    own bucket, the right explodes into {b-1, b, b+1}; the equi-join on
+    (user_id, bucket) bounds candidates to adjacent buckets and the
+    exact |gap| <= window filter runs after. Each qualifying pair
+    matches in exactly ONE (left-bucket) key, so no dedup pass is
+    needed. At 100 TB the bucket key shards the shuffle uniformly in
+    time; per-bucket skew (hot users) is AQE's skew-join case.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    bucket = F.floor(F.col("ts_us") / RANGE_JOIN_WINDOW_US)
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts_us").alias("a_ts"),
+        bucket.alias("b"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("ts_us").alias("b_ts"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("b"),
+    )
+    return (
+        left.join(right, ["user_id", "b"])
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_ts") - F.col("b_ts")) <= RANGE_JOIN_WINDOW_US)
+        )
+        .select(
+            "user_id", "a_id", "b_id",
+            F.abs(F.col("a_ts") - F.col("b_ts")).alias("gap_us"),
+        )
+    )
+
+
 def w1_running_total(spark, sf_dir):
     """Window extension: per-customer running order total. Exact DECIMAL
     inside the frame, DOUBLE out."""
@@ -510,6 +598,28 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS cnt
         FROM events GROUP BY event_type
     """,
+    "j5_asof_join": """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), views AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        )
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               v.event_id AS view_event_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        FROM purchases p
+        ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    "j6_range_join": f"""
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_WINDOW_US}
+    """,
     "w1_running_total": """
         SELECT o_orderkey, o_custkey,
                row_number() OVER w AS rn,
@@ -594,6 +704,8 @@ QUERIES = {
     "p10_size_filter": p10_size_filter,
     "p11_positive_filter": p11_positive_filter,
     "f5_json_extract": f5_json_extract,
+    "j5_asof_join": j5_asof_join,
+    "j6_range_join": j6_range_join,
     "w1_running_total": w1_running_total,
     "tumbling_window_agg": tumbling_window_agg,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
