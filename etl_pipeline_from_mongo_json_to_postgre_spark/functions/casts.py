@@ -68,8 +68,12 @@ def multi_format_date(col: Column, formats: list[str] | None = None) -> Column:
 def normalize_boolean(col: Column) -> Column:
     """Truthy/falsy string table + numeric fallback
     (reference transformer.py:114-125): {true,t,yes,y,1}/{false,f,no,n,0}
-    case/whitespace-insensitive; numbers -> value != 0; else NULL."""
-    norm = F.lower(F.trim(col.cast("string")))
+    case/whitespace-insensitive; numbers -> value != 0; else NULL.
+
+    NB: F.trim strips only ASCII spaces; the reference's str.strip()
+    strips ALL whitespace (tabs, newlines, ...), so trim via regex —
+    found by the hypothesis property test."""
+    norm = F.lower(F.regexp_replace(col.cast("string"), r"^\s+|\s+$", ""))
     as_num = _try_cast(norm, "double")
     return (
         F.when(norm.isin(*TRUTHY), F.lit(True))
