@@ -399,6 +399,25 @@ def tumbling_window_agg(spark, sf_dir):
     )
 
 
+def sliding_window_agg(spark, sf_dir):
+    """Sliding-window aggregation (1-hour window, 30-min slide): each
+    event lands in window_size/slide = 2 windows. Spark's F.window
+    handles the fan-out natively (epoch-aligned window starts); the
+    oracle reproduces it by exploding each event into its k member
+    windows. Streaming twin: swap the scan for readStream — the plan is
+    unchanged (windowed_counts in streaming/events.py takes the window
+    spec as an argument)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "cnt", "value_sum")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style scale queries (bench headliners)
 # ---------------------------------------------------------------------------
@@ -634,6 +653,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1
     """,
+    "sliding_window_agg": """
+        WITH exploded AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - i.n * INTERVAL '30 minutes' AS window_start,
+                   value
+            FROM events, (SELECT unnest(range(0, 2)) AS n) i
+            WHERE ts < time_bucket(INTERVAL '30 minutes', ts)
+                       - i.n * INTERVAL '30 minutes' + INTERVAL '1 hour'
+        )
+        SELECT window_start, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM exploded GROUP BY 1
+    """,
     "tpch_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -708,6 +740,7 @@ QUERIES = {
     "j6_range_join": j6_range_join,
     "w1_running_total": w1_running_total,
     "tumbling_window_agg": tumbling_window_agg,
+    "sliding_window_agg": sliding_window_agg,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,

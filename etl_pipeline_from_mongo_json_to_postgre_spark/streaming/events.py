@@ -48,12 +48,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_counts(stream: DataFrame, window: str = "1 hour",
-                    watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window counts + exact decimal sum with late-data
-    watermark — the streaming twin of tumbling_window_agg."""
+                    watermark: str = "2 hours",
+                    slide: str | None = None) -> DataFrame:
+    """Tumbling (or, with ``slide``, sliding) window counts + exact
+    decimal sum with late-data watermark — the streaming twin of
+    tumbling_window_agg / sliding_window_agg."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("cnt"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
