@@ -1,0 +1,84 @@
+"""Physical-plan properties the 100 TB design depends on.
+
+These pin the *shape* of the executed plans, not the results: filters
+and projections must reach the parquet scan (pushdown + pruning),
+bounded dims must broadcast, aggregations must partial-combine map-side
+(one Exchange carrying |groups| rows, not |rows|), and the hot
+relational paths must stay JVM-side (no Python evaluation nodes).
+A Spark upgrade / conf drift that silently regresses any of these
+fails here long before it shows up as a 100x slowdown on a cluster.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+    tpch_q1_pricing_summary,
+    tpch_q3_shipping_priority,
+    tpch_q5_local_supplier_volume,
+)
+from etl_pipeline_from_mongo_json_to_postgre_spark.operators.transform_queries import (
+    p1_mapped_projection,
+)
+from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import load_table
+from etl_pipeline_from_mongo_json_to_postgre_spark.storage import physical_plan
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    """Predicate pushdown + column pruning: the scan node must carry the
+    filter and read ONLY the selected columns."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    # pruned: untouched wide columns must NOT be read
+    assert "o_comment" not in read_schema and "o_clerk" not in read_schema
+
+
+def test_q3_pushes_dim_filter_and_broadcasts(spark, sf_dir):
+    plan = physical_plan(tpch_q3_shipping_priority(spark, sf_dir))
+    # the BUILDING filter reaches the customer scan
+    assert "c_mktsegment" in plan
+    assert "PushedFilters" in plan
+    # at test scale the dim sides broadcast (no shuffle of customer)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_bounded_dims(spark, sf_dir):
+    plan = physical_plan(tpch_q5_local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # region filter pushed to its scan
+    assert "r_name" in plan
+
+
+def test_q1_partial_aggregation_single_exchange(spark, sf_dir):
+    """Map-side combine: partial HashAggregate before the shuffle, final
+    after — exactly one Exchange, carrying |groups| rows."""
+    df = tpch_q1_pricing_summary(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan so codegen spans are visible
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+    # whole-stage-codegen spans ("*(n) Op") cover the agg + scan
+    assert "*(" in plan
+
+
+@pytest.mark.parametrize(
+    "build",
+    [tpch_q1_pricing_summary, tpch_q3_shipping_priority,
+     tpch_q5_local_supplier_volume, p1_mapped_projection],
+    ids=["q1", "q3", "q5", "p1"],
+)
+def test_hot_paths_have_no_python_eval(spark, sf_dir, build):
+    """The relational/transform hot paths are pure Column expressions —
+    any Python evaluation node in the plan is a regression."""
+    plan = physical_plan(build(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
