@@ -99,6 +99,45 @@ def a8_distinct(spark, sf_dir):
     )
 
 
+def a9_rollup_counts(spark, sf_dir):
+    """Multi-level aggregation in ONE pass: ROLLUP over
+    (status, priority) yields leaf counts, per-status subtotals, and the
+    grand total from a single shuffle. The reference derives its summary
+    levels with separate sequential passes over the same counters
+    (reporting.py:36-58); at 100 TB each extra pass is a full rescan, so
+    the rollup folding matters. grouping_id disambiguates subtotal rows
+    from genuinely-NULL keys."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "total_price")
+    )
+
+
+def a10_cube_counts(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping
+    combinations from one shuffle (same one-pass rationale as a9)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 joins
 # ---------------------------------------------------------------------------
@@ -547,6 +586,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT DISTINCT c_mktsegment AS segment FROM customer
         WHERE c_mktsegment IS NOT NULL
     """,
+    "a9_rollup_counts": """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "a10_cube_counts": """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               count(*) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
     "j1_outer_join": """
         SELECT coalesce(c.c_custkey, o.o_custkey) AS cust_key,
                c.c_name,
@@ -723,6 +779,8 @@ QUERIES = {
     "a5_max_date": a5_max_date,
     "a6_kpis": a6_kpis,
     "a8_distinct": a8_distinct,
+    "a9_rollup_counts": a9_rollup_counts,
+    "a10_cube_counts": a10_cube_counts,
     "j1_outer_join": j1_outer_join,
     "j2_lookup_join": j2_lookup_join,
     "j3_anti_join": j3_anti_join,
