@@ -25,13 +25,14 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     multimodal,
     scalar_funcs,
     similarity,
+    skew,
     text_queries,
     transform_queries,
 )
 from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as streaming_events
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
-            similarity, multimodal, streaming_events)
+            similarity, skew, multimodal, streaming_events)
 
 
 def entry(spark: SparkSession) -> DataFrame:
