@@ -99,6 +99,35 @@ def a8_distinct(spark, sf_dir):
     )
 
 
+def approx_distinct_users(spark, sf_dir):
+    """HLL++ distinct count per event_type. At 100 TB an exact
+    countDistinct shuffles every distinct value to its group's reducer;
+    the HLL sketch is a fixed-size mergeable partial, so the shuffle
+    carries |groups| sketches regardless of cardinality. No DuckDB
+    oracle (sketch implementations differ across engines) — bounded
+    relative error vs the exact answer is pinned in
+    tests/test_approx.py (rsd=0.01 here => well under 5%% observed)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count("*").alias("events"),
+    )
+
+
+def approx_value_quantiles(spark, sf_dir):
+    """Approximate percentiles (Greenwald-Khanna) of the event value
+    per type: mergeable fixed-size summaries instead of a full sort.
+    Accuracy parameter 10000 => rank error <= 0.01%%. Same no-oracle
+    rationale as approx_distinct_users; error bound pinned in
+    tests/test_approx.py."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx(
+            F.col("value").cast("double"), [0.5, 0.95, 0.99], 10000
+        ).alias("value_quantiles")
+    )
+
+
 def a9_rollup_counts(spark, sf_dir):
     """Multi-level aggregation in ONE pass: ROLLUP over
     (status, priority) yields leaf counts, per-status subtotals, and the
@@ -781,6 +810,8 @@ QUERIES = {
     "a8_distinct": a8_distinct,
     "a9_rollup_counts": a9_rollup_counts,
     "a10_cube_counts": a10_cube_counts,
+    "approx_distinct_users": approx_distinct_users,
+    "approx_value_quantiles": approx_value_quantiles,
     "j1_outer_join": j1_outer_join,
     "j2_lookup_join": j2_lookup_join,
     "j3_anti_join": j3_anti_join,
