@@ -99,6 +99,24 @@ def a8_distinct(spark, sf_dir):
     )
 
 
+def a11_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (the general form behind a9/a10's
+    ROLLUP/CUBE), via the Spark SQL surface: per-(returnflag, linestatus)
+    leaves plus per-linestatus totals — but NOT per-returnflag or grand
+    totals — in one shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+               count(*) AS cnt
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+        """
+    )
+
+
 def approx_distinct_users(spark, sf_dir):
     """HLL++ distinct count per event_type. At 100 TB an exact
     countDistinct shuffles every distinct value to its group's reducer;
@@ -624,6 +642,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
+    "a11_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+    """,
     "a10_cube_counts": """
         SELECT l_returnflag, l_linestatus,
                GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
@@ -810,6 +835,7 @@ QUERIES = {
     "a8_distinct": a8_distinct,
     "a9_rollup_counts": a9_rollup_counts,
     "a10_cube_counts": a10_cube_counts,
+    "a11_grouping_sets": a11_grouping_sets,
     "approx_distinct_users": approx_distinct_users,
     "approx_value_quantiles": approx_value_quantiles,
     "j1_outer_join": j1_outer_join,

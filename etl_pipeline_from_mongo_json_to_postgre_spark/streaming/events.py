@@ -218,7 +218,43 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) — state for a key is held only for the
+    watermark delay instead of forever, which is what makes streaming
+    dedup viable long-term (unbounded dedup state is the classic
+    streaming OOM at scale). Output is the deduped KEY SET (which row
+    of a duplicate group survives is arrival-order-dependent, so only
+    the keys are deterministic); oracle = batch SELECT DISTINCT."""
+    from ..session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    name = "stream_dedup_keys_tbl"
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    # late rows past the watermark could re-emit a key in a real
+    # unbounded run; the contract is distinct-within-watermark, so the
+    # comparison normalizes with a batch distinct
+    return spark.table(name).distinct()
+
+
 ORACLE_SQL = {
+    "stream_dedup_keys": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
     "stream_windowed_counts": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type,
@@ -255,4 +291,5 @@ ORACLE_SQL = {
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sessionize": stream_sessionize,
+    "stream_dedup_keys": stream_dedup_keys,
 }
