@@ -81,7 +81,15 @@ def _perm_fn(a: int, b: int):
 
 
 def _minhash_cols(sh):
-    """16 minhash components from a shingle-hash array column."""
+    """16 minhash components from a shingle-hash array column.
+
+    Deliberately NOT consolidated into one transform-over-(a,b)-matrix
+    expression (the similarity._matrix_dots trick): the consolidated
+    form must fetch a and b via element_at per shingle element inside
+    the inner lambda, which measured ~1.8x SLOWER warm than these 16
+    closure-literal folds (A/B at sf0.1: 1.7s vs 3.0s). Consolidation
+    only pays when the lambda body stays literal-only (cf. the xxhash
+    pair path below and simhash)."""
     return [
         F.array_min(F.transform(sh, _perm_fn(a, b))).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_AB)
@@ -130,22 +138,20 @@ def dedup_minhash_pairs(spark, sf_dir):
         )
     )
 
-    def _xxh_fn(j):
-        def f(s):
-            return F.xxhash64(s, F.lit(j))
-
-        return f
-
-    mh = [
-        F.array_min(F.transform(F.col("sh"), _xxh_fn(j))).alias(f"mh{j}")
-        for j in range(16)
-    ]
+    # one consolidated HOF tree for all 16 components (see _minhash_arr)
+    mh_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, j))),
+    )
     # stage words -> shingles -> signature so arrays materialize once
     sigs = (
         d.where(F.size(w) >= 3)
         .select("doc_id", w.alias("w"))
         .select("doc_id", sh.alias("sh"))
-        .select("doc_id", *mh)
+        .select("doc_id", mh_arr.alias("mh"))
+        .select(
+            "doc_id", *[F.element_at("mh", j + 1).alias(f"mh{j}") for j in range(16)]
+        )
     )
     bands = sigs.select(
         "doc_id",
@@ -198,23 +204,30 @@ def dedup_simhash(spark, sf_dir):
         "doc_id", word_hashes(w).alias("wh")
     )
     wh = F.col("wh")
-    n = F.size(wh)
-
-    def _bit_sum_fn(j):
-        def f(acc, x):
-            return acc + F.shiftright(x, j).bitwiseAND(F.lit(1))
-
-        return f
-
-    bit_sums = [
-        F.aggregate(wh, F.lit(0).cast("bigint"), _bit_sum_fn(j))
-        for j in range(SIMHASH_BITS)
-    ]
+    # One consolidated HOF tree for all 30 per-bit majority sums (see
+    # _minhash_arr rationale). Bit j is extracted as (x div 2^j) & 1 —
+    # exact for these non-negative (< MOD < 2^30) hashes, and usable
+    # inside the lambda where shiftright's int-only argument isn't.
+    pow2 = F.array(*[F.lit(float(1 << j)) for j in range(SIMHASH_BITS)])
+    bit_sums = F.transform(
+        pow2,
+        lambda p: F.aggregate(
+            wh,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.floor(x / p).cast("bigint").bitwiseAND(F.lit(1)),
+        ),
+    )
+    staged2 = staged.select(
+        "doc_id", F.size(wh).alias("n"), bit_sums.alias("bs")
+    )
     simhash = sum(
-        F.when(s * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
-        for j, s in enumerate(bit_sums)
+        F.when(F.element_at("bs", j + 1) * 2 > F.col("n"), F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        for j in range(SIMHASH_BITS)
     ).cast("bigint")
-    return staged.select("doc_id", simhash.alias("simhash"))
+    return staged2.select("doc_id", simhash.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
