@@ -596,6 +596,33 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """Q14-shaped: date-filtered fact ⋈ part dim, conditional revenue
+    share. The shipdate filter reaches the lineitem scan; the part side
+    carries only (p_partkey, p_type) after pruning. Exact decimal sums;
+    ONE double division at the end keeps both engines bit-identical."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2024-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2024-06-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    zero = F.lit(0).cast("decimal(14,4)")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("ECO%"), rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same keys; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -808,6 +835,19 @@ ORACLE_SQL: dict[str, str] = {
             GROUP BY 1, 2
         ) ORDER BY rev_dec DESC, l_orderkey LIMIT 10
     """,
+    "tpch_q14_promo_revenue": """
+        SELECT 100.0
+               * CAST(sum(CASE WHEN p.p_type LIKE 'ECO%'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+               / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '2024-03-01'
+          AND l.l_shipdate <  TIMESTAMP '2024-06-01'
+    """,
     "tpch_q5_local_supplier_volume": """
         SELECT n.n_name,
                CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
@@ -859,4 +899,5 @@ QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
 }
