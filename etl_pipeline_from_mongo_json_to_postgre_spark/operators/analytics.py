@@ -471,6 +471,23 @@ def w1_running_total(spark, sf_dir):
     )
 
 
+def w2_offset_rank_funcs(spark, sf_dir):
+    """Window extension breadth: lag / lead / dense_rank / ntile over
+    the same per-customer ordered frame (one shuffle + one sort serves
+    all four — Spark collapses same-spec window functions into a
+    single Window operator)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def tumbling_window_agg(spark, sf_dir):
     """Batch twin of the streaming tumbling-window aggregation
     (streaming/events.py runs the same plan via readStream)."""
@@ -784,6 +801,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    "w2_offset_rank_funcs": """
+        SELECT o_orderkey, o_custkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               dense_rank() OVER w AS drank,
+               ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
     "tumbling_window_agg": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                count(*) AS cnt,
@@ -894,6 +920,7 @@ QUERIES = {
     "j5_asof_join": j5_asof_join,
     "j6_range_join": j6_range_join,
     "w1_running_total": w1_running_total,
+    "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
