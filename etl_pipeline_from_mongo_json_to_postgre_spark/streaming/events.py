@@ -218,6 +218,58 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions
 
 
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each
+    purchase joined to the same user's clicks in the preceding hour.
+    Both sides are watermarked so the join state is bounded — the click
+    buffer holds only rows younger than watermark+range, the purchase
+    buffer only the watermark delay; unbounded stream-join state is the
+    other classic streaming OOM (cf. stream_dedup_keys). Oracle: the
+    equivalent batch self-join (complete at availableNow since every
+    row is processed)."""
+    from ..session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    src = events_stream(spark, sf_dir)
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_value")
+    name = "stream_join_tbl"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark on
     (user_id, event_type) — state for a key is held only for the
@@ -252,6 +304,18 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL = {
+    "stream_stream_click_purchase": """
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id,
+               p.value AS purchase_value
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <  p.ts
+        WHERE p.event_type = 'purchase'
+    """,
     "stream_dedup_keys": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
@@ -292,4 +356,5 @@ QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_keys": stream_dedup_keys,
+    "stream_stream_click_purchase": stream_stream_click_purchase,
 }
