@@ -49,3 +49,32 @@ def join_is_shuffle_free(spark: SparkSession, left_table: str,
     without any Exchange — the co-location property."""
     joined = spark.table(left_table).join(spark.table(right_table), key)
     return "Exchange" not in physical_plan(joined)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_keys: list[str],
+) -> None:
+    """Persist ``df`` as parquet hive-partitioned by ``partition_keys``
+    (e.g. ingestion day / collection for audit tables). A filter on a
+    partition key then prunes whole directories at planning time —
+    at 100 TB this is the difference between scanning one day and
+    scanning the archive. Partition keys must be low-cardinality
+    (days, collections, clusters), never row-unique."""
+    df.write.format("parquet").mode("overwrite").partitionBy(
+        *partition_keys
+    ).save(path)
+
+
+def scan_is_partition_pruned(spark: SparkSession, path: str, key: str,
+                             value) -> bool:
+    """True iff filtering the partitioned dataset on ``key`` == value
+    plans with a partition filter (directory pruning), i.e. the filter
+    appears as PartitionFilters on the scan node."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).where(F.col(key) == value)
+    plan = physical_plan(df)
+    part_section = plan.split("PartitionFilters:", 1)
+    return len(part_section) > 1 and key in part_section[1].split("]")[0]
