@@ -23,6 +23,10 @@ def get_spark(app_name: str = "etl_pipeline_from_mongo_json_to_postgre_spark",
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # explicit (it defaults on with AQE): runtime splitting of skewed
+        # shuffle partitions in sort-merge joins — first line of defense
+        # before the manual salting in operators/skew.py
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
