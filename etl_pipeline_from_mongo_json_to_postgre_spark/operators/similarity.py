@@ -205,6 +205,59 @@ def dedup_embedding_cosine(spark, sf_dir):
     return out
 
 
+def dedup_components(spark, sf_dir):
+    """Full transitive near-dup closure: connected components over the
+    LSH-verified pair graph by iterative min-label propagation — the
+    engine's iterative-algorithm path (completes dedup_embedding_cosine,
+    which is deliberately single-hop).
+
+    Each round every vertex takes the min label among itself and its
+    neighbors; lineage is cut per round with localCheckpoint (an
+    iterative DAG otherwise grows unboundedly). Convergence is checked
+    with a 1-row aggregate per round — the only driver-side value, as
+    in any fixed-point loop. Rounds needed = graph diameter (near-dup
+    components are tiny: a handful of rounds). At 100 TB you'd swap the
+    per-round join for large-star/small-star to bound skew on giant
+    components; the loop shape is identical.
+
+    Oracle: DuckDB recursive CTE propagating labels over the same
+    edges. Output: (vec_id, component_id = min vec_id reachable).
+    """
+    vecs = _vectors(spark, sf_dir).cache()
+    vecs.count()
+    pairs = _lsh_verified_pairs(vecs, NEAR_DUP_THRESHOLD).select("vec_a", "vec_b")
+    edges = (
+        pairs.union(pairs.select(F.col("vec_b"), F.col("vec_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)  # pair generation runs once, not per round
+    )
+    labels = vecs.select("vec_id", F.col("vec_id").alias("lbl"))
+    for _ in range(20):  # cap >> any real near-dup component diameter
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.vec_id)
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vec_id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("vec_id", F.col("lbl").alias("component_id"))
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF top-k: the partition-pruned scale path for ANN search.
 
@@ -358,6 +411,39 @@ ORACLE_SQL["dedup_embedding_cosine"] = f"""
     FROM vecs v LEFT JOIN pm ON pm.vec_id = v.vec_id
 """
 
+ORACLE_SQL["dedup_components"] = f"""
+    WITH RECURSIVE vecs AS MATERIALIZED (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), banded AS (
+        SELECT vec_id, v, nrm, idx.i - 1 AS band, t.keys[idx.i] AS key
+        FROM (SELECT vec_id, v, nrm, {_DUCK_BAND_KEYS} AS keys FROM vecs) t,
+             (SELECT unnest(range(1, {N_BANDS} + 1)) AS i) idx
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ), pairs AS MATERIALIZED (
+        SELECT vec_a, vec_b
+        FROM cand
+        JOIN vecs x ON x.vec_id = vec_a
+        JOIN vecs y ON y.vec_id = vec_b
+        WHERE round({_duck_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 6)
+              >= {NEAR_DUP_THRESHOLD}
+    ), edges AS MATERIALIZED (
+        -- MATERIALIZED hints matter: without them DuckDB re-inlines the
+        -- dot-product-heavy pair pipeline into every recursive
+        -- iteration (measured 109s -> 13s at sf0.01)
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ), walk (v, lbl) AS (
+        SELECT vec_id, vec_id FROM vecs
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.v
+    )
+    SELECT v AS vec_id, MIN(lbl) AS component_id FROM walk GROUP BY v
+"""
+
 ORACLE_SQL["ann_ivf_topk"] = f"""
     WITH vecs AS (
         SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
@@ -394,4 +480,5 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_components": dedup_components,
 }

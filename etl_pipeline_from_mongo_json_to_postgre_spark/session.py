@@ -55,4 +55,14 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass  # fine if fixed by the hosting session; we also use try_* forms
+    # Perf-only (no correctness impact): size shuffle partitions to the
+    # session's real parallelism instead of the 200 default — on a
+    # local[N] driver session the default costs ~6x task-launch
+    # overhead per shuffle, which compounds brutally in iterative
+    # operators (dedup_components). Same rule our own get_spark applies.
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
     return spark

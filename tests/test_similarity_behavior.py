@@ -72,3 +72,28 @@ def test_embedding_near_dup_invariants(spark, sf_dir):
     for r in rows:
         if r["is_duplicate"]:
             assert canon[r["canonical_id"]] <= r["canonical_id"]
+
+
+def test_components_close_pairs_transitively(spark, sf_dir):
+    """Connected components: every verified near-dup pair must share a
+    component, labels are component minima, and the closure can only
+    merge groups relative to single-hop canonicalization."""
+    comp = {
+        r["vec_id"]: r["component_id"]
+        for r in similarity.dedup_components(spark, sf_dir).collect()
+    }
+    vecs = similarity._vectors(spark, sf_dir)
+    pairs = similarity._lsh_verified_pairs(
+        vecs, similarity.NEAR_DUP_THRESHOLD
+    ).collect()
+    for p in pairs:
+        assert comp[p["vec_a"]] == comp[p["vec_b"]]
+    assert all(lbl <= v for v, lbl in comp.items())
+    n_components = len(set(comp.values()))
+    n_single_hop = len(
+        {
+            r["canonical_id"]
+            for r in similarity.dedup_embedding_cosine(spark, sf_dir).collect()
+        }
+    )
+    assert n_components <= n_single_hop
