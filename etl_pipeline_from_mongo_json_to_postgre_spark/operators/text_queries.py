@@ -73,6 +73,25 @@ def text_langid(spark, sf_dir):
     ).where(F.size(w) > 0)
 
 
+BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenization count (GPT-2-style pretokenizer shape:
+    letter runs, single digits, punctuation marks) next to the
+    whitespace count — the standard pair of cheap token estimators for
+    corpus sizing. Pattern kept in the regex subset with identical
+    semantics in Java regex (Spark) and RE2 (DuckDB)."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PAT), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("ws_tokens"),
+        F.size(bpe).cast("bigint").alias("bpe_tokens"),
+    )
+
+
 def text_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint over the first 64 chars
     (cheap near-exact dedup key; full-text hash would shuffle the same
@@ -114,6 +133,13 @@ ORACLE_SQL = {
                     ELSE 'unknown' END AS predicted_lang
         FROM s
     """,
+    "text_bpe_token_count": f"""
+        SELECT doc_id,
+               len({_DUCK_WORDS}) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                   AS bpe_tokens
+        FROM documents
+    """,
     "text_fingerprint": f"""
         SELECT doc_id,
                {duck_char_fold_hash("substring(text, 1, 64)")} AS fingerprint
@@ -123,6 +149,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "text_token_count": text_token_count,
+    "text_bpe_token_count": text_bpe_token_count,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
