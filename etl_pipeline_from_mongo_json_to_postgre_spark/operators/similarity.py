@@ -231,7 +231,15 @@ def dedup_components(spark, sf_dir):
         .toDF("src", "dst")
         .localCheckpoint(eager=True)  # pair generation runs once, not per round
     )
-    labels = vecs.select("vec_id", F.col("vec_id").alias("lbl"))
+    # Iterate ONLY over edge-touched vertices: isolated vertices (the
+    # overwhelming majority of a real corpus) can never change label,
+    # so they stay out of every round's join and rejoin at the end.
+    labels = (
+        edges.select(F.col("src").alias("vec_id"))
+        .distinct()
+        .withColumn("lbl", F.col("vec_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(20):  # cap >> any real near-dup component diameter
         neighbor_min = (
             edges.join(labels, edges.src == labels.vec_id)
@@ -255,7 +263,14 @@ def dedup_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("vec_id", F.col("lbl").alias("component_id"))
+    return (
+        vecs.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("lbl", F.col("vec_id")).alias("component_id"),
+        )
+    )
 
 
 def ann_ivf_topk(spark, sf_dir):
