@@ -640,6 +640,55 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     )
 
 
+def tpch_q18_large_orders(spark, sf_dir):
+    """Q18-shaped: HAVING-filtered aggregate drives a semi-join back to
+    the fact rows, then a deterministic top-k. The qualifying-orders set
+    is computed FIRST (one map-side-combined agg over lineitem) so the
+    subsequent joins touch only qualifying keys — never the reverse
+    order, which would join everything and filter last."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty_dec"))
+        .where(F.col("total_qty_dec") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_day"),
+            "o_totalprice",
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def scalar_subquery_above_avg(spark, sf_dir):
+    """Scalar-subquery filter: orders above the global average price.
+    The 1-row aggregate is broadcast into the filter (crossJoin of a
+    singleton — Spark plans it as a BroadcastNestedLoopJoin), so the
+    fact side streams once with no shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same keys; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -861,6 +910,29 @@ ORACLE_SQL: dict[str, str] = {
             GROUP BY 1, 2
         ) ORDER BY rev_dec DESC, l_orderkey LIMIT 10
     """,
+    "tpch_q18_large_orders": """
+        SELECT c.c_name, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS order_day,
+               o.o_totalprice,
+               CAST(b.total_qty_dec AS DOUBLE) AS total_qty
+        FROM (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty_dec
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        ) b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+    "scalar_subquery_above_avg": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM orders
+        )
+    """,
     "tpch_q14_promo_revenue": """
         SELECT 100.0
                * CAST(sum(CASE WHEN p.p_type LIKE 'ECO%'
@@ -927,4 +999,6 @@ QUERIES = {
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
+    "scalar_subquery_above_avg": scalar_subquery_above_avg,
 }
