@@ -640,6 +640,18 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     )
 
 
+def u4_set_intersect(spark, sf_dir):
+    """U3 completion: INTERSECT (nations having both customers and
+    suppliers) — planned as an aggregate + semi-join, no full sort."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
 def tpch_q18_large_orders(spark, sf_dir):
     """Q18-shaped: HAVING-filtered aggregate drives a semi-join back to
     the fact rows, then a deterministic top-k. The qualifying-orders set
@@ -910,6 +922,11 @@ ORACLE_SQL: dict[str, str] = {
             GROUP BY 1, 2
         ) ORDER BY rev_dec DESC, l_orderkey LIMIT 10
     """,
+    "u4_set_intersect": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
     "tpch_q18_large_orders": """
         SELECT c.c_name, o.o_orderkey,
                CAST(o.o_orderdate AS DATE) AS order_day,
@@ -983,6 +1000,7 @@ QUERIES = {
     "u1_explode_words": u1_explode_words,
     "u2_dedup_first": u2_dedup_first,
     "u3_set_except": u3_set_except,
+    "u4_set_intersect": u4_set_intersect,
     "o1_sort_topn": o1_sort_topn,
     "o2_sort_multikey": o2_sort_multikey,
     "p9_filter_eq": p9_filter_eq,

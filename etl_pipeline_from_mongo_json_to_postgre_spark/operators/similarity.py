@@ -205,6 +205,32 @@ def dedup_embedding_cosine(spark, sf_dir):
     return out
 
 
+def emb_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (the standard ANN storage
+    compression: 4x smaller than float32, dequantize-or-dot in int8 at
+    search time). Pure map-side projection — scale = 127/max|v|,
+    q_i = round(v_i * scale). Output: the scale plus reconstruction
+    error stats per vector (scalars, so the oracle hash is exact;
+    the quantized array itself is a deterministic function of these).
+    """
+    vecs = _vectors(spark, sf_dir)
+    max_abs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = F.lit(127.0) / max_abs
+    # dequantized element: round(x*scale)/scale; error = x - that
+    err = F.transform(
+        F.col("v"),
+        lambda x: x - F.round(x * scale) / scale,
+    )
+    mse = _fold_sum(F.transform(err, lambda e: e * e)) / F.lit(float(DIM))
+    max_err = F.array_max(F.transform(err, lambda e: F.abs(e)))
+    return vecs.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.round(mse, 10).alias("mse"),
+        F.round(max_err, 8).alias("max_abs_err"),
+    )
+
+
 def dedup_components(spark, sf_dir):
     """Full transitive near-dup closure: connected components over the
     LSH-verified pair graph by iterative min-label propagation — the
@@ -426,6 +452,26 @@ ORACLE_SQL["dedup_embedding_cosine"] = f"""
     FROM vecs v LEFT JOIN pm ON pm.vec_id = v.vec_id
 """
 
+ORACLE_SQL["emb_quantize_int8"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v FROM embeddings
+    ), scaled AS (
+        SELECT vec_id,
+               127.0 / list_max(list_transform(v, x -> abs(x))) AS scale, v
+        FROM vecs
+    ), errs AS (
+        SELECT vec_id, scale,
+               list_transform(v, x -> x - round(x * scale) / scale) AS err
+        FROM scaled
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round({_duck_fold_sum('list_transform(err, e -> e*e)')} / {DIM}.0, 10)
+               AS mse,
+           round(list_max(list_transform(err, e -> abs(e))), 8) AS max_abs_err
+    FROM errs
+"""
+
 ORACLE_SQL["dedup_components"] = f"""
     WITH RECURSIVE vecs AS MATERIALIZED (
         SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
@@ -496,4 +542,5 @@ QUERIES = {
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,
+    "emb_quantize_int8": emb_quantize_int8,
 }
