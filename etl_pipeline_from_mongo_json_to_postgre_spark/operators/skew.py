@@ -43,8 +43,8 @@ def salted_groupby(
     group. The phase-1 shuffle spreads each key over n_salts reducers;
     the phase-2 shuffle moves only |keys| x n_salts pre-aggregated rows.
     """
-    salted = df.withColumn("_salt", F.pmod(salt_from, F.lit(n_salts)))
-    phase1 = salted.groupBy(*keys, "_salt").agg(
+    salted = df.withColumn("__skew_salt", F.pmod(salt_from, F.lit(n_salts)))
+    phase1 = salted.groupBy(*keys, "__skew_salt").agg(
         *[e.alias(a) for e, a in partials]
     )
     return phase1.groupBy(*keys).agg(*finals)
@@ -60,11 +60,11 @@ def salted_join(
     """Equi-join with the fact side salted and the dim side replicated
     across all salt values. Use when the dim is too big to broadcast
     and the fact's key distribution is skewed."""
-    f = fact.withColumn("_salt", F.pmod(salt_from, F.lit(n_salts)))
+    f = fact.withColumn("__skew_salt", F.pmod(salt_from, F.lit(n_salts)))
     d = dim.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        "__skew_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return f.join(d, [key, "_salt"]).drop("_salt")
+    return f.join(d, [key, "__skew_salt"]).drop("__skew_salt")
 
 
 # ---------------------------------------------------------------------------
