@@ -92,6 +92,38 @@ def text_bpe_token_count(spark, sf_dir):
     )
 
 
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization (the pre-dedup cleanup pass):
+    lowercase, strip punctuation to spaces, collapse runs of
+    whitespace, trim. Pure per-row projection — at 100 TB this runs
+    inside the scan stage with zero shuffle."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
+
+
+SAMPLE_MOD = 100
+SAMPLE_KEEP = 10
+
+
+def sample_hash_mod(spark, sf_dir):
+    """Deterministic 10%% corpus sample via modular arithmetic on the
+    key — the reproducible alternative to seeded random sampling:
+    membership is a pure function of doc_id, so reruns, retried tasks,
+    and other engines (the oracle) select the identical subset. The
+    multiplier spreads adjacent ids across residues (cheap Knuth-style
+    hash) without leaving BIGINT range."""
+    d = _docs(spark, sf_dir)
+    residue = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(SAMPLE_MOD))
+    return d.where(residue < SAMPLE_KEEP).select("doc_id", "lang")
+
+
 def text_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint over the first 64 chars
     (cheap near-exact dedup key; full-text hash would shuffle the same
@@ -133,6 +165,17 @@ ORACLE_SQL = {
                     ELSE 'unknown' END AS predicted_lang
         FROM s
     """,
+    "text_normalize": r"""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    "sample_hash_mod": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % {SAMPLE_MOD} < {SAMPLE_KEEP}
+    """,
     "text_bpe_token_count": f"""
         SELECT doc_id,
                len({_DUCK_WORDS}) AS ws_tokens,
@@ -150,6 +193,8 @@ ORACLE_SQL = {
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bpe_token_count": text_bpe_token_count,
+    "text_normalize": text_normalize,
+    "sample_hash_mod": sample_hash_mod,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
