@@ -81,15 +81,57 @@ def validate_app_config(config: dict) -> dict:
     return merged
 
 
-def validate_mapping_config(mapping_config: dict, type_mappings: dict | None = None) -> dict:
+# Columns the engine stamps onto every target table; user mappings may
+# not claim them (reference ui/mapping_editor.py:505-507).
+RESERVED_COLUMNS = ("raw_json", "ingested_at", "source_collection", "status")
+
+
+def resolve_duplicate_columns(
+    columns: list[str], reserved: tuple[str, ...] = RESERVED_COLUMNS
+) -> tuple[list[str], dict[str, str]]:
+    """Auto-rename target columns that collide (case-insensitively) with
+    reserved columns or earlier targets: append a counter starting at 1
+    and bump until free — ``name`` -> ``name1``, ``name2``, ...
+
+    Parity: reference ui/mapping_editor.py:527-554
+    (_auto_resolve_duplicates). Returns (resolved column list,
+    {original: renamed}).
+    """
+    seen = {c.lower() for c in reserved}
+    out: list[str] = []
+    rename_map: dict[str, str] = {}
+    for col in columns:
+        if col.lower() in seen:
+            counter = 1
+            new_name = f"{col}{counter}"
+            while new_name.lower() in seen:
+                counter += 1
+                new_name = f"{col}{counter}"
+            rename_map[col] = new_name
+            col = new_name
+        seen.add(col.lower())
+        out.append(col)
+    return out, rename_map
+
+
+def validate_mapping_config(
+    mapping_config: dict,
+    type_mappings: dict | None = None,
+    on_duplicate: str = "rename",
+) -> dict:
     """Validate a mapping config of shape
     ``{collection: {target_table, raw_json_column?, object_id_attribute?,
     mappings: {source_attr: {column, type}}}}``.
 
     Parity: reference config_loader.py:126-171 (every mapping needs
-    column+type; every type supported and present in type_mappings;
-    duplicate target columns rejected, schema_manager.py:39-43).
+    column+type; every type supported and present in type_mappings).
+    Target columns that collide with reserved columns or each other are
+    auto-renamed with a numeric suffix like the reference UI
+    (ui/mapping_editor.py:527-554); pass ``on_duplicate="error"`` for
+    the strict mode that rejects instead (schema_manager.py:39-43).
     """
+    if on_duplicate not in ("rename", "error"):
+        raise ConfigError(f"on_duplicate must be 'rename' or 'error', got {on_duplicate!r}")
     if not isinstance(mapping_config, dict) or not mapping_config:
         raise ConfigError("mapping config must be a non-empty mapping")
     # reference config files nest everything under a top-level
@@ -110,22 +152,26 @@ def validate_mapping_config(mapping_config: dict, type_mappings: dict | None = N
         mappings = _require(spec, "mappings", f"collection '{coll}'")
         if not isinstance(mappings, dict) or not mappings:
             raise ConfigError(f"collection '{coll}' has no attribute mappings")
-        seen_cols: set[str] = set()
+        seen_cols = {c.lower() for c in RESERVED_COLUMNS}
         norm_mappings: dict[str, dict] = {}
         for attr, m in mappings.items():
             if not isinstance(m, dict):
                 raise ConfigError(f"mapping '{coll}.{attr}' must be a mapping")
-            column = _require(m, "column", f"mapping '{coll}.{attr}'")
+            column = str(_require(m, "column", f"mapping '{coll}.{attr}'"))
             mtype = normalize_type(_require(m, "type", f"mapping '{coll}.{attr}'"))
             if mtype not in known_types:
                 raise ConfigError(
                     f"unsupported type '{mtype}' for mapping '{coll}.{attr}'"
                 )
-            if column in seen_cols:
-                raise ConfigError(
-                    f"duplicate target column '{column}' in collection '{coll}'"
+            if column.lower() in seen_cols:
+                if on_duplicate == "error":
+                    raise ConfigError(
+                        f"duplicate target column '{column}' in collection '{coll}'"
+                    )
+                (column,), _ = resolve_duplicate_columns(
+                    [column], reserved=tuple(seen_cols)
                 )
-            seen_cols.add(column)
+            seen_cols.add(column.lower())
             norm_mappings[attr] = {"column": column, "type": mtype}
         out[coll] = {
             "target_table": str(target_table),

@@ -121,28 +121,80 @@ def approx_distinct_users(spark, sf_dir):
     """HLL++ distinct count per event_type. At 100 TB an exact
     countDistinct shuffles every distinct value to its group's reducer;
     the HLL sketch is a fixed-size mergeable partial, so the shuffle
-    carries |groups| sketches regardless of cardinality. No DuckDB
-    oracle (sketch implementations differ across engines) — bounded
-    relative error vs the exact answer is pinned in
-    tests/test_approx.py (rsd=0.01 here => well under 5%% observed)."""
+    carries |groups| sketches regardless of cardinality.
+
+    Sketch outputs differ across engines, so the driver-checkable
+    contract is the error bound itself: the query emits the exact count
+    plus ``within_bound`` = |approx-exact|/exact <= 5% (rsd=0.01, so a
+    5x margin), and the DuckDB oracle asserts TRUE. The exact
+    countDistinct here is the verification harness, not the scale path —
+    a production run would ship only the sketch column."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count("*").alias("events"),
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+            F.count("*").alias("events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("within_bound"),
+        )
     )
+
+
+_QUANTILE_LEVELS = [0.5, 0.95, 0.99]
 
 
 def approx_value_quantiles(spark, sf_dir):
     """Approximate percentiles (Greenwald-Khanna) of the event value
     per type: mergeable fixed-size summaries instead of a full sort.
-    Accuracy parameter 10000 => rank error <= 0.01%%. Same no-oracle
-    rationale as approx_distinct_users; error bound pinned in
-    tests/test_approx.py."""
+    Accuracy parameter 10000 => rank error <= max(1/10000, 1/n).
+
+    Driver-checkable contract (GK's actual guarantee is on RANK, not
+    value): explode the quantile array to (event_type, q) rows — scalar
+    columns only; the driver's canonicalizer can't sort array cells —
+    then rejoin the 15-row broadcast result against events to measure
+    the achieved rank of each approximate value. ``rank_ok`` asserts
+    frac(value < v) <= q + eps and frac(value <= v) >= q - eps
+    (two-sided to tolerate ties); the oracle asserts TRUE per cell."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.percentile_approx(
-            F.col("value").cast("double"), [0.5, 0.95, 0.99], 10000
-        ).alias("value_quantiles")
+    vals = events.select("event_type", F.col("value").cast("double").alias("v"))
+    qs = vals.groupBy("event_type").agg(
+        F.percentile_approx("v", _QUANTILE_LEVELS, 10000).alias("qarr")
+    )
+    levels = F.array(*[F.lit(q) for q in _QUANTILE_LEVELS])
+    exploded = qs.select(
+        "event_type",
+        F.posexplode("qarr").alias("pos", "approx_value"),
+    ).select(
+        "event_type",
+        F.element_at(levels, F.col("pos") + 1).alias("q"),
+        "approx_value",
+    )
+    eps = 0.011
+    joined = vals.join(F.broadcast(exploded), "event_type")
+    return (
+        joined.groupBy("event_type", "q")
+        .agg(
+            F.avg((F.col("v") <= F.col("approx_value")).cast("double")).alias("frac_le"),
+            F.avg((F.col("v") < F.col("approx_value")).cast("double")).alias("frac_lt"),
+        )
+        .select(
+            "event_type",
+            "q",
+            (
+                (F.col("frac_le") >= F.col("q") - F.lit(eps))
+                & (F.col("frac_lt") <= F.col("q") + F.lit(eps))
+            ).alias("rank_ok"),
+        )
     )
 
 
@@ -706,6 +758,18 @@ def scalar_subquery_above_avg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "approx_distinct_users": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(count(*) AS BIGINT) AS events,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+    """,
+    "approx_value_quantiles": """
+        SELECT t.event_type, q.q, TRUE AS rank_ok
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q) q
+    """,
     "a1_pivot_status_count": """
         SELECT o_orderpriority,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
@@ -828,7 +892,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "f5_json_extract": """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
                count(*) AS cnt
         FROM events GROUP BY event_type
     """,

@@ -12,7 +12,9 @@ Scale design (100 TB target):
 
 Oracle-checked variants use the portable polynomial hashes
 (functions/text.py) so DuckDB reproduces every bit; the fast path for
-pure-Spark runs swaps in xxhash64 (dedup_minhash_pairs, rows-only check).
+pure-Spark runs swaps in xxhash64 (dedup_minhash_pairs_fast, rows-only
+check; the oracle-checked dedup_minhash_pairs keeps xxhash64 only as an
+internal band-join key that never reaches the output).
 """
 
 from __future__ import annotations
@@ -114,12 +116,63 @@ def dedup_minhash_signature(spark, sf_dir):
 
 
 def dedup_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH candidate pairs (fast path, xxhash64 — Spark-native,
-    not SQL-reproducible; driver records a rows-only check).
+    """MinHash-LSH candidate pairs, fully oracle-checked.
 
-    4 bands x 4 rows: docs sharing any band key become candidates;
-    candidates are verified by estimated Jaccard = fraction of equal
-    signature components >= 0.5.
+    4 bands x 4 rows over the portable polynomial minhash components
+    (same signature as dedup_minhash_signature): docs sharing any band
+    key become candidates; candidates are verified by estimated
+    Jaccard = fraction of equal signature components >= 0.5.
+
+    The band join key is xxhash64 over the 4 component values — a fast
+    fixed-width shuffle key that never reaches the output, so DuckDB
+    reproduces the identical candidate set by joining on the raw
+    4-component tuples per band (equal tuples <=> equal xxhash keys,
+    modulo 2^-64 collisions).
+    """
+    sigs = dedup_minhash_signature(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        *[F.col(f"mh{j}") for j in range(16)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"mh{b * 4 + r}") for r in range(4)])
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    bands = bands.cache()
+    bands.count()  # materialize before the self-join branches
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.mh{j}").alias(f"amh{j}") for j in range(16)],
+            *[F.col(f"b.mh{j}").alias(f"bmh{j}") for j in range(16)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = sum(
+        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0) for j in range(16)
+    ) / F.lit(16.0)
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def dedup_minhash_pairs_fast(spark, sf_dir):
+    """MinHash-LSH candidate pairs (fast path, xxhash64 end-to-end —
+    Spark-native, not SQL-reproducible; driver records a rows-only
+    check; behavior pinned against the portable variant in
+    tests/test_dedup_behavior.py).
     """
     d = _docs(spark, sf_dir)
     w = _words(F.col("text"))
@@ -313,6 +366,10 @@ _MH_SELECT = ", ".join(
     for j, (a, b) in enumerate(MINHASH_AB)
 )
 
+_EST_JACCARD_TERMS = " + ".join(
+    f"(CASE WHEN amh{j} = bmh{j} THEN 1 ELSE 0 END)" for j in range(16)
+)
+
 _SIMHASH_TERMS = " + ".join(
     f"(CASE WHEN 2*list_sum(list_transform(wh, x -> (x >> {j}) & 1)) > len(wh) "
     f"THEN {1 << j} ELSE 0 END)"
@@ -328,6 +385,32 @@ ORACLE_SQL = {
     + f"""
         SELECT doc_id, {_MH_SELECT}
         FROM shingled WHERE len(sh) > 0
+    """,
+    "dedup_minhash_pairs": _duck_sig_cte()
+    + f"""
+        , sigs AS (
+            SELECT doc_id, {_MH_SELECT}
+            FROM shingled WHERE len(sh) > 0
+        ), bands AS (
+            SELECT s.*, b.band,
+                   CASE b.band
+                       WHEN 0 THEN [mh0, mh1, mh2, mh3]
+                       WHEN 1 THEN [mh4, mh5, mh6, mh7]
+                       WHEN 2 THEN [mh8, mh9, mh10, mh11]
+                       ELSE [mh12, mh13, mh14, mh15]
+                   END AS bkey
+            FROM sigs s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   {", ".join(f"a.mh{j} AS amh{j}" for j in range(16))},
+                   {", ".join(f"b.mh{j} AS bmh{j}" for j in range(16))}
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ({_EST_JACCARD_TERMS}) / 16.0 AS est_jaccard
+        FROM cand
+        WHERE ({_EST_JACCARD_TERMS}) / 16.0 >= {JACCARD_THRESHOLD}
     """,
     "dedup_simhash": f"""
         WITH words AS (
@@ -364,7 +447,8 @@ ORACLE_SQL = {
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
-    "dedup_minhash_pairs": dedup_minhash_pairs,  # rows-only (xxhash64)
+    "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_pairs_fast": dedup_minhash_pairs_fast,  # rows-only (xxhash64)
 }

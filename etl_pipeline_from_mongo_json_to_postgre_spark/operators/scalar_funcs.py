@@ -93,7 +93,10 @@ def f3_numeric_funcs(spark, sf_dir):
         # CAST truncates too, but DuckDB's rounds — the oracle spells
         # trunc() explicitly to match
         F.col("p_retailprice").cast("int").alias("price_int"),
-        F.col("p_retailprice").cast("decimal(18,6)").alias("price_dec"),
+        # emitted as rounded DOUBLE (not DECIMAL): DuckDB DECIMAL(18,6)
+        # lands in pandas as float while Spark hands back decimal.Decimal,
+        # so the driver's stringified cells would differ despite equal values
+        F.round(F.col("p_retailprice").cast("double"), 2).alias("price_dec"),
         F.abs(F.col("p_size") - F.lit(25)).cast("int").alias("size_dist"),
         (F.col("p_size") % 7).cast("int").alias("size_mod"),
         (F.col("p_size") != 0).alias("size_truthy"),
@@ -113,7 +116,9 @@ def f4_array_funcs(spark, sf_dir):
     return p.select(
         "p_partkey",
         F.size(words).cast("int").alias("n_words"),
-        F.array_sort(F.array_distinct(words)).alias("words_set"),
+        # scalar (string) output, not array<string>: the driver's pandas
+        # canonicalizer can't sort list-typed cells (unhashable type)
+        F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("words_set"),
         F.array_join(F.array_sort(F.array_union(words, F.array(F.lit("part")))), ",")
         .alias("words_plus"),
         F.array_contains(words, "ring").alias("has_ring"),
@@ -251,7 +256,7 @@ ORACLE_SQL = {
     "f3_numeric_funcs": """
         SELECT p_partkey,
                CAST(trunc(p_retailprice) AS INT) AS price_int,
-               CAST(p_retailprice AS DECIMAL(18,6)) AS price_dec,
+               round(CAST(p_retailprice AS DOUBLE), 2) AS price_dec,
                CAST(abs(p_size - 25) AS INT) AS size_dist,
                CAST(p_size % 7 AS INT) AS size_mod,
                p_size <> 0 AS size_truthy
@@ -260,7 +265,9 @@ ORACLE_SQL = {
     "f4_array_funcs": """
         SELECT p_partkey,
                CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
-               list_sort(list_distinct(string_split(p_name, ' '))) AS words_set,
+               array_to_string(
+                   list_sort(list_distinct(string_split(p_name, ' '))), ',')
+                   AS words_set,
                array_to_string(
                    list_sort(list_distinct(
                        list_concat(string_split(p_name, ' '), ['part']))), ',')

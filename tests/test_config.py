@@ -59,7 +59,7 @@ def test_validate_mapping_rejects_unknown_type():
         validate_mapping_config(bad)
 
 
-def test_validate_mapping_rejects_duplicate_columns():
+def test_validate_mapping_strict_mode_rejects_duplicate_columns():
     bad = {
         "c": {
             "target_table": "t",
@@ -70,7 +70,41 @@ def test_validate_mapping_rejects_duplicate_columns():
         }
     }
     with pytest.raises(ConfigError, match="duplicate target column"):
-        validate_mapping_config(bad)
+        validate_mapping_config(bad, on_duplicate="error")
+
+
+def test_validate_mapping_auto_renames_duplicates():
+    """Golden parity with the reference rename sequence
+    (ui/mapping_editor.py:527-554): colliding targets get a numeric
+    suffix starting at 1, case-insensitively, reserved columns count
+    as taken."""
+    cfg = {
+        "c": {
+            "target_table": "t",
+            "mappings": {
+                "a": {"column": "name", "type": "text"},
+                "b": {"column": "name", "type": "text"},
+                "d": {"column": "NAME", "type": "text"},
+                "e": {"column": "status", "type": "text"},  # reserved
+                "f": {"column": "name1", "type": "text"},  # taken by b's rename
+            },
+        }
+    }
+    out = validate_mapping_config(cfg)
+    cols = [m["column"] for m in out["c"]["mappings"].values()]
+    assert cols == ["name", "name1", "NAME2", "status1", "name11"]
+
+
+def test_resolve_duplicate_columns_sequence():
+    from etl_pipeline_from_mongo_json_to_postgre_spark.config.loader import (
+        resolve_duplicate_columns,
+    )
+
+    cols, renames = resolve_duplicate_columns(
+        ["name", "name", "name", "raw_json", "other"]
+    )
+    assert cols == ["name", "name1", "name2", "raw_json1", "other"]
+    assert renames == {"name": "name2", "raw_json": "raw_json1"}
 
 
 def test_validate_app_config_defaults():

@@ -60,6 +60,23 @@ def test_minhash_signature_identical_for_dups(spark, near_dup_df, monkeypatch):
     assert agree_far <= 2
 
 
+@pytest.mark.parametrize("variant", ["dedup_minhash_pairs", "dedup_minhash_pairs_fast"])
+def test_minhash_pairs_find_exact_and_near_dups(spark, near_dup_df, monkeypatch, variant):
+    """Both LSH pair variants (portable-hash oracle path and the
+    xxhash64 fast path) must surface the exact-dup pair at est=1.0 and
+    never pair unrelated docs; the near-dup pair is allowed (different
+    hash families may band it differently)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_docs", lambda s, d: near_dup_df)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in getattr(dedup, variant)(spark, "unused").collect()
+    }
+    assert pairs.get((0, 3)) == 1.0
+    assert not any(2 in p for p in pairs)
+
+
 def test_simhash_close_for_near_dups(spark, near_dup_df, monkeypatch):
     from etl_pipeline_from_mongo_json_to_postgre_spark.operators import dedup
 

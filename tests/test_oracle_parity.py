@@ -22,11 +22,24 @@ QUERIES, ORACLES = _registry()
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
+    df = QUERIES[name](spark, sf_dir)
     if name not in ORACLES:
-        df = QUERIES[name](spark, sf_dir)
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
         return
-    ok, msg = compare(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
+    # Driver-canon constraint: the driver's pandas canonicalizer sorts
+    # cell values, so oracle-checked outputs must be scalar-only —
+    # array/map/struct cells crash it (unhashable type). See README.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} would crash "
+        "the driver canonicalizer — emit scalars (array_join/explode)"
+    )
+    ok, msg = compare(df, duck, ORACLES[name])
     assert ok, f"{name}: {msg}"
 
 
