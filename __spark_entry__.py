@@ -34,41 +34,43 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as st
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events)
 
-# The driver evaluates registry entries in dict order and may cap the count
-# per round (round 1 ran exactly the first 50 of 82). Order so every SURVEY
-# §2 ✦ row and every LLM-pipeline flagship lands inside the first 50:
-#   1. the 32 entries with no round-1 CORRECTNESS row (§2 rows o3/p7/p8/
-#      p12/a7 + text/dedup/similarity/skew/multimodal/streaming families),
-#   2. the rows that were red in round 1 and are now fixed (f3/f4/f5 and
-#      the two approx contracts),
-#   3. §2 core (transform engine, remaining scalar funcs, TPC-H flagships),
-#   4. everything else (all driver-green in CORRECTNESS_r01.json).
+# The driver evaluates registry entries in dict order and caps at the first
+# 50 per round. Round-3 ordering rule: entries needing fresh driver evidence
+# come first, previously-green-and-unchanged code last:
+#   1. the 7 rows red in round 2 (6 TIMESTAMP_NTZ casualties, fixed at the
+#      loader choke point, + the mm_binary_stats oracle-typing fix),
+#   2. the 31 rows whose only driver evidence is round 1 (their code is
+#      unchanged, but evidence should not go stale two rounds running),
+#   3. the 5 round-1 reds fixed in round 2 — one more green round to
+#      confirm stability,
+#   4. queries whose implementation changed this round (dedup_exact shuffle
+#      key, ann_cosine_topk guard, dedup_minhash_pairs cache lifecycle) and
+#      queries newly added this round,
+#   5. remainder in module order (green in round 2, code unchanged).
 _PRIORITY = [
-    # -- 1: driver-unchecked in round 1 ------------------------------------
-    "o3_sort_alpha", "p7_raw_json_roundtrip", "p8_audit_enrichment",
-    "p12_scalar_lookup", "a7_report_accumulation",
-    "text_token_count", "text_bpe_token_count", "text_normalize",
-    "sample_hash_mod", "text_quality_score", "text_langid", "text_fingerprint",
-    "dedup_exact", "dedup_minhash_signature", "dedup_minhash_pairs",
-    "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_cosine_topk", "ann_ivf_topk", "sim_cosine_pairs_lsh",
-    "dedup_embedding_cosine", "dedup_components", "emb_quantize_int8",
-    "skew_salted_agg", "skew_salted_join",
-    "mm_binary_stats", "mm_feature_extract", "mm_frame_sample_counts",
+    # -- 1: red in round 2, fixed this round -------------------------------
     "stream_windowed_counts", "stream_sessionize", "stream_dedup_keys",
-    "stream_stream_click_purchase",
-    # -- 2: red in round 1, fixed this round -------------------------------
+    "stream_stream_click_purchase", "j5_asof_join", "j6_range_join",
+    "mm_binary_stats",
+    # -- 2: only round-1 (or no) driver evidence ---------------------------
+    "a1_pivot_status_count", "a2_group_count", "a3_conditional_count",
+    "a4_scalar_count", "a5_max_date", "a6_kpis", "a8_distinct",
+    "a9_rollup_counts", "a10_cube_counts", "a11_grouping_sets",
+    "j1_outer_join", "j2_lookup_join", "j3_anti_join", "j4_semi_join",
+    "u1_explode_words", "u2_dedup_first", "u3_set_except", "u4_set_intersect",
+    "o1_sort_topn", "o2_sort_multikey",
+    "p9_filter_eq", "p10_size_filter", "p11_positive_filter",
+    "w1_running_total", "w2_offset_rank_funcs",
+    "tumbling_window_agg", "sliding_window_agg",
+    "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
+    "scalar_subquery_above_avg", "dedup_minhash_pairs_fast",
+    # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",
-    # -- 3: §2 core --------------------------------------------------------
-    "f1_string_funcs", "f2_datetime_funcs",
-    "p1_mapped_projection", "p2_p3_missing_error_semantics",
-    "p4_multiformat_date", "p5_multiformat_datetime", "p6_boolean_normalize",
-    "audit_status_pivot", "audit_report_assembly",
-    "audit_missing_columns_report",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q18_large_orders",
-    # -- 4: remainder keeps module order -----------------------------------
+    # -- 4: implementation changed / added this round ----------------------
+    "dedup_exact", "ann_cosine_topk", "dedup_minhash_pairs",
+    "approx_distinct_users_sketch",
+    # -- 5: remainder keeps module order -----------------------------------
 ]
 
 

@@ -117,7 +117,7 @@ def resolve_duplicate_columns(
 def validate_mapping_config(
     mapping_config: dict,
     type_mappings: dict | None = None,
-    on_duplicate: str = "rename",
+    on_duplicate: str = "error",
 ) -> dict:
     """Validate a mapping config of shape
     ``{collection: {target_table, raw_json_column?, object_id_attribute?,
@@ -126,9 +126,14 @@ def validate_mapping_config(
     Parity: reference config_loader.py:126-171 (every mapping needs
     column+type; every type supported and present in type_mappings).
     Target columns that collide with reserved columns or each other are
-    auto-renamed with a numeric suffix like the reference UI
-    (ui/mapping_editor.py:527-554); pass ``on_duplicate="error"`` for
-    the strict mode that rejects instead (schema_manager.py:39-43).
+    a hard ConfigError by default — the reference's non-interactive
+    backend path treats duplicates the same way (schema_manager.py:39-43
+    _add_column); auto-rename exists only in its interactive UI editor
+    where the user SEES the rename (ui/mapping_editor.py:527-554).
+    Pass ``on_duplicate="rename"`` to opt into that UI behavior; the
+    applied renames are then surfaced in each collection spec under
+    ``rename_map`` ({original: renamed}) instead of being discarded, so
+    callers can log or display where data actually landed.
     """
     if on_duplicate not in ("rename", "error"):
         raise ConfigError(f"on_duplicate must be 'rename' or 'error', got {on_duplicate!r}")
@@ -154,6 +159,7 @@ def validate_mapping_config(
             raise ConfigError(f"collection '{coll}' has no attribute mappings")
         seen_cols = {c.lower() for c in RESERVED_COLUMNS}
         norm_mappings: dict[str, dict] = {}
+        rename_map: dict[str, str] = {}
         for attr, m in mappings.items():
             if not isinstance(m, dict):
                 raise ConfigError(f"mapping '{coll}.{attr}' must be a mapping")
@@ -166,11 +172,16 @@ def validate_mapping_config(
             if column.lower() in seen_cols:
                 if on_duplicate == "error":
                     raise ConfigError(
-                        f"duplicate target column '{column}' in collection '{coll}'"
+                        f"duplicate or reserved target column '{column}' in "
+                        f"collection '{coll}' (reserved: {RESERVED_COLUMNS}); "
+                        f"rename it in the mapping config, or pass "
+                        f"on_duplicate='rename' to opt into UI-style auto-rename"
                     )
+                original = column
                 (column,), _ = resolve_duplicate_columns(
                     [column], reserved=tuple(seen_cols)
                 )
+                rename_map[original] = column
             seen_cols.add(column.lower())
             norm_mappings[attr] = {"column": column, "type": mtype}
         out[coll] = {
@@ -178,6 +189,7 @@ def validate_mapping_config(
             "raw_json_column": spec.get("raw_json_column", "raw_json"),
             "object_id_attribute": spec.get("object_id_attribute"),
             "mappings": norm_mappings,
+            "rename_map": rename_map,
         }
     return out
 

@@ -117,18 +117,32 @@ def a11_grouping_sets(spark, sf_dir):
     )
 
 
+def approx_distinct_users_sketch(spark, sf_dir):
+    """The PRODUCTION approx-distinct query: HLL++ sketch only, no
+    exact countDistinct anywhere in the plan — the shuffle carries
+    |groups| fixed-size sketches regardless of cardinality, which is
+    the entire point at 100 TB. Sketch values are engine-specific, so
+    this entry has no SQL oracle (rows-only driver check); the error
+    bound itself is driver-verified by the companion
+    approx_distinct_users query."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 def approx_distinct_users(spark, sf_dir):
-    """HLL++ distinct count per event_type. At 100 TB an exact
-    countDistinct shuffles every distinct value to its group's reducer;
-    the HLL sketch is a fixed-size mergeable partial, so the shuffle
-    carries |groups| sketches regardless of cardinality.
+    """HLL++ distinct-count VERIFICATION harness per event_type.
 
     Sketch outputs differ across engines, so the driver-checkable
     contract is the error bound itself: the query emits the exact count
     plus ``within_bound`` = |approx-exact|/exact <= 5% (rsd=0.01, so a
     5x margin), and the DuckDB oracle asserts TRUE. The exact
-    countDistinct here is the verification harness, not the scale path —
-    a production run would ship only the sketch column."""
+    countDistinct here is deliberate verification overhead — the scale
+    path a production run ships is approx_distinct_users_sketch, which
+    carries only the sketch."""
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
@@ -163,36 +177,46 @@ def approx_value_quantiles(spark, sf_dir):
     columns only; the driver's canonicalizer can't sort array cells —
     then rejoin the 15-row broadcast result against events to measure
     the achieved rank of each approximate value. ``rank_ok`` asserts
-    frac(value < v) <= q + eps and frac(value <= v) >= q - eps
-    (two-sided to tolerate ties); the oracle asserts TRUE per cell."""
+    frac(value < v) <= q + eps and frac(value <= v) >= q - eps.
+
+    eps tracks the sketch's ACTUAL guarantee instead of a loose
+    constant: the returned value is some element whose rank is within
+    err*n of ceil(q*n) (err = 1/accuracy), which bounds frac_le >=
+    q - err - 1/n and frac_lt <= q + err + 1/n — so eps = 1/accuracy
+    + 2/n per group (the 2/n is the discrete-rank + tie margin). A
+    real accuracy regression now fails instead of hiding inside a
+    100x-too-wide band."""
     events = _t(spark, sf_dir, "events")
     vals = events.select("event_type", F.col("value").cast("double").alias("v"))
     qs = vals.groupBy("event_type").agg(
-        F.percentile_approx("v", _QUANTILE_LEVELS, 10000).alias("qarr")
+        F.percentile_approx("v", _QUANTILE_LEVELS, 10000).alias("qarr"),
+        F.count("*").alias("n"),
     )
     levels = F.array(*[F.lit(q) for q in _QUANTILE_LEVELS])
     exploded = qs.select(
         "event_type",
+        "n",
         F.posexplode("qarr").alias("pos", "approx_value"),
     ).select(
         "event_type",
         F.element_at(levels, F.col("pos") + 1).alias("q"),
         "approx_value",
+        (F.lit(1.0 / 10000) + F.lit(2.0) / F.col("n")).alias("eps"),
     )
-    eps = 0.011
     joined = vals.join(F.broadcast(exploded), "event_type")
     return (
         joined.groupBy("event_type", "q")
         .agg(
             F.avg((F.col("v") <= F.col("approx_value")).cast("double")).alias("frac_le"),
             F.avg((F.col("v") < F.col("approx_value")).cast("double")).alias("frac_lt"),
+            F.first("eps").alias("eps"),
         )
         .select(
             "event_type",
             "q",
             (
-                (F.col("frac_le") >= F.col("q") - F.lit(eps))
-                & (F.col("frac_lt") <= F.col("q") + F.lit(eps))
+                (F.col("frac_le") >= F.col("q") - F.col("eps"))
+                & (F.col("frac_lt") <= F.col("q") + F.col("eps"))
             ).alias("rank_ok"),
         )
     )
@@ -1057,6 +1081,7 @@ QUERIES = {
     "a10_cube_counts": a10_cube_counts,
     "a11_grouping_sets": a11_grouping_sets,
     "approx_distinct_users": approx_distinct_users,
+    "approx_distinct_users_sketch": approx_distinct_users_sketch,  # rows-only (sketch values are engine-specific)
     "approx_value_quantiles": approx_value_quantiles,
     "j1_outer_join": j1_outer_join,
     "j2_lookup_join": j2_lookup_join,

@@ -2,7 +2,9 @@
 pipeline extensions): exact, MinHash(+LSH), SimHash, n-gram Jaccard.
 
 Scale design (100 TB target):
-- exact dedup: one hash-groupBy shuffle keyed on the text;
+- exact dedup: one hash-groupBy shuffle keyed on (xxhash64(text),
+  length(text)) — 16 bytes/row through the shuffle instead of the
+  full document payload;
 - minhash/simhash signatures: embarrassingly parallel per-row Column
   expressions (no shuffle at all);
 - LSH pair generation: explode band keys -> self-join on (band, key)
@@ -61,12 +63,31 @@ _DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 def dedup_exact(spark, sf_dir):
     """Exact dedup: canonical (lowest) doc_id per identical text +
-    duplicate count. One shuffle, map-side combine."""
+    duplicate count. One shuffle with map-side combine, keyed on
+    (xxhash64(text), length(text)) so the shuffle moves a 16-byte key
+    per row, never the document body — at 100 TB, grouping on the raw
+    text column would push the entire corpus through the exchange.
+
+    Collision risk is 2^-64 per pair; a paranoid production variant
+    verifies full-text equality within hash groups (collect_set within
+    the already-tiny hash group), which this corpus doesn't need — the
+    DuckDB oracle groups on raw text, so any collision would surface
+    as a driver hash-mismatch.
+    """
     d = _docs(spark, sf_dir)
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.count("*").alias("dup_count"),
-    ).select("doc_id", "dup_count")
+    return (
+        d.select(
+            F.xxhash64("text").alias("_h"),
+            F.length("text").alias("_len"),
+            "doc_id",
+        )
+        .groupBy("_h", "_len")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("doc_id", "dup_count")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -142,8 +163,12 @@ def dedup_minhash_pairs(spark, sf_dir):
             )
         ).alias("band", "band_key"),
     )
-    bands = bands.cache()
-    bands.count()  # materialize before the self-join branches
+    # localCheckpoint (eager), NOT cache(): both self-join branches read
+    # the materialized partitions (the signature pipeline runs once), and
+    # the backing RDD blocks are reclaimed by the ContextCleaner when this
+    # DataFrame is GC'd — cache() entries would pile up in the
+    # CacheManager across the driver's many query invocations per session.
+    bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -224,8 +249,9 @@ def dedup_minhash_pairs_fast(spark, sf_dir):
             )
         ).alias("band", "band_key"),
     )
-    bands = bands.cache()
-    bands.count()  # materialize before the self-join branches
+    # eager localCheckpoint: one materialization shared by both join
+    # branches, blocks GC-reclaimed (see dedup_minhash_pairs)
+    bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -305,12 +331,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
         d.select("doc_id", "lang", word_hashes(w).alias("wh"))
         .select("doc_id", "lang", F.array_distinct(shingle_hashes(F.col("wh"), k=3)).alias("sh"))
         .where(F.size("sh") > 0)
-        .cache()  # read 3x below (sizes + both join sides)
+        # Materialized NOW (eager localCheckpoint), read 3x below (sizes
+        # + both join sides): if left lazy, the three branches of one job
+        # each re-evaluate the shingle pipeline, and Spark's Generate
+        # inlines it per exploded row (~25x slowdown measured at
+        # sf0.001). localCheckpoint over cache() so the blocks are
+        # GC-reclaimed instead of leaking in the CacheManager.
+        .localCheckpoint(eager=True)
     )
-    # Materialize the cache NOW: if left lazy, the three branches of one
-    # job each re-evaluate the shingle pipeline, and Spark's Generate
-    # inlines it per exploded row (~25x slowdown measured at sf0.001).
-    docs.count()
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = docs.select("doc_id", "lang", F.explode("sh").alias("s"))
     a, b = exploded.alias("a"), exploded.alias("b")

@@ -208,7 +208,8 @@ ORACLE_SQL = {
     "mm_binary_stats": """
         SELECT 'text/plain' AS mime,
                count(*) AS n_items,
-               sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+               CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT)
+                   AS total_bytes,
                max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         FROM documents
     """,

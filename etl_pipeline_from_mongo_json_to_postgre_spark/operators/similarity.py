@@ -90,14 +90,38 @@ def _vectors(spark, sf_dir):
     )
 
 
-def ann_cosine_topk(spark, sf_dir):
-    """Top-5 cosine neighbors for vec_id < 20 (brute force, broadcast
-    query side). Rank by exact cosine desc, vec_id asc."""
+# Hard bound on the brute-force query batch: the crossJoin below is
+# O(|queries| x |corpus|) BY DESIGN (exact-recall baseline; the pruned
+# scale path is ann_ivf_topk). The guard keeps anyone from pointing the
+# exact path at a full corpus — at that point the broadcast would OOM
+# long after the cost already blew up.
+MAX_BRUTE_FORCE_QUERIES = 10_000
+
+
+def ann_cosine_topk(spark, sf_dir, n_queries: int = N_QUERIES):
+    """Top-5 cosine neighbors for vec_id < n_queries (brute force,
+    broadcast query side). Rank by exact cosine desc, vec_id asc.
+
+    Exact-recall BASELINE, deliberately O(|queries| x |corpus|): the
+    query side must stay small enough to broadcast (<= MAX_BRUTE_FORCE_
+    QUERIES). For corpus-scale workloads use ann_ivf_topk, whose
+    probe-join prunes to nprobe/nlist of the data.
+    """
     from pyspark.sql.window import Window
 
-    vecs = _vectors(spark, sf_dir).cache()
-    vecs.count()  # materialize: query side + corpus side both read it
-    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+    if n_queries > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"ann_cosine_topk is the O(q*n) brute-force baseline; "
+            f"n_queries={n_queries} exceeds MAX_BRUTE_FORCE_QUERIES="
+            f"{MAX_BRUTE_FORCE_QUERIES}. Use ann_ivf_topk for large "
+            f"query batches."
+        )
+    # eager localCheckpoint, not cache(): one materialization feeds the
+    # query side and the corpus side, and the blocks are GC-reclaimed
+    # (cache() entries leak in the CacheManager across the driver's many
+    # query invocations per session)
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
+    queries = vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -169,8 +193,8 @@ def _lsh_verified_pairs(vecs, threshold: float):
 def sim_cosine_pairs_lsh(spark, sf_dir):
     """All-pairs cosine >= 0.30 via random-hyperplane LSH banding.
     Candidates = pairs sharing any band signature; exact cosine verify."""
-    vecs = _vectors(spark, sf_dir).cache()
-    vecs.count()  # reused by banding and twice by the verify join
+    # reused by banding and twice by the verify join; GC-reclaimed
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
     return _lsh_verified_pairs(vecs, PAIR_THRESHOLD)
 
 
@@ -184,8 +208,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     connected-components pass, deliberately out of scope for one query).
     Output: (vec_id, canonical_id, is_duplicate).
     """
-    vecs = _vectors(spark, sf_dir).cache()
-    vecs.count()
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
     pairs = _lsh_verified_pairs(vecs, NEAR_DUP_THRESHOLD)
     # partner_min(vec_b) = min vec_a over pairs (vec_a < vec_b always)
     partner_min = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
@@ -249,8 +272,7 @@ def dedup_components(spark, sf_dir):
     Oracle: DuckDB recursive CTE propagating labels over the same
     edges. Output: (vec_id, component_id = min vec_id reachable).
     """
-    vecs = _vectors(spark, sf_dir).cache()
-    vecs.count()
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
     pairs = _lsh_verified_pairs(vecs, NEAR_DUP_THRESHOLD).select("vec_a", "vec_b")
     edges = (
         pairs.union(pairs.select(F.col("vec_b"), F.col("vec_a")))
@@ -319,8 +341,7 @@ def ann_ivf_topk(spark, sf_dir):
     ).select(
         "vec_id", "v", "nrm", "dots",
         F.array_position("dots", F.array_max("dots")).alias("cluster_id"),
-    ).cache()
-    assigned.count()  # corpus side + query side both read it
+    ).localCheckpoint(eager=True)  # corpus + query side both read it; GC-reclaimed
 
     qprobe_w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cid"))
     probes = (

@@ -29,6 +29,9 @@ def get_spark(app_name: str = "etl_pipeline_from_mongo_json_to_postgre_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
+        # tz-less parquet timestamps read as TIMESTAMP (LTZ, UTC session),
+        # not TIMESTAMP_NTZ — watermarks/unix_micros require TIMESTAMP
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
@@ -55,6 +58,12 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass  # fine if fixed by the hosting session; we also use try_* forms
+    try:
+        # tz-less parquet timestamps -> TIMESTAMP_LTZ (UTC), never NTZ;
+        # the loader also casts defensively (sources/parquet.py)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     # Perf-only (no correctness impact): size shuffle partitions to the
     # session's real parallelism instead of the 200 default — on a
     # local[N] driver session the default costs ~6x task-launch

@@ -4,12 +4,24 @@ Columnar scans with Catalyst predicate pushdown / column pruning for
 free; at cluster scale these would be partitioned table paths — the
 API stays the same.
 
-The synthetic tables store TIMESTAMP(NANOS), which Spark's vectorized
-parquet reader rejects; we read those columns as nanosecond longs
-(spark.sql.legacy.parquet.nanosAsLong) and convert to TimestampType via
-integer division (`DIV 1000` — double division would lose microsecond
-precision at 1.7e18 ns). DuckDB truncates nanos->micros the same way,
-so oracle parity holds.
+Timestamp normalization: the testdata has been re-encoded between
+rounds (TIMESTAMP(NANOS) in one round, timestamp[us] with no timezone
+in the next), so the loader absorbs BOTH encodings and guarantees that
+every timestamp column leaving ``load_table``/``events_stream`` is
+plain TimestampType (TIMESTAMP_LTZ):
+
+* TIMESTAMP(NANOS): Spark's vectorized reader rejects it; we read
+  those columns as nanosecond longs (spark.sql.legacy.parquet.
+  nanosAsLong) and convert via integer division (`DIV 1000` — double
+  division would lose microsecond precision at 1.7e18 ns). DuckDB
+  truncates nanos->micros the same way, so oracle parity holds.
+* timestamp[us] without tz: under the default
+  ``spark.sql.parquet.inferTimestampNTZ.enabled=true`` Spark reads it
+  as TIMESTAMP_NTZ, which breaks ``withWatermark`` / ``unix_micros``
+  call sites. We disable the inference per-read and additionally cast
+  any NTZ column that still escapes to ``timestamp``. The session
+  timezone is pinned UTC (session.tune_for_oracle), so NTZ->LTZ is
+  value-preserving and DuckDB (UTC-naive) parity holds.
 """
 
 from __future__ import annotations
@@ -19,6 +31,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region",
@@ -49,15 +62,34 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TimestampType (LTZ).
+
+    Value-preserving because the session timezone is pinned UTC; keeps
+    ``withWatermark`` / ``unix_micros`` call sites working regardless
+    of how the source parquet encodes its timestamps.
+    """
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        # belt-and-suspenders with normalize_timestamps: read tz-less
+        # micros parquet directly as TIMESTAMP_LTZ
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

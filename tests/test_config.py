@@ -69,7 +69,12 @@ def test_validate_mapping_strict_mode_rejects_duplicate_columns():
             },
         }
     }
-    with pytest.raises(ConfigError, match="duplicate target column"):
+    # strict is the DEFAULT (reference backend semantics: schema_manager
+    # _add_column treats duplicates as hard errors; auto-rename is a
+    # UI-only behavior the user opts into)
+    with pytest.raises(ConfigError, match="duplicate or reserved target column"):
+        validate_mapping_config(bad)
+    with pytest.raises(ConfigError, match="duplicate or reserved target column"):
         validate_mapping_config(bad, on_duplicate="error")
 
 
@@ -90,9 +95,14 @@ def test_validate_mapping_auto_renames_duplicates():
             },
         }
     }
-    out = validate_mapping_config(cfg)
+    out = validate_mapping_config(cfg, on_duplicate="rename")
     cols = [m["column"] for m in out["c"]["mappings"].values()]
     assert cols == ["name", "name1", "NAME2", "status1", "name11"]
+    # applied renames are surfaced, not discarded
+    assert out["c"]["rename_map"] == {
+        "name": "name1", "NAME": "NAME2", "status": "status1",
+        "name1": "name11",
+    }
 
 
 def test_resolve_duplicate_columns_sequence():

@@ -82,3 +82,17 @@ def test_hot_paths_have_no_python_eval(spark, sf_dir, build):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
+    """The exact-dedup shuffle must carry the 16-byte (xxhash64, length)
+    key, never the document body: at 100 TB a groupBy("text") pushes
+    the whole corpus through the exchange."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.dedup import dedup_exact
+
+    plan = physical_plan(dedup_exact(spark, sf_dir))
+    assert "xxhash64" in plan
+    # the exchange partitions on the hash key, not the raw text column
+    exchange = plan.split("Exchange hashpartitioning")[1].splitlines()[0]
+    assert "_h" in exchange
+    assert "text" not in exchange

@@ -97,3 +97,16 @@ def test_components_close_pairs_transitively(spark, sf_dir):
         }
     )
     assert n_components <= n_single_hop
+
+
+def test_brute_force_query_bound_guard(spark, sf_dir):
+    """ann_cosine_topk is O(q*n) by design; the guard must refuse a
+    corpus-scale query batch before any job is launched."""
+    import pytest
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        MAX_BRUTE_FORCE_QUERIES,
+        ann_cosine_topk,
+    )
+
+    with pytest.raises(ValueError, match="brute-force"):
+        ann_cosine_topk(spark, sf_dir, n_queries=MAX_BRUTE_FORCE_QUERIES + 1)
