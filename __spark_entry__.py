@@ -29,10 +29,11 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     text_queries,
     transform_queries,
 )
+from etl_pipeline_from_mongo_json_to_postgre_spark.sources import mongo_datasource
 from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as streaming_events
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
-            similarity, skew, multimodal, streaming_events)
+            similarity, skew, multimodal, streaming_events, mongo_datasource)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-3 ordering rule: entries needing fresh driver evidence
@@ -52,7 +53,15 @@ _PRIORITY = [
     "stream_windowed_counts", "stream_sessionize", "stream_dedup_keys",
     "stream_stream_click_purchase", "j5_asof_join", "j6_range_join",
     "mm_binary_stats",
-    # -- 2: only round-1 (or no) driver evidence ---------------------------
+    # -- 2: implementation changed / added this round (no evidence yet) ----
+    "dedup_exact", "ann_cosine_topk", "dedup_minhash_pairs",
+    "approx_distinct_users_sketch", "s3_mongo_datasource_scan",
+    "text_ngram_counts", "text_pii_mask", "doc_stats_by_lang",
+    # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
+    "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
+    "approx_distinct_users", "approx_value_quantiles",
+    # -- 4: only round-1 driver evidence (code unchanged; local parity
+    #       suite also covers these every run) -----------------------------
     "a1_pivot_status_count", "a2_group_count", "a3_conditional_count",
     "a4_scalar_count", "a5_max_date", "a6_kpis", "a8_distinct",
     "a9_rollup_counts", "a10_cube_counts", "a11_grouping_sets",
@@ -63,13 +72,12 @@ _PRIORITY = [
     "w1_running_total", "w2_offset_rank_funcs",
     "tumbling_window_agg", "sliding_window_agg",
     "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
-    "scalar_subquery_above_avg", "dedup_minhash_pairs_fast",
-    # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
-    "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
-    "approx_distinct_users", "approx_value_quantiles",
-    # -- 4: implementation changed / added this round ----------------------
-    "dedup_exact", "ann_cosine_topk", "dedup_minhash_pairs",
-    "approx_distinct_users_sketch",
+    "scalar_subquery_above_avg",
+    # dedup_minhash_pairs_fast is position 51 BY CHOICE: it is the one
+    # rows-only entry (no SQL oracle), so it contributes the least
+    # driver evidence; behavior is pinned against the portable variant
+    # in tests/test_dedup_behavior.py every run.
+    "dedup_minhash_pairs_fast",
     # -- 5: remainder keeps module order -----------------------------------
 ]
 

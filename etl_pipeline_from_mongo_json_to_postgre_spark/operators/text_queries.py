@@ -135,6 +135,87 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+TOP_NGRAMS = 50
+
+
+def text_ngram_counts(spark, sf_dir):
+    """Corpus-wide top-50 bigram counts — the vocabulary/collocation
+    census every corpus audit runs. Scale shape: bigram generation is a
+    per-row projection inside the scan stage; the only shuffle carries
+    (bigram, partial_count) pairs with map-side combine, so shuffle
+    volume is |distinct bigrams|, not |tokens|. Deterministic order:
+    count desc, bigram asc, LIMIT 50."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    wcol = F.col("w")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(wcol) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(wcol, i + 1), F.element_at(wcol, i + 2)
+        ),
+    )
+    # stage words as a real column first: inlining the split inside the
+    # per-element lambda re-evaluates it per element_at (O(words^2))
+    staged = d.where(F.size(w) >= 2).select(w.alias("w"))
+    return (
+        staged.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(TOP_NGRAMS)
+    )
+
+
+# Shared regex subset (Java regex + RE2): no lookaround, no backrefs.
+EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+NUM_PAT = "[0-9]{3,}"
+
+
+def text_pii_mask(spark, sf_dir):
+    """PII scrubbing pass (training-data hygiene): emails -> <EMAIL>,
+    long digit runs (ids/phones/accounts) -> <NUM>, with per-doc match
+    counts for the redaction audit. Pure per-row projection — runs in
+    the scan stage, zero shuffle, trivially parallel at 100 TB."""
+    d = _docs(spark, sf_dir)
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_PAT), F.lit(0)))
+    masked1 = F.regexp_replace(F.col("text"), EMAIL_PAT, "<EMAIL>")
+    n_nums = F.size(F.regexp_extract_all(masked1, F.lit(NUM_PAT), F.lit(0)))
+    masked = F.regexp_replace(masked1, NUM_PAT, "<NUM>")
+    return d.select(
+        "doc_id",
+        masked.alias("masked_text"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_nums.cast("bigint").alias("n_numbers"),
+    )
+
+
+def doc_stats_by_lang(spark, sf_dir):
+    """Per-language corpus census (docs, exact char volume, token
+    volume, mean doc length). Integer sums through the shuffle (exact,
+    order-independent); the one division happens after aggregation on
+    exact BIGINTs, so the double result is deterministic."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    return (
+        d.select("lang", F.length("text").alias("n_chars"), F.size(w).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("n_docs"), 4
+            ).alias("avg_chars"),
+        )
+    )
+
+
 ORACLE_SQL = {
     "text_token_count": f"""
         SELECT doc_id,
@@ -188,6 +269,41 @@ ORACLE_SQL = {
                {duck_char_fold_hash("substring(text, 1, 64)")} AS fingerprint
         FROM documents
     """,
+    "text_ngram_counts": f"""
+        WITH words AS (
+            SELECT {_DUCK_WORDS} AS w FROM documents
+            WHERE len({_DUCK_WORDS}) >= 2
+        ), bigrams AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM words
+        )
+        SELECT bigram, count(*) AS cnt FROM bigrams
+        GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT {TOP_NGRAMS}
+    """,
+    "text_pii_mask": f"""
+        WITH m1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{EMAIL_PAT}')) AS n_emails,
+                   regexp_replace(text, '{EMAIL_PAT}', '<EMAIL>', 'g') AS t1
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(t1, '{NUM_PAT}', '<NUM>', 'g') AS masked_text,
+               n_emails,
+               len(regexp_extract_all(t1, '{NUM_PAT}')) AS n_numbers
+        FROM m1
+    """,
+    "doc_stats_by_lang": """
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                    x -> x <> ''))) AS BIGINT) AS total_tokens,
+               round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4)
+                   AS avg_chars
+        FROM documents GROUP BY lang
+    """,
 }
 
 QUERIES = {
@@ -198,4 +314,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_ngram_counts": text_ngram_counts,
+    "text_pii_mask": text_pii_mask,
+    "doc_stats_by_lang": doc_stats_by_lang,
 }

@@ -1,0 +1,103 @@
+"""Distributed Mongo scan via the Python DataSource API.
+
+Export mode runs end-to-end here (no server needed); live mode's
+partition planning is pure arithmetic and tested directly. The row
+contract (collection, object_id, doc_json with BSON normalization) is
+shared by both modes.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_pipeline_from_mongo_json_to_postgre_spark.errors import InputError
+from etl_pipeline_from_mongo_json_to_postgre_spark.sources.mongo import stage_to_json
+from etl_pipeline_from_mongo_json_to_postgre_spark.sources.mongo_datasource import (
+    MongoDataSourceReader,
+    plan_object_id_ranges,
+    register,
+)
+
+
+@pytest.fixture()
+def export_dir(tmp_path):
+    stage_to_json(
+        {
+            "customers": [
+                {"_id": "64b000000000000000000001", "name": "Ana", "n": 1},
+                {"_id": "64b000000000000000000002", "name": "Bo", "n": 2},
+            ],
+            "orders": [
+                {"_id": "64b000000000000000000003", "total": 9.5},
+            ],
+        },
+        str(tmp_path / "dump.json"),
+    )
+    return str(tmp_path)
+
+
+def test_export_scan_reads_all_collections(spark, export_dir):
+    register(spark)
+    df = spark.read.format("mongodb_py").option("path", export_dir).load()
+    rows = {(r.collection, r.object_id) for r in df.collect()}
+    assert rows == {
+        ("customers", "64b000000000000000000001"),
+        ("customers", "64b000000000000000000002"),
+        ("orders", "64b000000000000000000003"),
+    }
+    # doc_json is normalized, parseable JSON
+    doc = json.loads(df.where("object_id = '64b000000000000000000003'")
+                     .head().doc_json)
+    assert doc["total"] == 9.5
+
+
+def test_export_scan_collection_filter_and_partitioning(spark, export_dir):
+    register(spark)
+    df = (
+        spark.read.format("mongodb_py")
+        .option("path", export_dir)
+        .option("collection", "customers")
+        .load()
+    )
+    assert df.count() == 2
+    # one partition per (file, collection): filtered scan plans exactly 1
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_export_requires_path():
+    with pytest.raises(InputError, match="path"):
+        MongoDataSourceReader({"mode": "export"}).partitions()
+
+
+def test_plan_object_id_ranges_splits_keyspace():
+    lo = "64b000000000000000000000"
+    hi = "64b000000000000000000fff"
+    ranges = plan_object_id_ranges(lo, hi, 4)
+    assert len(ranges) == 4
+    assert ranges[0][0] is None and ranges[-1][1] is None
+    # contiguous: each hi == next lo, hex-ordered, 24 chars
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi == b_lo
+        assert len(a_hi) == 24
+        if a_lo is not None:
+            assert a_lo < a_hi
+    # all interior cuts inside [lo, hi]
+    for _, cut in ranges[:-1]:
+        assert lo <= cut <= hi
+
+
+def test_plan_object_id_ranges_degenerate():
+    assert plan_object_id_ranges("a" * 24, "a" * 24, 8) == [(None, None)]
+    assert plan_object_id_ranges("0" * 24, "f" * 24, 1) == [(None, None)]
+    with pytest.raises(InputError):
+        plan_object_id_ranges("f" * 24, "0" * 24, 2)
+
+
+def test_live_mode_without_pymongo_raises_actionable_error():
+    reader = MongoDataSourceReader(
+        {"mode": "live", "database": "db", "collection": "c"}
+    )
+    with pytest.raises(InputError, match="pymongo"):
+        reader.partitions()
