@@ -57,6 +57,7 @@ _PRIORITY = [
     "dedup_exact", "ann_cosine_topk", "dedup_minhash_pairs",
     "approx_distinct_users_sketch", "s3_mongo_datasource_scan",
     "text_ngram_counts", "text_pii_mask", "doc_stats_by_lang",
+    "dedup_components_bigstar", "dedup_minhash_canonical",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

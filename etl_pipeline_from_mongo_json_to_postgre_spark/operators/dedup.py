@@ -193,6 +193,37 @@ def dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+def dedup_minhash_canonical(spark, sf_dir):
+    """End of the MinHash dedup pipeline: every document is assigned a
+    canonical doc_id = the smallest id among itself and its LSH-verified
+    near-dup partners (single-hop keep-first semantics, the text twin of
+    similarity.dedup_embedding_cosine). Documents with too few shingles
+    for a signature keep themselves (nothing to compare).
+
+    Scale shape: the pair list from dedup_minhash_pairs is tiny relative
+    to the corpus (near-dups only), so the canonical join is
+    partner-list x corpus on doc_id — one shuffle keyed by id, and the
+    min() combines map-side."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    partner_min = (
+        pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("p"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("p")))
+        .groupBy("doc_id")
+        .agg(F.min("p").alias("min_partner"))
+    )
+    return (
+        d.join(partner_min, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce("min_partner", F.col("doc_id"))
+            ).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col("canonical_id") != F.col("doc_id"))
+    )
+
+
 def dedup_minhash_pairs_fast(spark, sf_dir):
     """MinHash-LSH candidate pairs (fast path, xxhash64 end-to-end —
     Spark-native, not SQL-reproducible; driver records a rows-only
@@ -440,6 +471,42 @@ ORACLE_SQL = {
         FROM cand
         WHERE ({_EST_JACCARD_TERMS}) / 16.0 >= {JACCARD_THRESHOLD}
     """,
+    "dedup_minhash_canonical": _duck_sig_cte()
+    + f"""
+        , sigs AS (
+            SELECT doc_id, {_MH_SELECT}
+            FROM shingled WHERE len(sh) > 0
+        ), bands AS (
+            SELECT s.*, b.band,
+                   CASE b.band
+                       WHEN 0 THEN [mh0, mh1, mh2, mh3]
+                       WHEN 1 THEN [mh4, mh5, mh6, mh7]
+                       WHEN 2 THEN [mh8, mh9, mh10, mh11]
+                       ELSE [mh12, mh13, mh14, mh15]
+                   END AS bkey
+            FROM sigs s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   {", ".join(f"a.mh{j} AS amh{j}" for j in range(16))},
+                   {", ".join(f"b.mh{j} AS bmh{j}" for j in range(16))}
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ), good AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE ({_EST_JACCARD_TERMS}) / 16.0 >= {JACCARD_THRESHOLD}
+        ), partners AS (
+            SELECT doc_a AS doc_id, doc_b AS p FROM good
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS p FROM good
+        ), pm AS (
+            SELECT doc_id, min(p) AS mp FROM partners GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(pm.mp, d.doc_id)) AS canonical_id,
+               least(d.doc_id, coalesce(pm.mp, d.doc_id)) <> d.doc_id
+                   AS is_duplicate
+        FROM documents d LEFT JOIN pm ON pm.doc_id = d.doc_id
+    """,
     "dedup_simhash": f"""
         WITH words AS (
             SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
@@ -476,6 +543,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_canonical": dedup_minhash_canonical,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_pairs_fast": dedup_minhash_pairs_fast,  # rows-only (xxhash64)

@@ -171,22 +171,30 @@ EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 NUM_PAT = "[0-9]{3,}"
 
 
+def pii_mask_cols(text_col):
+    """The masking expressions as reusable columns (emails first, then
+    digit runs over the already-email-masked text, so an address's
+    digits aren't double-counted). Unit-tested on crafted strings in
+    tests/test_text_ops.py — the synthetic corpus exercises only the
+    digit-run branch."""
+    n_emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_PAT), F.lit(0)))
+    masked1 = F.regexp_replace(text_col, EMAIL_PAT, "<EMAIL>")
+    n_nums = F.size(F.regexp_extract_all(masked1, F.lit(NUM_PAT), F.lit(0)))
+    masked = F.regexp_replace(masked1, NUM_PAT, "<NUM>")
+    return (
+        masked.alias("masked_text"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_nums.cast("bigint").alias("n_numbers"),
+    )
+
+
 def text_pii_mask(spark, sf_dir):
     """PII scrubbing pass (training-data hygiene): emails -> <EMAIL>,
     long digit runs (ids/phones/accounts) -> <NUM>, with per-doc match
     counts for the redaction audit. Pure per-row projection — runs in
     the scan stage, zero shuffle, trivially parallel at 100 TB."""
     d = _docs(spark, sf_dir)
-    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_PAT), F.lit(0)))
-    masked1 = F.regexp_replace(F.col("text"), EMAIL_PAT, "<EMAIL>")
-    n_nums = F.size(F.regexp_extract_all(masked1, F.lit(NUM_PAT), F.lit(0)))
-    masked = F.regexp_replace(masked1, NUM_PAT, "<NUM>")
-    return d.select(
-        "doc_id",
-        masked.alias("masked_text"),
-        n_emails.cast("bigint").alias("n_emails"),
-        n_nums.cast("bigint").alias("n_numbers"),
-    )
+    return d.select("doc_id", *pii_mask_cols(F.col("text")))
 
 
 def doc_stats_by_lang(spark, sf_dir):

@@ -110,3 +110,36 @@ def test_brute_force_query_bound_guard(spark, sf_dir):
 
     with pytest.raises(ValueError, match="brute-force"):
         ann_cosine_topk(spark, sf_dir, n_queries=MAX_BRUTE_FORCE_QUERIES + 1)
+
+
+def test_bigstar_components_on_pathological_graphs(spark):
+    """Star contraction must be exact on shapes the LSH pair graph never
+    produces: a long chain (worst case for label propagation), a giant
+    star, a forest with singleton-free merge order, and an empty graph."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        connected_components_bigstar,
+    )
+
+    def labels_of(edges):
+        df = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+        if not edges:
+            df = df.where("a != a")
+        out = connected_components_bigstar(df)
+        return {r.vec_id: r.lbl for r in out.collect()}
+
+    # 100-vertex chain: diameter 99, must still converge in O(log^2 n)
+    chain = [(i, i + 1) for i in range(100)]
+    got = labels_of(chain)
+    assert got == {i: 0 for i in range(1, 101)} | {0: 0}
+
+    # giant star centered on the LARGEST id (worst orientation)
+    star = [(100, i) for i in range(100)]
+    assert labels_of(star) == {i: 0 for i in range(1, 101)} | {0: 0}
+
+    # two components + reversed/duplicated/self-loop edges
+    messy = [(5, 3), (3, 5), (3, 1), (7, 7), (10, 12), (12, 11)]
+    got = labels_of(messy)
+    assert got == {3: 1, 5: 1, 1: 1, 10: 10, 11: 10, 12: 10}
+
+    # empty edge set -> no labels
+    assert labels_of([]) == {}
