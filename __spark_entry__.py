@@ -23,6 +23,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     analytics,
     dedup,
     multimodal,
+    profiling,
     scalar_funcs,
     similarity,
     skew,
@@ -33,20 +34,21 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.sources import mongo_datasour
 from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as streaming_events
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
-            similarity, skew, multimodal, streaming_events, mongo_datasource)
+            similarity, skew, multimodal, streaming_events, mongo_datasource,
+            profiling)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-3 ordering rule: entries needing fresh driver evidence
 # come first, previously-green-and-unchanged code last:
 #   1. the 7 rows red in round 2 (6 TIMESTAMP_NTZ casualties, fixed at the
 #      loader choke point, + the mm_binary_stats oracle-typing fix),
-#   2. the 31 rows whose only driver evidence is round 1 (their code is
-#      unchanged, but evidence should not go stale two rounds running),
+#   2. queries whose implementation changed this round (dedup_exact shuffle
+#      key, ann_cosine_topk guard, dedup_minhash_pairs cache lifecycle) and
+#      queries newly added this round — these have no driver evidence yet,
 #   3. the 5 round-1 reds fixed in round 2 — one more green round to
 #      confirm stability,
-#   4. queries whose implementation changed this round (dedup_exact shuffle
-#      key, ann_cosine_topk guard, dedup_minhash_pairs cache lifecycle) and
-#      queries newly added this round,
+#   4. rows whose only driver evidence is round 1 (code unchanged, but
+#      evidence should not go stale two rounds running),
 #   5. remainder in module order (green in round 2, code unchanged).
 _PRIORITY = [
     # -- 1: red in round 2, fixed this round -------------------------------
@@ -58,6 +60,7 @@ _PRIORITY = [
     "approx_distinct_users_sketch", "s3_mongo_datasource_scan",
     "text_ngram_counts", "text_pii_mask", "doc_stats_by_lang",
     "dedup_components_bigstar", "dedup_minhash_canonical",
+    "dq_column_profile", "dq_null_violations", "sample_stratified",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",
@@ -71,13 +74,18 @@ _PRIORITY = [
     "o1_sort_topn", "o2_sort_multikey",
     "p9_filter_eq", "p10_size_filter", "p11_positive_filter",
     "w1_running_total", "w2_offset_rank_funcs",
-    "tumbling_window_agg", "sliding_window_agg",
+    "tumbling_window_agg",
+    # Entries 51+ (outside the window) are chosen for LOWEST marginal
+    # evidence value: sliding_window_agg shares its plan with the
+    # driver-checked stream_windowed_counts/tumbling pair; tpch_q5/q14
+    # execute end-to-end in every bench run; scalar_subquery_above_avg is
+    # a two-operator query; dedup_minhash_pairs_fast is the one rows-only
+    # entry (no SQL oracle) and is pinned against the portable variant in
+    # tests/test_dedup_behavior.py. All remain covered by the local
+    # oracle-parity suite every run.
+    "sliding_window_agg",
     "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
     "scalar_subquery_above_avg",
-    # dedup_minhash_pairs_fast is position 51 BY CHOICE: it is the one
-    # rows-only entry (no SQL oracle), so it contributes the least
-    # driver evidence; behavior is pinned against the portable variant
-    # in tests/test_dedup_behavior.py every run.
     "dedup_minhash_pairs_fast",
     # -- 5: remainder keeps module order -----------------------------------
 ]

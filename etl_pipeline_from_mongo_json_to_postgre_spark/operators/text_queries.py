@@ -135,6 +135,33 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+STRATUM_K = 20
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: exactly K docs per language,
+    ranked by a scrambled key — the reproducible equivalent of
+    sampleBy() (whose Bernoulli draws give only EXPECTED strata sizes
+    and change across retries/reruns). Window rank per stratum is one
+    shuffle on lang; a hot stratum stays bounded because only
+    rank <= K rows survive each partition's local sort.
+
+    The ordering key is the Knuth-multiplied doc_id (same family as
+    sample_hash_mod) rather than ingestion order, so the sample is
+    decorrelated from id assignment while staying pure integer
+    arithmetic both engines reproduce exactly."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    order_key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007))
+    w = Window.partitionBy("lang").orderBy(order_key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= STRATUM_K)
+        .select("doc_id", "lang", "rk")
+    )
+
+
 TOP_NGRAMS = 50
 
 
@@ -302,6 +329,16 @@ ORACLE_SQL = {
                len(regexp_extract_all(t1, '{NUM_PAT}')) AS n_numbers
         FROM m1
     """,
+    "sample_stratified": f"""
+        SELECT doc_id, lang, rk FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {STRATUM_K}
+    """,
     "doc_stats_by_lang": """
         SELECT lang,
                count(*) AS n_docs,
@@ -325,4 +362,5 @@ QUERIES = {
     "text_ngram_counts": text_ngram_counts,
     "text_pii_mask": text_pii_mask,
     "doc_stats_by_lang": doc_stats_by_lang,
+    "sample_stratified": sample_stratified,
 }

@@ -96,3 +96,18 @@ def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
     exchange = plan.split("Exchange hashpartitioning")[1].splitlines()[0]
     assert "_h" in exchange
     assert "text" not in exchange
+
+
+def test_ngram_counts_partial_agg_and_topk(spark, sf_dir):
+    """Corpus census scale shape: bigram counts must partial-aggregate
+    map-side (one Exchange carrying (bigram, partial_count)) and take
+    the top-50 via TakeOrderedAndProject, never a global sort."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.text_queries import (
+        text_ngram_counts,
+    )
+
+    plan = physical_plan(text_ngram_counts(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert plan.count("Exchange") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
