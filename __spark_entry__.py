@@ -74,15 +74,16 @@ _PRIORITY = [
     "o1_sort_topn", "o2_sort_multikey",
     "p9_filter_eq", "p10_size_filter", "p11_positive_filter",
     "w1_running_total", "w2_offset_rank_funcs",
-    "tumbling_window_agg",
     # Entries 51+ (outside the window) are chosen for LOWEST marginal
-    # evidence value: sliding_window_agg shares its plan with the
-    # driver-checked stream_windowed_counts/tumbling pair; tpch_q5/q14
-    # execute end-to-end in every bench run; scalar_subquery_above_avg is
-    # a two-operator query; dedup_minhash_pairs_fast is the one rows-only
-    # entry (no SQL oracle) and is pinned against the portable variant in
+    # evidence value: tumbling/sliding_window_agg share their plan with
+    # the driver-checked stream_windowed_counts (same aggregation, batch
+    # scan vs readStream); tpch_q5/q14 execute end-to-end in every bench
+    # run; scalar_subquery_above_avg is a two-operator query;
+    # dedup_minhash_pairs_fast is the one rows-only entry (no SQL oracle)
+    # and is pinned against the portable variant in
     # tests/test_dedup_behavior.py. All remain covered by the local
     # oracle-parity suite every run.
+    "tumbling_window_agg",
     "sliding_window_agg",
     "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
     "scalar_subquery_above_avg",

@@ -110,3 +110,79 @@ def test_stream_load_foreachbatch(spark, sf_dir):
     assert seen["data"] == n_events
     assert seen["audit"] == n_events  # every doc castable -> success
     assert seen["bad"] == 0
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Watermark semantics pinned end-to-end: a second micro-batch
+    carrying an event 10 hours older than the advanced watermark must
+    NOT resurrect its (finalized) window in append mode, while an
+    on-time event in the same batch lands normally. This is the
+    late-data contract the 100 TB streaming path relies on for bounded
+    state."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming.events import (
+        windowed_counts,
+    )
+
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        # one file per batch dir -> one micro-batch each (maxFilesPerTrigger=1)
+        part = [f for f in os.listdir(str(tmp_path / name)) if f.endswith(".parquet")][0]
+        os.link(os.path.join(str(tmp_path / name), part), os.path.join(watch, name))
+
+    from datetime import datetime
+
+    t = lambda h, m=0: datetime(2024, 3, 1, h, m)
+    # Watermark propagation lags: the late-row filter in batch N uses
+    # the watermark derived from data through batch N-2 (one batch to
+    # observe the max event time, one to commit it). The advancing
+    # event therefore needs TWO batches before the late arrival.
+    write_batch("b1.parquet", [
+        (1, t(1, 10), 7, "click", 1.0, "{}"),
+        (2, t(1, 20), 7, "click", 1.0, "{}"),
+    ])
+    write_batch("b2.parquet", [
+        (3, t(13, 0), 7, "click", 1.0, "{}"),   # advances max event time
+    ])
+    write_batch("b3.parquet", [
+        (6, t(13, 10), 7, "click", 1.0, "{}"),  # spacer: watermark commits 11:00
+    ])
+    write_batch("b4.parquet", [
+        (4, t(1, 30), 7, "click", 1.0, "{}"),   # 9.5h behind watermark: dropped
+        (5, t(13, 30), 7, "click", 1.0, "{}"),  # on time
+    ])
+
+    schema = spark.read.parquet(str(tmp_path / "b1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("late_data_check")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_late_"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    finalized = {
+        (r.window_start.hour, r.cnt) for r in spark.table("late_data_check").collect()
+    }
+    # the 01:00 window finalized with ONLY the two on-time events —
+    # event 4 (late beyond watermark) must not have been counted
+    assert (1, 2) in finalized
+    assert (1, 3) not in finalized
