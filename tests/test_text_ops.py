@@ -37,3 +37,28 @@ def test_pii_mask_email_digits_not_double_masked(spark):
     r = df.head()
     assert r.masked_text == "contact <EMAIL> now"
     assert (r.n_emails, r.n_numbers) == (1, 0)
+
+
+def test_pii_mask_properties(spark):
+    """Property-style invariants over generated strings: masking is
+    idempotent, and masked output never contains a 3+ digit run or an
+    email-shaped token."""
+    import itertools
+    import re
+
+    frags = ["ok", "a@b.cc", "12", "1234", "x9y", "go 555123 go", ".", "@"]
+    texts = [" ".join(p) for p in itertools.permutations(frags, 3)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = df.select("text", *pii_mask_cols(F.col("text")))
+    twice = once.select(
+        F.col("masked_text").alias("text2"),
+        *pii_mask_cols(F.col("masked_text")),
+    )
+    email_re = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    for r in once.collect():
+        assert not re.search(r"[0-9]{3,}", r.masked_text), r.masked_text
+        assert not email_re.search(r.masked_text), r.masked_text
+    for r in twice.collect():
+        # idempotent: nothing left to mask on the second pass
+        assert r.masked_text == r.text2
+        assert (r.n_emails, r.n_numbers) == (0, 0)
