@@ -31,7 +31,7 @@ from ..functions.text import (
     word_hashes,
 )
 from ..session import tune_for_oracle
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 
 # Fixed minhash permutation parameters (a*h + b) % MOD — deterministic,
 # embedded identically in both engines.
@@ -47,7 +47,9 @@ JACCARD_THRESHOLD = 0.5
 
 def _docs(spark, sf_dir):
     tune_for_oracle(spark)
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: single-row-group scans single-thread the shingle/minhash
+    # (and regex) pipelines otherwise; no-op on pre-split input
+    return fan_out(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _words(col):

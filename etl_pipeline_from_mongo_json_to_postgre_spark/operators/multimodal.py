@@ -31,7 +31,7 @@ from pyspark.sql.types import (
 )
 
 from ..session import tune_for_oracle
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 
 MEDIA_SCHEMA = StructType(
     [
@@ -58,7 +58,9 @@ def documents_as_media(spark, sf_dir) -> DataFrame:
     """Synthesize a media table from documents: utf-8 payload bytes +
     metadata. Stands in for an image/audio table with the same shape."""
     tune_for_oracle(spark)
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: mapInPandas decode/feature batches single-thread on a
+    # one-row-group scan otherwise
+    d = fan_out(spark, load_table(spark, sf_dir, "documents"))
     # single-rowgroup local file -> 1 scan task; spread rows so the
     # Arrow-batched Python stages downstream use every core
     target = spark.sparkContext.defaultParallelism

@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import Column, functions as F
 
 from ..session import tune_for_oracle
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 
 DIM = 64
 N_BANDS = 4
@@ -82,7 +82,10 @@ def _norm(a: Column) -> Column:
 
 def _vectors(spark, sf_dir):
     tune_for_oracle(spark)
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the single-row-group scan would otherwise run EVERY
+    # hyperplane dot product in one task (measured: the whole LSH
+    # pipeline single-threaded at sf0.1)
+    e = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     return e.select(
         "vec_id",
         _emb_d(F.col("embedding")).alias("v"),

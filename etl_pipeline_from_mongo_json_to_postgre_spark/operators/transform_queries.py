@@ -26,7 +26,7 @@ from ..functions.casts import multi_format_date, multi_format_timestamp, normali
 from ..operators.transform import transform_collection
 from ..plans.mapping_plan import MappingPlan
 from ..session import tune_for_oracle
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 
 RUN_TS = "2024-06-01 00:00:00"
 
@@ -50,14 +50,8 @@ _ORDERS_PLAN = MappingPlan.from_config(
 )
 
 
-def _fan_out(spark, df):
-    """The testdata parquet is one row group per table, so a scan is ONE
-    task; repartition so the CPU-heavy JSON transform uses every core.
-    On a real cluster the scan arrives pre-split and this shuffle (tiny:
-    it moves the raw rows once) is unnecessary — it exists because
-    single-file-single-rowgroup input is the local worst case."""
-    target = spark.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target // 2 else df
+# shared scan fan-out lives in sources.parquet.fan_out
+_fan_out = fan_out
 
 
 def _orders_as_docs(spark, sf_dir):

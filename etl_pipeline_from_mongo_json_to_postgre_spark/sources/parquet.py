@@ -92,6 +92,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_timestamps(df)
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a narrow scan up to the session's parallelism.
+
+    The testdata parquet is one row group per table, so a scan is ONE
+    task and any CPU-heavy per-row pipeline downstream (minhash folds,
+    hyperplane dots, JSON transforms) single-threads. On a real cluster
+    the scan arrives pre-split and this no-ops (partitions >= target/2);
+    locally the shuffle moves the raw rows once and buys full-core
+    execution of everything above it.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target // 2:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 

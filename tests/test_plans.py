@@ -108,6 +108,9 @@ def test_ngram_counts_partial_agg_and_topk(spark, sf_dir):
 
     plan = physical_plan(text_ngram_counts(spark, sf_dir))
     assert plan.count("HashAggregate") == 2  # partial + final
-    assert plan.count("Exchange") == 1
+    # exactly ONE key shuffle (the aggregation); the only other allowed
+    # exchange is the round-robin scan fan-out (sources.parquet.fan_out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") - plan.count("Exchange RoundRobinPartitioning") == 1
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort stage
