@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     analytics,
+    corpus,
     dedup,
+    incremental,
     multimodal,
     profiling,
     scalar_funcs,
@@ -35,7 +37,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as st
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
-            profiling)
+            profiling, corpus, incremental)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-3 ordering rule: entries needing fresh driver evidence
@@ -61,28 +63,34 @@ _PRIORITY = [
     "text_ngram_counts", "text_pii_mask", "doc_stats_by_lang",
     "dedup_components_bigstar", "dedup_minhash_canonical",
     "dq_column_profile", "dq_null_violations", "sample_stratified",
+    "contamination_ngram_overlap", "text_repetition_stats", "text_c4_filters",
+    "pack_sequences", "inc_upsert_latest", "inc_snapshot_diff",
+    "inc_scd2_intervals",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",
     # -- 4: only round-1 driver evidence (code unchanged; local parity
     #       suite also covers these every run) -----------------------------
-    "a1_pivot_status_count", "a2_group_count", "a3_conditional_count",
-    "a4_scalar_count", "a5_max_date", "a6_kpis", "a8_distinct",
+    "a1_pivot_status_count", "a5_max_date", "a6_kpis",
     "a9_rollup_counts", "a10_cube_counts", "a11_grouping_sets",
     "j1_outer_join", "j2_lookup_join", "j3_anti_join", "j4_semi_join",
     "u1_explode_words", "u2_dedup_first", "u3_set_except", "u4_set_intersect",
     "o1_sort_topn", "o2_sort_multikey",
-    "p9_filter_eq", "p10_size_filter", "p11_positive_filter",
     "w1_running_total", "w2_offset_rank_funcs",
     # Entries 51+ (outside the window) are chosen for LOWEST marginal
-    # evidence value: tumbling/sliding_window_agg share their plan with
-    # the driver-checked stream_windowed_counts (same aggregation, batch
+    # evidence value: zero-evidence new code above always outranks
+    # stale-but-green rows. p9/p10/p11 and a2/a3/a4/a8 are single-operator
+    # filter/count queries, r1-driver-green, code unchanged since, and
+    # re-verified by the local oracle-parity suite every run;
+    # tumbling/sliding_window_agg share their plan with the
+    # driver-checked stream_windowed_counts (same aggregation, batch
     # scan vs readStream); tpch_q5/q14 execute end-to-end in every bench
     # run; scalar_subquery_above_avg is a two-operator query;
     # dedup_minhash_pairs_fast is the one rows-only entry (no SQL oracle)
     # and is pinned against the portable variant in
-    # tests/test_dedup_behavior.py. All remain covered by the local
-    # oracle-parity suite every run.
+    # tests/test_dedup_behavior.py.
+    "p9_filter_eq", "p10_size_filter", "p11_positive_filter",
+    "a2_group_count", "a3_conditional_count", "a4_scalar_count", "a8_distinct",
     "tumbling_window_agg",
     "sliding_window_agg",
     "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",

@@ -1,0 +1,310 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+contamination detection, repetition-quality signals (Gopher-style),
+C4-style heuristic filters, and deterministic sequence packing.
+
+These extend the reference's transform/audit surface (its quality
+gates are per-field validation, ui/audit_dashboard.py KPI queries) to
+the document-corpus operations a pretraining pipeline runs at 100 TB.
+Every query is a pure DataFrame plan with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import tune_for_oracle
+from ..sources.parquet import fan_out, load_table
+
+
+def _docs(spark, sf_dir):
+    tune_for_oracle(spark)
+    return fan_out(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: exact word-8-gram overlap between the corpus
+# and a held-out "benchmark" set (here a deterministic doc_id slice; in
+# production the eval-suite documents).
+# ---------------------------------------------------------------------------
+
+N_GRAM = 8
+BENCH_MOD = 25
+
+
+def _gram_rows(d):
+    """Explode each doc into its distinct word-8-grams, keyed by a
+    64-bit hash. The hash (not the gram text) is what crosses the
+    shuffle: at 100 TB the join key drops from ~60 bytes of text to 8
+    bytes, and distinct-ness is computed on the hash map-side."""
+    w = _words(F.col("text"))
+    staged = d.where(F.size(w) >= N_GRAM).select("doc_id", w.alias("w"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (N_GRAM - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice("w", i, N_GRAM), " ")),
+    )
+    return (
+        staged.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+
+
+def contamination_ngram_overlap(spark, sf_dir):
+    """Decontamination scan: for every non-benchmark document, the
+    number of distinct 8-grams it shares with the benchmark slice.
+
+    Scale shape: both sides reduce to (key, gram-hash) pairs before the
+    equi-join — the classic broadcast case, since the benchmark side
+    (an eval suite) is tiny relative to the corpus; Spark's AQE
+    broadcasts it from runtime stats, and the candidate side never
+    shuffles document text at all. Output rows only for contaminated
+    docs (the join is the filter).
+
+    The oracle joins on the gram *string*; Spark joins on xxhash64 of
+    the gram — identical results absent 64-bit collisions (~1e-13 at
+    1e6 distinct grams / doc corpus scale here).
+    """
+    d = _docs(spark, sf_dir)
+    grams = _gram_rows(d)
+    bench = grams.where(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    cand = grams.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        cand.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher repetition filters, adapted to the
+# single-line corpus: duplicate-word fraction and top-bigram fraction).
+# ---------------------------------------------------------------------------
+
+
+def text_repetition_stats(spark, sf_dir):
+    """Per-document repetition quality signals: fraction of repeated
+    words (1 - distinct/total) and the share of the single most common
+    bigram among all bigrams — high values flag degenerate/looping text.
+
+    Scale shape: dup_word_frac is a pure array expression inside the
+    scan stage. top_bigram_frac needs per-(doc, bigram) counts: the
+    groupBy key is (doc_id, bigram) so the shuffle carries counts, and
+    the follow-up per-doc max/sum plus the re-join with the scalar
+    stats are both keyed by doc_id — AQE coalesces them onto the same
+    hash partitioning, no extra wide exchange.
+    """
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    staged = d.where(F.size(w) >= 2).select(
+        "doc_id",
+        w.alias("w"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.round(
+            1.0 - F.size(F.array_distinct(w)).cast("double") / F.size(w), 4
+        ).alias("dup_word_frac"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + 1)
+        ),
+    )
+    per_bigram = (
+        staged.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("total_bi")
+    )
+    return (
+        staged.select("doc_id", "n_tokens", "dup_word_frac")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_word_frac",
+            F.round(
+                F.col("top_cnt").cast("double") / F.col("total_bi"), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic keep/drop filters.
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 20
+MAX_TOKENS = 1000
+MIN_DISTINCT_RATIO = 0.3
+STOPWORDS = ("the", "a")
+
+
+def text_c4_filters(spark, sf_dir):
+    """C4-style document filter flags (length band, vocabulary
+    diversity, contains-an-English-stopword) and the combined keep
+    decision. Pure per-row projection — runs inside the scan stage with
+    zero shuffle; at 100 TB the `keep` predicate pushes into the
+    pipeline before any expensive downstream op."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    n = F.size(w)
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    has_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) > 0
+    flags = {
+        "len_ok": (n >= MIN_TOKENS) & (n <= MAX_TOKENS),
+        "diversity_ok": distinct_ratio >= MIN_DISTINCT_RATIO,
+        "stopword_ok": has_stop,
+    }
+    keep = flags["len_ok"] & flags["diversity_ok"] & flags["stopword_ok"]
+    # flags emitted as 0/1 ints: identical canonical form in every
+    # engine/dataframe bridge (bool reprs differ across them)
+    return d.where(n > 0).select(
+        "doc_id",
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sequence packing: concatenate-and-chunk bin assignment.
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 2048
+SHARDS = 8
+
+
+def pack_sequences(spark, sf_dir):
+    """Training-sequence packing census: documents are concatenated in
+    deterministic (shard, doc_id) order and chunked into SEQ_LEN-token
+    bins; a doc belongs to the bin containing its first token. Returns
+    per-(shard, bin) doc and token counts — the shape a dataloader
+    manifest builder needs.
+
+    Scale shape: the running token sum is a window per shard, so state
+    never crosses shards; with thousands of shards this is
+    embarrassingly parallel after ONE hash shuffle on the shard key.
+    (A global single-order cumsum would serialize — that's why the
+    shard exists.) Membership is a pure function of doc_id, so retries
+    and re-runs pack identically.
+    """
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    toks = d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(SHARDS)).alias("shard"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(win)
+    return (
+        toks.select(
+            "shard",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / F.lit(SEQ_LEN)).alias("bin_id"),
+        )
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
+ORACLE_SQL = {
+    "contamination_ngram_overlap": f"""
+        WITH words AS (
+            SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+            WHERE len({_DUCK_WORDS}) >= {N_GRAM}
+        ), grams_raw AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - {N_GRAM} + 2),
+                          i -> array_to_string(w[i:i+{N_GRAM - 1}], ' '))) AS g
+            FROM words
+        ), grams AS (
+            SELECT DISTINCT doc_id, g FROM grams_raw
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0
+        )
+        SELECT doc_id, count(*) AS n_overlap
+        FROM grams JOIN bench USING (g)
+        WHERE doc_id % {BENCH_MOD} <> 0
+        GROUP BY doc_id
+    """,
+    "text_repetition_stats": f"""
+        WITH staged AS (
+            SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+            WHERE len({_DUCK_WORDS}) >= 2
+        ), per_bigram AS (
+            SELECT doc_id, bigram, count(*) AS cnt FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS bigram
+                FROM staged
+            ) GROUP BY doc_id, bigram
+        ), per_doc AS (
+            SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS total_bi
+            FROM per_bigram GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               len(s.w) AS n_tokens,
+               round(1.0 - CAST(len(list_distinct(s.w)) AS DOUBLE) / len(s.w), 4)
+                   AS dup_word_frac,
+               round(CAST(p.top_cnt AS DOUBLE) / p.total_bi, 4)
+                   AS top_bigram_frac
+        FROM staged s JOIN per_doc p USING (doc_id)
+    """,
+    "text_c4_filters": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len({_DUCK_WORDS}) AS n,
+                   CAST(len(list_distinct({_DUCK_WORDS})) AS DOUBLE)
+                       / len({_DUCK_WORDS}) AS dr,
+                   len(list_filter({_DUCK_WORDS},
+                       x -> x IN ('the', 'a'))) > 0 AS has_stop
+            FROM documents WHERE len({_DUCK_WORDS}) > 0
+        )
+        SELECT doc_id,
+               CAST(n >= {MIN_TOKENS} AND n <= {MAX_TOKENS} AS INT) AS len_ok,
+               CAST(dr >= {MIN_DISTINCT_RATIO} AS INT) AS diversity_ok,
+               CAST(has_stop AS INT) AS stopword_ok,
+               CAST((n >= {MIN_TOKENS} AND n <= {MAX_TOKENS})
+                   AND dr >= {MIN_DISTINCT_RATIO} AND has_stop AS INT) AS keep
+        FROM s
+    """,
+    "pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len({_DUCK_WORDS}) AS n_tokens,
+                   (doc_id * 2654435761) % {SHARDS} AS shard
+            FROM documents
+        ), binned AS (
+            SELECT shard, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {SEQ_LEN}) AS BIGINT) AS bin_id
+            FROM toks
+        )
+        SELECT shard, bin_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM binned GROUP BY shard, bin_id
+    """,
+}
+
+QUERIES = {
+    "contamination_ngram_overlap": contamination_ngram_overlap,
+    "text_repetition_stats": text_repetition_stats,
+    "text_c4_filters": text_c4_filters,
+    "pack_sequences": pack_sequences,
+}
