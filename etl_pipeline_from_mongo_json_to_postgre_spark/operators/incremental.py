@@ -54,30 +54,42 @@ def _changes(base):
     return updates.unionByName(inserts).withColumn("version", F.lit(2))
 
 
+def upsert_latest(base, changes, keys, version_col="version"):
+    """Generic MERGE/upsert primitive: union base and change rows, keep
+    the highest-version row per key. Idempotent — applying the same
+    change batch again is a no-op (its rows tie with themselves and
+    row_number keeps exactly one).
+
+    ONE shuffle keyed by ``keys``; the union is narrow. With the base
+    side bucketed on the same keys (storage.py) the exchange moves only
+    the change batch at scale."""
+    merged = base.unionByName(changes)
+    w = Window.partitionBy(*keys).orderBy(F.desc(version_col))
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 def inc_upsert_latest(spark, sf_dir):
     """MERGE/upsert with latest-wins semantics: base rows (version 1)
     unioned with the change batch (version 2), keep the highest-version
     row per key. This is the idempotent-load primitive the reference
-    lacks: applying the same change batch twice yields the same table.
+    lacks (its model is re-run the whole batch).
 
-    Plan: union -> row_number over (key ORDER BY version DESC) -> keep
-    rank 1. ONE shuffle keyed by o_orderkey; the union is free
-    (narrow). Output price rounded to cents so the doubles compare
-    exactly across engines.
+    Output price rounded to cents so the doubles compare exactly
+    across engines.
     """
     base = _orders(spark, sf_dir).withColumn("version", F.lit(1))
-    merged = base.unionByName(_changes(_orders(spark, sf_dir)))
-    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
-    return (
-        merged.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "o_orderstatus",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            "version",
-        )
+    return upsert_latest(
+        base, _changes(_orders(spark, sf_dir)), ["o_orderkey"]
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "version",
     )
 
 
