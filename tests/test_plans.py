@@ -98,6 +98,47 @@ def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
     assert "text" not in exchange
 
 
+def test_scd2_reuses_one_customer_shuffle(spark, sf_dir):
+    """All four window/group steps of the SCD2 build (change-flag lag,
+    island cumsum, per-island group-by, valid_to lead) must share ONE
+    hashpartitioning(o_custkey) exchange — a second exchange means
+    Catalyst lost the co-partitioning and the operator pays 2x shuffle
+    at scale."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.incremental import (
+        inc_scd2_intervals,
+    )
+
+    plan = physical_plan(inc_scd2_intervals(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_upsert_single_key_shuffle(spark, sf_dir):
+    """Latest-wins upsert is union + one row_number shuffle on the key;
+    the union itself must stay narrow (no exchange of its own)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.incremental import (
+        inc_upsert_latest,
+    )
+
+    plan = physical_plan(inc_upsert_latest(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(o_orderkey" in plan
+
+
+def test_contamination_shuffles_gram_hashes_not_text(spark, sf_dir):
+    """The contamination join must move 8-byte gram hashes, never gram
+    strings or document text, through its exchanges."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.corpus import (
+        contamination_ngram_overlap,
+    )
+
+    plan = physical_plan(contamination_ngram_overlap(spark, sf_dir))
+    assert "xxhash64" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
 def test_ngram_counts_partial_agg_and_topk(spark, sf_dir):
     """Corpus census scale shape: bigram counts must partial-aggregate
     map-side (one Exchange carrying (bigram, partial_count)) and take
