@@ -65,7 +65,7 @@ _PRIORITY = [
     "dq_column_profile", "dq_null_violations", "sample_stratified",
     "contamination_ngram_overlap", "text_repetition_stats", "text_c4_filters",
     "pack_sequences", "inc_upsert_latest", "inc_snapshot_diff",
-    "inc_scd2_intervals",
+    "inc_scd2_intervals", "inc_oplog_apply",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

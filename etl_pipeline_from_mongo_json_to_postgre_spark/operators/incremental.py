@@ -194,6 +194,92 @@ def inc_scd2_intervals(spark, sf_dir):
     )
 
 
+OPLOG_DEL_MOD = 11
+OPLOG_FIELD_MOD = 3
+
+
+def _oplog(spark, sf_dir):
+    """Synthetic Mongo-style change stream derived deterministically from
+    the events table: event_id is the oplog sequence (clusterTime order),
+    user_id the document key, and the op kind / touched fields come from
+    pure projections so both engines build bit-identical logs.
+
+    Ops: 'd' (delete), 'u_status' ($set status only), 'u_amount'
+    ($set amount only), 'i' (insert/replace: sets both fields).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_id") % OPLOG_DEL_MOD == 0, "d")
+        .when(F.col("event_id") % OPLOG_FIELD_MOD == 0, "u_status")
+        .when(F.col("event_id") % OPLOG_FIELD_MOD == 1, "u_amount")
+        .otherwise("i")
+    )
+    return ev.select(
+        F.col("user_id").alias("doc_key"),
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        F.when(op.isin("i", "u_status"), F.col("event_type")).alias("status"),
+        F.when(op.isin("i", "u_amount"), F.round("value", 2)).alias("amount"),
+    )
+
+
+def oplog_apply(ops, key="doc_key", seq="seq", op_col="op",
+                fields=("status", "amount"), delete_op="d"):
+    """Replay an ordered insert/update/delete op-log into final document
+    state — the Mongo change-stream materialization the reference's
+    re-run-the-whole-batch model cannot express.
+
+    Semantics (Mongo $set/replace style): a delete erases the document;
+    ops after the last delete rebuild it; each surviving field carries
+    the LAST value any surviving op set for it (partial updates leave
+    other fields alone). Keys whose final op is a delete (or that have
+    no surviving upsert) emit no row.
+
+    Plan: ONE hash shuffle on the key. The last-delete fence, the
+    per-field last-set-value (last_value IGNORE NULLS), and the
+    final-row pick (row_number DESC) are all windows over the same
+    (key) partitioning, so Catalyst reuses a single Exchange. At 100 TB
+    the log is partitioned by key at the source (Kafka/oplog shards),
+    making even that exchange a no-op.
+    """
+    w_all = Window.partitionBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fenced = (
+        ops.withColumn(
+            "_last_del",
+            F.max(F.when(F.col(op_col) == delete_op, F.col(seq))).over(w_all),
+        )
+        .where(
+            (F.col(op_col) != delete_op)
+            & (F.col(seq) > F.coalesce(F.col("_last_del"), F.lit(-1)))
+        )
+    )
+    w_ord = (
+        Window.partitionBy(key)
+        .orderBy(seq)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    for f_ in fields:
+        fenced = fenced.withColumn(
+            f_, F.last(F.col(f_), ignorenulls=True).over(w_ord)
+        )
+    w_last = Window.partitionBy(key).orderBy(F.desc(seq))
+    return (
+        fenced.withColumn("_rn", F.row_number().over(w_last))
+        .withColumn("n_ops", F.count("*").over(w_all))
+        .where(F.col("_rn") == 1)
+        .select(key, *fields, F.col(seq).alias("last_seq"), "n_ops")
+    )
+
+
+def inc_oplog_apply(spark, sf_dir):
+    """CDC op-log replay over the synthetic events-derived change stream
+    (see _oplog): final state of every live document key."""
+    tune_for_oracle(spark)
+    return oplog_apply(_oplog(spark, sf_dir))
+
+
 _CHANGES_SQL = f"""
         changes AS (
             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -208,6 +294,40 @@ _CHANGES_SQL = f"""
 """
 
 ORACLE_SQL = {
+    "inc_oplog_apply": f"""
+        WITH ops0 AS (
+            SELECT user_id AS doc_key, event_id AS seq, event_type, value,
+                   CASE WHEN event_id % {OPLOG_DEL_MOD} = 0 THEN 'd'
+                        WHEN event_id % {OPLOG_FIELD_MOD} = 0 THEN 'u_status'
+                        WHEN event_id % {OPLOG_FIELD_MOD} = 1 THEN 'u_amount'
+                        ELSE 'i' END AS op
+            FROM events
+        ), ops AS (
+            SELECT doc_key, seq, op,
+                   CASE WHEN op IN ('i', 'u_status') THEN event_type END AS status,
+                   CASE WHEN op IN ('i', 'u_amount') THEN round(value, 2) END AS amount
+            FROM ops0
+        ), fenced AS (
+            SELECT *,
+                   max(CASE WHEN op = 'd' THEN seq END)
+                       OVER (PARTITION BY doc_key) AS last_del
+            FROM ops
+            QUALIFY op <> 'd' AND seq > coalesce(last_del, -1)
+        ), filled AS (
+            SELECT doc_key, seq,
+                   last_value(status IGNORE NULLS) OVER w AS status,
+                   last_value(amount IGNORE NULLS) OVER w AS amount,
+                   row_number() OVER (PARTITION BY doc_key
+                                      ORDER BY seq DESC) AS rn,
+                   count(*) OVER (PARTITION BY doc_key) AS n_ops
+            FROM fenced
+            WINDOW w AS (PARTITION BY doc_key ORDER BY seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+        )
+        SELECT doc_key, status, amount, seq AS last_seq, n_ops
+        FROM filled WHERE rn = 1
+    """,
     "inc_upsert_latest": f"""
         WITH {_CHANGES_SQL},
         merged AS (
@@ -281,6 +401,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "inc_oplog_apply": inc_oplog_apply,
     "inc_upsert_latest": inc_upsert_latest,
     "inc_snapshot_diff": inc_snapshot_diff,
     "inc_scd2_intervals": inc_scd2_intervals,

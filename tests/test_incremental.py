@@ -57,6 +57,66 @@ def test_snapshot_diff_counts_match_slices(spark, sf_dir):
     diff.unpersist()
 
 
+def test_oplog_apply_known_answer(spark):
+    """Hand-built op-log with every tricky shape: partial updates keep
+    the other field, delete erases, ops after the last delete rebuild,
+    a trailing delete removes the key entirely."""
+    rows = [
+        # key 1: insert, partial status update, partial amount update
+        (1, 10, "i", "new", 5.0),
+        (1, 20, "u_status", "active", None),
+        (1, 30, "u_amount", None, 9.5),
+        # key 2: insert then delete -> absent
+        (2, 11, "i", "new", 1.0),
+        (2, 21, "d", None, None),
+        # key 3: insert, delete, re-insert -> only post-delete state
+        (3, 12, "i", "old", 2.0),
+        (3, 22, "d", None, None),
+        (3, 32, "i", "reborn", 3.0),
+        # key 4: update with no prior insert after fence -> still a doc
+        # (upsert semantics), fields only what the op set
+        (4, 13, "u_status", "ghost", None),
+    ]
+    ops = spark.createDataFrame(
+        rows, "doc_key int, seq int, op string, status string, amount double"
+    )
+    got = {
+        r["doc_key"]: (r["status"], r["amount"], r["last_seq"], r["n_ops"])
+        for r in inc.oplog_apply(ops).collect()
+    }
+    assert got == {
+        1: ("active", 9.5, 30, 3),
+        3: ("reborn", 3.0, 32, 1),
+        4: ("ghost", None, 13, 1),
+    }
+
+
+def test_oplog_apply_single_exchange(spark, sf_dir):
+    """All three window passes share one hash partitioning on the key —
+    the physical plan must contain exactly ONE shuffle."""
+    plan = inc.inc_oplog_apply(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(doc_key", plan)
+    assert len(exchanges) == 1, plan
+
+
+def test_oplog_apply_no_key_ends_deleted(spark, sf_dir):
+    """No emitted key's op-log may end with a delete."""
+    final = inc.inc_oplog_apply(spark, sf_dir)
+    log = inc._oplog(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_key").orderBy(F.desc("seq"))
+    last_ops = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_key", "op")
+    )
+    dead = last_ops.where(F.col("op") == "d").select("doc_key")
+    assert final.join(dead, "doc_key", "inner").count() == 0
+
+
 def test_scd2_intervals_are_well_formed(spark, sf_dir):
     out = inc.inc_scd2_intervals(spark, sf_dir).cache()
     # islands are 1..n consecutive per customer
