@@ -66,6 +66,7 @@ _PRIORITY = [
     "contamination_ngram_overlap", "text_repetition_stats", "text_c4_filters",
     "pack_sequences", "inc_upsert_latest", "inc_snapshot_diff",
     "inc_scd2_intervals", "inc_oplog_apply",
+    "sample_domain_mix", "sample_token_budget",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

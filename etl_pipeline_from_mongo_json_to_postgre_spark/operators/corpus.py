@@ -221,6 +221,85 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-mix sampling: temperature-scaled domain quotas and per-domain
+# token budgets (the "data mixing" stage of a pretraining pipeline).
+# ---------------------------------------------------------------------------
+
+MIX_MULT = 4.0          # quota multiplier (power of two: exact in FP)
+TOKEN_BUDGET = 2_000    # per-source token budget
+
+
+def sample_domain_mix(spark, sf_dir):
+    """Temperature-scaled domain-mix sampling: per-source quota
+    K_s = floor(MIX_MULT * sqrt(n_s)) — sqrt is the tau=2 temperature
+    that flattens the source distribution (big domains are downsampled
+    relatively, small ones kept nearly whole) — then exactly K_s docs
+    per source, ranked by a scrambled key.
+
+    Determinism: the quota uses only sqrt (IEEE exact-rounded) and a
+    power-of-two multiplier, so every engine computes the identical
+    double and floor; membership is then pure integer arithmetic. No
+    Bernoulli draws — reruns, task retries, and the oracle select the
+    same subset.
+
+    Scale shape: the count aggregate is map-side-combined and
+    domain-count-sized; the quota frame is tiny and broadcast back;
+    the rank is ONE shuffle on source, and only rank<=K rows survive
+    each partition's local top-K sort.
+    """
+    d = _docs(spark, sf_dir)
+    quota = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_s"))
+        .select(
+            "source",
+            F.floor(F.lit(MIX_MULT) * F.sqrt(F.col("n_s"))).alias("k_s"),
+        )
+    )
+    order_key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007))
+    w = Window.partitionBy("source").orderBy(order_key.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rk") <= F.col("k_s"))
+        .select("doc_id", "source", "rk")
+    )
+
+
+def sample_token_budget(spark, sf_dir):
+    """Token-budget sampling: walk each source's documents in
+    deterministic scrambled order and admit them until the per-source
+    token budget is exhausted (a doc is admitted if the budget wasn't
+    already spent before it — so the first over-budget doc still lands,
+    matching greedy dataloader packing).
+
+    Scale shape: one window cumsum per source — a single hash shuffle,
+    state bounded per source; the admitted set is budget-sized, so
+    everything downstream of this operator reads only what the mix
+    needs.
+    """
+    d = _docs(spark, sf_dir)
+    w_arr = _words(F.col("text"))
+    order_key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007))
+    toks = d.select(
+        "doc_id", "source",
+        F.size(w_arr).cast("bigint").alias("n_tokens"),
+        order_key.alias("ok"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy(F.col("ok").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(win)
+    return (
+        toks.withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
 ORACLE_SQL = {
     "contamination_ngram_overlap": f"""
         WITH words AS (
@@ -282,6 +361,40 @@ ORACLE_SQL = {
                    AND dr >= {MIN_DISTINCT_RATIO} AND has_stop AS INT) AS keep
         FROM s
     """,
+    "sample_domain_mix": f"""
+        WITH quota AS (
+            SELECT source,
+                   CAST(floor({MIX_MULT} * sqrt(count(*))) AS BIGINT) AS k_s
+            FROM documents GROUP BY source
+        ), ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, rk
+        FROM ranked JOIN quota USING (source)
+        WHERE rk <= k_s
+    """,
+    "sample_token_budget": f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len({_DUCK_WORDS}) AS n_tokens,
+                   (doc_id * 2654435761) % 1000000007 AS ok
+            FROM documents
+        ), cums AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY ok, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+        FROM cums
+        WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+    """,
     "pack_sequences": f"""
         WITH toks AS (
             SELECT doc_id,
@@ -307,4 +420,6 @@ QUERIES = {
     "text_repetition_stats": text_repetition_stats,
     "text_c4_filters": text_c4_filters,
     "pack_sequences": pack_sequences,
+    "sample_domain_mix": sample_domain_mix,
+    "sample_token_budget": sample_token_budget,
 }

@@ -67,3 +67,42 @@ def test_pack_sequences_conserves_tokens(spark, sf_dir):
     )
     assert agg.where((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count() == 0
     out.unpersist()
+
+
+def test_domain_mix_quota_is_exact(spark, sf_dir):
+    """Each source emits exactly min(n_s, floor(MIX_MULT*sqrt(n_s)))
+    docs, and small sources are downsampled less aggressively."""
+    import math
+
+    docs = corpus._docs(spark, sf_dir)
+    n_by_src = dict(docs.groupBy("source").count().collect())
+    out = corpus.sample_domain_mix(spark, sf_dir)
+    got = dict(out.groupBy("source").count().collect())
+    for src, n_s in n_by_src.items():
+        expect = min(n_s, math.floor(corpus.MIX_MULT * math.sqrt(n_s)))
+        assert got.get(src, 0) == expect, (src, got.get(src), expect)
+
+
+def test_domain_mix_deterministic(spark, sf_dir):
+    a = sorted(tuple(r) for r in corpus.sample_domain_mix(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in corpus.sample_domain_mix(spark, sf_dir).collect())
+    assert a == b
+
+
+def test_token_budget_greedy_frontier(spark, sf_dir):
+    """Every admitted doc started under budget; per source either the
+    budget is crossed by the last admitted doc or the source ran out."""
+    docs = corpus._docs(spark, sf_dir)
+    n_by_src = dict(docs.groupBy("source").count().collect())
+    out = corpus.sample_token_budget(spark, sf_dir).cache()
+    assert out.where(
+        F.col("cum_tokens") - F.col("n_tokens") >= corpus.TOKEN_BUDGET
+    ).count() == 0
+    last = out.groupBy("source").agg(
+        F.max("cum_tokens").alias("final_cum"), F.count("*").alias("n_docs")
+    )
+    for r in last.collect():
+        exhausted = r["final_cum"] >= corpus.TOKEN_BUDGET
+        ran_out = r["n_docs"] == n_by_src[r["source"]]
+        assert exhausted or ran_out, dict(r.asDict())
+    out.unpersist()
