@@ -24,6 +24,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     corpus,
     dedup,
     incremental,
+    kmeans,
     multimodal,
     profiling,
     scalar_funcs,
@@ -37,7 +38,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as st
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
-            profiling, corpus, incremental)
+            profiling, corpus, incremental, kmeans)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-3 ordering rule: entries needing fresh driver evidence
@@ -66,7 +67,7 @@ _PRIORITY = [
     "contamination_ngram_overlap", "text_repetition_stats", "text_c4_filters",
     "pack_sequences", "inc_upsert_latest", "inc_snapshot_diff",
     "inc_scd2_intervals", "inc_oplog_apply",
-    "sample_domain_mix", "sample_token_budget",
+    "sample_domain_mix", "sample_token_budget", "kmeans_train",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

@@ -1,0 +1,195 @@
+"""Distributed k-means (Lloyd) centroid training over the embeddings
+table — the trainer that produces the IVF coarse quantizer
+(similarity.CENTROIDS ships fixed seeded centroids "as if from a
+sampled k-means fit"; this is that fit, run distributed).
+
+Reference parity: the reference has no vector operations at all; this
+extends the engine's ANN family (similarity.py) with the one piece a
+production IVF index needs that the fixed literals stub out.
+
+Iterative algorithm => rows-only driver check (the correctness
+contract's documented category); the Lloyd invariants the oracle can't
+express are pinned in tests/test_kmeans.py (monotone non-increasing
+SSE, exact-argmin assignment vs numpy, determinism across runs,
+trained SSE beats the random-centroid init).
+
+Scale design (100 TB):
+* Assignment is a pure map-side expression — the K x DIM centroid
+  matrix is broadcast as literals (like similarity.CENTROIDS), and all
+  K scores evaluate as ONE consolidated HOF expression
+  (similarity._matrix_dots — measured 4-5x over independent folds).
+* The update step shuffles (cluster_id, dim_pos, partial_sum) triples
+  with map-side combine — shuffle volume is K*DIM*partitions, not
+  corpus-sized.
+* Per-iteration driver traffic is the K*DIM centroid matrix (~1024
+  doubles here) — metadata-scale, the same pattern as schema
+  inference; there is no corpus-sized collect.
+* All reductions run in DECIMAL, so partial-aggregation order (task
+  scheduling, AQE re-plans, retries) cannot perturb the result:
+  training is bit-deterministic, which retry-safe production pipelines
+  and this engine's rerun-stable sampling contract both require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import DIM, _emb_d, _matrix_dots, _vectors
+
+K = 16
+ITERS = 3
+# exact, order-free accumulation: |v| ~ N(0,1), sums < 1e7 at sf0.1 —
+# decimal(32,14) holds them with 14 exact fractional digits
+_ACC = "decimal(32,14)"
+
+
+def _init_centroids(vecs: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic init: the k corpus vectors with the smallest
+    scrambled key (Knuth-multiplied id — decorrelated from id order,
+    identical on every run/engine). k rows to the driver."""
+    scram = F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(1_000_000_007))
+    rows = (
+        vecs.select("vec_id", "v", scram.alias("sk"))
+        .orderBy("sk", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment as one map-side expression.
+
+    argmin_j ||v - c_j||^2 == argmax_j (v.c_j - ||c_j||^2 / 2), so the
+    score array is the consolidated dot-product HOF minus a literal
+    half-norm vector; array_position takes the FIRST max => ties break
+    to the lowest cluster id deterministically."""
+    half_norms = [sum(x * x for x in c) / 2.0 for c in centroids]
+    scores = F.zip_with(
+        _matrix_dots(F.col("v"), centroids),
+        F.array(*[F.lit(h) for h in half_norms]),
+        lambda d, h: d - h,
+    )
+    return vecs.select(
+        "vec_id", "v", scores.alias("_scores")
+    ).select(
+        "vec_id", "v",
+        F.array_position(
+            F.col("_scores"), F.array_max(F.col("_scores"))
+        ).cast("int").alias("cluster_id"),
+    )
+
+
+def _update(assigned: DataFrame, k: int) -> list[list[float]]:
+    """Mean update: decimal per-(cluster, dim) sums with map-side
+    combine; K*DIM rows back to the driver. Empty clusters keep their
+    previous centroid (handled by the caller via the returned dict)."""
+    sums = (
+        assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.sum(F.col("x").cast(_ACC)).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    acc: dict[int, list[float]] = {}
+    cnt: dict[int, int] = {}
+    for r in sums:
+        c = r["cluster_id"] - 1  # array_position is 1-based
+        acc.setdefault(c, [0.0] * DIM)[r["pos"]] = float(r["s"])
+        cnt[c] = r["n"]
+    return [
+        [x / cnt[c] for x in acc[c]] if c in cnt else None  # type: ignore[misc]
+        for c in range(k)
+    ]
+
+
+def _sse(assigned: DataFrame, centroids: list[list[float]]) -> float:
+    """Total within-cluster squared error, decimal-accumulated."""
+    sq = [sum(x * x for x in c) for c in centroids]
+    cvals = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    csq = F.array(*[F.lit(s) for s in sq])
+    vdot = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.element_at(cvals, F.col("cluster_id")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    vsq = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    d2 = vsq - 2.0 * vdot + F.element_at(csq, F.col("cluster_id"))
+    row = assigned.select(
+        F.sum(d2.cast(_ACC)).alias("sse")
+    ).collect()[0]
+    return float(row["sse"])
+
+
+def train(
+    spark: SparkSession,
+    vecs: DataFrame,
+    k: int = K,
+    iters: int = ITERS,
+    compute_history: bool = True,
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd iterations; returns (centroids, per-iteration SSE history,
+    measured AFTER each update — pass compute_history=False to skip
+    that extra pass per iteration). ``vecs`` needs (vec_id, v)."""
+    vecs = vecs.select("vec_id", "v").localCheckpoint(eager=True)
+    centroids = _init_centroids(vecs, k)
+    history: list[float] = []
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        updated = _update(assigned, k)
+        centroids = [
+            u if u is not None else centroids[i] for i, u in enumerate(updated)
+        ]
+        if compute_history:
+            history.append(_sse(_assign(vecs, centroids), centroids))
+    return centroids, history
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: train K=16 / 3 Lloyd iterations on the
+    embeddings table and emit the final per-cluster census
+    (cluster size + within-cluster SSE, rounded for stable canon).
+    Rows-only driver check — iterative FP algorithm; the semantic
+    invariants live in tests/test_kmeans.py."""
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    centroids, _ = train(spark, vecs, compute_history=False)
+    assigned = _assign(vecs, centroids)
+    sq = [sum(x * x for x in c) for c in centroids]
+    cvals = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    csq = F.array(*[F.lit(s) for s in sq])
+    vdot = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.element_at(cvals, F.col("cluster_id")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    vsq = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    d2 = vsq - 2.0 * vdot + F.element_at(csq, F.col("cluster_id"))
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum(d2.cast(_ACC)).cast("double"), 6).alias("sse"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {}
+
+QUERIES = {
+    "kmeans_train": kmeans_train,
+}
