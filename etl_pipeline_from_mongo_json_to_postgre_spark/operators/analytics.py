@@ -777,6 +777,113 @@ def scalar_subquery_above_avg(spark, sf_dir):
     )
 
 
+def tpch_q4_order_priority(spark, sf_dir):
+    """Q4-shaped: EXISTS-correlated semi-join — orders in a quarter
+    with at least one line shipped after the order date, counted per
+    priority. The semi-join carries only (l_orderkey, l_shipdate)
+    across the shuffle, the quarter filter pushes into the orders
+    scan, and the correlated ship>order predicate rides the equi-join
+    as a residual (no cross product)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """Q16-shaped: NOT IN anti-join + distinct-count — per (brand,
+    type-prefix, size) bucket, how many distinct suppliers ship the
+    part, excluding economy brands and excluding suppliers with
+    negative balance (the 'complaints' NOT IN subquery). The anti-join
+    side is dim-sized and broadcast; count_distinct shuffles only
+    (group-key, suppkey) pairs."""
+    p = _t(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").startswith("Brand#1") & (F.col("p_size") <= 25)
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.substring("p_type", 1, 6).alias("p_type_prefix"),
+            "p_size",
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+LATE_DAYS = 90
+
+
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """Q21-shaped: the hardest correlation pattern in TPC-H — for
+    finalized multi-supplier orders, suppliers whose line shipped late
+    (> LATE_DAYS after the order date) while EVERY other supplier on
+    the order shipped on time: one EXISTS (another supplier exists on
+    the order) and one NOT EXISTS (no OTHER supplier was late),
+    planned as a semi-join and an anti-join on the order key with the
+    supplier-inequality as a residual predicate.
+
+    Scale shape: lateness needs o_orderdate, so lineitem joins orders
+    ONCE up front (status filter pushed into the orders scan); the
+    semi/anti probes then reuse that same (l_orderkey)-partitioned
+    frame — three hash joins on one key, no cross products, output
+    per-supplier counts."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        ).alias("late"),
+    ).localCheckpoint(eager=True)  # three branches below read it
+    l1 = lines.where(F.col("late"))
+    l2 = lines.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lines.where(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == l3.k3) & (l1.l_suppkey != l3.s3),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same keys; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1016,6 +1123,43 @@ ORACLE_SQL: dict[str, str] = {
         INTERSECT
         SELECT DISTINCT s_nationkey AS nationkey FROM supplier
     """,
+    "tpch_q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q16_supplier_cnt": """
+        SELECT p_brand, substring(p_type, 1, 6) AS p_type_prefix, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p_brand NOT LIKE 'Brand#1%' AND p_size <= 25
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q21_waiting_supplier": f"""
+        WITH lines AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM lines l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM lines l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lines l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name
+    """,
     "tpch_q18_large_orders": """
         SELECT c.c_name, o.o_orderkey,
                CAST(o.o_orderdate AS DATE) AS order_day,
@@ -1108,5 +1252,8 @@ QUERIES = {
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
     "tpch_q18_large_orders": tpch_q18_large_orders,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+    "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
 }
