@@ -69,7 +69,7 @@ _PRIORITY = [
     "inc_scd2_intervals", "inc_oplog_apply",
     "sample_domain_mix", "sample_token_budget", "kmeans_train",
     "tpch_q4_order_priority", "tpch_q16_supplier_cnt",
-    "tpch_q21_waiting_supplier",
+    "tpch_q21_waiting_supplier", "zorder_bucket_census", "dq_histogram",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

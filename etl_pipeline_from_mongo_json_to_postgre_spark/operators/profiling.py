@@ -88,6 +88,70 @@ def dq_null_violations(spark, sf_dir):
     ).select("constraint_name", "violations", "n_rows")
 
 
+ZBUCKET_SHIFT = 26  # 32-bit key >> 26 = 64 census buckets
+
+
+def zorder_bucket_census(spark, sf_dir):
+    """Morton-key clustering census over lineitem (l_partkey,
+    l_suppkey): per Z-bucket (top 8 bits of the 32-bit interleaved
+    key), the row count and both dimensions' min/max spread. This is
+    the planning query behind storage.write_zordered — narrow per-
+    bucket min/max ranges on BOTH columns are exactly what makes the
+    clustered layout skippable (tests/test_zorder.py measures the
+    resulting row-group skip rates on real files).
+
+    The whole key is integer shift/mask arithmetic — stays in
+    whole-stage codegen, one hash shuffle on the bucket id."""
+    from ..storage import morton_key
+
+    tune_for_oracle(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    b = l.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]  # metadata-scale table stats, same values the oracle's
+    # scalar subqueries produce
+    z = morton_key(
+        F.col("l_partkey"), F.col("l_suppkey"),
+        (b[0], b[1]), (b[2], b[3]),
+    )
+    return (
+        l.select(
+            F.shiftright(z, ZBUCKET_SHIFT).alias("z_bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+    )
+
+
+def _zorder_census_sql() -> str:
+    from ..storage import zorder_sql
+
+    zexpr = zorder_sql(
+        "l_partkey", "l_suppkey",
+        ("(SELECT min(l_partkey) FROM lineitem)",
+         "(SELECT max(l_partkey) FROM lineitem)"),
+        ("(SELECT min(l_suppkey) FROM lineitem)",
+         "(SELECT max(l_suppkey) FROM lineitem)"),
+    )
+    return f"""
+        SELECT ({zexpr} >> {ZBUCKET_SHIFT})
+                   AS z_bucket,
+               count(*) AS n_rows,
+               min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+               min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+        FROM lineitem GROUP BY 1
+    """
+
+
 ORACLE_SQL = {
     "dq_column_profile": """
         WITH src AS (SELECT * FROM orders)
@@ -140,7 +204,51 @@ ORACLE_SQL = {
     """,
 }
 
+HIST_LO = 0.0
+HIST_HI = 500.0
+HIST_BUCKETS = 20
+
+
+def dq_histogram(spark, sf_dir):
+    """Equi-width histogram of event value per event_type
+    (width_bucket semantics: below-range -> bucket 0, above-range ->
+    n+1). The profiling companion to approx_value_quantiles when you
+    need the full shape, not point quantiles. One hash shuffle carrying
+    (type, bucket) counts — map-side combined, bucket census is
+    O(types x buckets) regardless of row count."""
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.width_bucket(
+                F.col("value"), F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_BUCKETS)
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+ORACLE_SQL["zorder_bucket_census"] = _zorder_census_sql()
+# DuckDB has no width_bucket; the CASE replicates Spark's exact
+# arithmetic (floor((v - lo) / ((hi - lo) / n)) + 1, out-of-range to
+# 0 / n+1) so boundary values bucket identically in both engines.
+ORACLE_SQL["dq_histogram"] = f"""
+    SELECT event_type,
+           CASE WHEN value < {HIST_LO} THEN 0
+                WHEN value >= {HIST_HI} THEN {HIST_BUCKETS + 1}
+                ELSE CAST(floor((value - {HIST_LO})
+                          / (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS}))
+                          AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+"""
+
 QUERIES = {
     "dq_column_profile": dq_column_profile,
     "dq_null_violations": dq_null_violations,
+    "zorder_bucket_census": zorder_bucket_census,
+    "dq_histogram": dq_histogram,
 }
