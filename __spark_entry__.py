@@ -25,6 +25,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     dedup,
     incremental,
     kmeans,
+    timeseries,
     multimodal,
     profiling,
     scalar_funcs,
@@ -38,7 +39,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as st
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
-            profiling, corpus, incremental, kmeans)
+            profiling, corpus, incremental, kmeans, timeseries)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-3 ordering rule: entries needing fresh driver evidence
@@ -70,6 +71,7 @@ _PRIORITY = [
     "sample_domain_mix", "sample_token_budget", "kmeans_train",
     "tpch_q4_order_priority", "tpch_q16_supplier_cnt",
     "tpch_q21_waiting_supplier", "zorder_bucket_census", "dq_histogram",
+    "ts_rolling_stats", "ts_user_cadence",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

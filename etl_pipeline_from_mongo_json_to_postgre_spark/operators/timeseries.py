@@ -1,0 +1,122 @@
+"""Time-series window operators over the events table (SURVEY §2
+extension family alongside streaming/: the batch-side temporal
+analytics the reference's audit dashboard trends would need at scale).
+
+Scale shape: every query here is window functions over ONE hash
+shuffle on the entity key (user_id); range frames are bounded by
+time, so per-partition state stays small no matter the history
+length. No Python, no collects — pure codegen window evaluation.
+
+Determinism: rolling sums go through DECIMAL (order-free), window
+ordering uses epoch microseconds with event_id tie-breaks, and the
+DuckDB oracles use the same integer range bounds (epoch_us) so frame
+membership is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import tune_for_oracle
+from ..sources.parquet import load_table
+
+ROLL_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def _events(spark, sf_dir):
+    tune_for_oracle(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def ts_rolling_stats(spark, sf_dir):
+    """Per-user rolling 1-hour activity: for every event, how many
+    events and how much value the user produced in the trailing hour
+    (inclusive), plus the gap to their previous event.
+
+    One shuffle: the range-frame rolling aggregates and the lag share
+    the same (user_id) partitioning and (epoch-micros) ordering, so
+    Catalyst evaluates both window specs over a single Exchange+Sort.
+    """
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("decimal(18,6)").alias("val_dec"),
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-ROLL_WINDOW_US, 0)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return staged.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w_range).alias("n_1h"),
+        F.sum("val_dec").over(w_range).cast("double").alias("sum_1h"),
+        (F.col("t_us") - F.lag("t_us").over(w_lag)).alias("gap_us"),
+    )
+
+
+def ts_user_cadence(spark, sf_dir):
+    """Per-user cadence profile: event count, active span, median
+    inter-event gap (exact, via the gap distribution), and the longest
+    silent stretch — the per-entity census behind engagement/session
+    analytics. Two chained aggregations on the SAME user_id key: the
+    gap window and both group-bys reuse one partitioning."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    gaps = (
+        ev.select(
+            "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+        )
+        .withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        F.median("gap_us").alias("median_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+ORACLE_SQL = {
+    "ts_rolling_stats": f"""
+        WITH staged AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t_us,
+                   CAST(value AS DECIMAL(18,6)) AS val_dec
+            FROM events
+        )
+        SELECT event_id, user_id,
+               count(*) OVER w_range AS n_1h,
+               CAST(sum(val_dec) OVER w_range AS DOUBLE) AS sum_1h,
+               t_us - lag(t_us) OVER w_lag AS gap_us
+        FROM staged
+        WINDOW
+            w_range AS (PARTITION BY user_id ORDER BY t_us
+                        RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING
+                        AND CURRENT ROW),
+            w_lag AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    """,
+    "ts_user_cadence": """
+        WITH gaps AS (
+            SELECT user_id, epoch_us(ts) AS t_us,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               max(t_us) - min(t_us) AS span_us,
+               median(gap_us) AS median_gap_us,
+               max(gap_us) AS max_gap_us
+        FROM gaps GROUP BY user_id
+    """,
+}
+
+QUERIES = {
+    "ts_rolling_stats": ts_rolling_stats,
+    "ts_user_cadence": ts_user_cadence,
+}

@@ -155,3 +155,17 @@ def test_ngram_counts_partial_agg_and_topk(spark, sf_dir):
     assert plan.count("Exchange") - plan.count("Exchange RoundRobinPartitioning") == 1
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort stage
+
+
+def test_ts_rolling_single_exchange(spark, sf_dir):
+    """ts_rolling_stats evaluates a range-frame rolling aggregate AND a
+    lag over the same (user_id) partitioning — the physical plan must
+    hash-shuffle exactly once, and nothing may leave whole-stage
+    codegen into Python."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        ts_rolling_stats,
+    )
+
+    plan = physical_plan(ts_rolling_stats(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
