@@ -71,12 +71,18 @@ _PRIORITY = [
     "sample_domain_mix", "sample_token_budget", "kmeans_train",
     "tpch_q4_order_priority", "tpch_q16_supplier_cnt",
     "tpch_q21_waiting_supplier", "zorder_bucket_census", "dq_histogram",
-    "ts_rolling_stats", "ts_user_cadence",
+    "ts_rolling_stats", "ts_user_cadence", "fuzzy_name_pairs",
+    "approx_distinct_rollup",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",
     # -- 4: only round-1 driver evidence (code unchanged; local parity
-    #       suite also covers these every run) -----------------------------
+    #       suite also covers these every run). Group 2 has grown past the
+    #       point where all of group 4 fits inside the 50-cap window; the
+    #       ordering within group 4 is therefore smallest-plan-first so the
+    #       rows that fall outside are the multi-operator ones with the
+    #       strongest local test coverage (joins/sets/windows, all pinned
+    #       in test_plans.py + test_oracle_parity.py). --------------------
     "a1_pivot_status_count", "a5_max_date", "a6_kpis",
     "a9_rollup_counts", "a10_cube_counts", "a11_grouping_sets",
     "j1_outer_join", "j2_lookup_join", "j3_anti_join", "j4_semi_join",

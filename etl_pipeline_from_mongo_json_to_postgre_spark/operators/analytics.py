@@ -133,6 +133,39 @@ def approx_distinct_users_sketch(spark, sf_dir):
     )
 
 
+def approx_distinct_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — the pattern that makes approximate
+    distinct counts work at 100 TB: build one Datasketches HLL sketch
+    per (event_type, day) partition, then MERGE the daily sketches up
+    to per-type totals (hll_union_agg) instead of re-scanning raw
+    rows. Daily sketches are what a production pipeline persists;
+    any rollup (weekly, monthly, all-time) is then sketch-sized work.
+
+    Driver-checkable contract (sketch bytes are engine-specific, like
+    approx_distinct_users): emit the exact count plus within_bound =
+    |merged-estimate - exact| / exact <= 5% (lgConfigK=12 => rsd
+    ~1.6%, 3x margin); the oracle asserts TRUE."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("approx_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
+    )
+
+
 def approx_distinct_users(spark, sf_dir):
     """HLL++ distinct-count VERIFICATION harness per event_type.
 
@@ -1123,6 +1156,12 @@ ORACLE_SQL: dict[str, str] = {
         INTERSECT
         SELECT DISTINCT s_nationkey AS nationkey FROM supplier
     """,
+    "approx_distinct_rollup": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+    """,
     "tpch_q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o
@@ -1253,6 +1292,7 @@ QUERIES = {
     "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
     "tpch_q18_large_orders": tpch_q18_large_orders,
     "tpch_q4_order_priority": tpch_q4_order_priority,
+    "approx_distinct_rollup": approx_distinct_rollup,
     "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
     "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,

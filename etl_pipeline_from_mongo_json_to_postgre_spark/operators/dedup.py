@@ -437,7 +437,56 @@ _SIMHASH_TERMS = " + ".join(
     for j in range(SIMHASH_BITS)
 )
 
+FUZZY_MAX_DIST = 3
+
+
+def fuzzy_name_pairs(spark, sf_dir):
+    """Blocked fuzzy record linkage over the part-name vocabulary:
+    candidate pairs share a blocking key (the name's noun), and only
+    candidates pay the levenshtein verify — the classic record-linkage
+    shape, never an all-pairs cross join.
+
+    Scale shape: names are DISTINCT'd first (entity vocabularies are
+    orders of magnitude smaller than fact tables — 64 names for 2000
+    parts here, same ratio at 100 TB where the dedup runs on the
+    vocabulary then maps back by equi-join); the self-join is an
+    equi-join on the block key; the quadratic cost is confined within
+    a block, which is why production blocking keys must be selective
+    (document-level analog: dedup_minhash_pairs' band buckets).
+    """
+    tune_for_oracle(spark)
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.select(
+            F.col("p_name").alias("name"),
+            F.element_at(F.split("p_name", " "), 2).alias("block"),
+        )
+        .distinct()
+    )
+    a = names.select(F.col("name").alias("name_a"), "block")
+    b = names.select(F.col("name").alias("name_b"), F.col("block").alias("block_b"))
+    return (
+        a.join(b, (F.col("block") == F.col("block_b"))
+               & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist")
+    )
+
+
 ORACLE_SQL = {
+    "fuzzy_name_pairs": f"""
+        WITH names AS (
+            SELECT DISTINCT p_name AS name,
+                   string_split(p_name, ' ')[2] AS block
+            FROM part
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name) AS dist
+        FROM names a JOIN names b
+          ON a.block = b.block AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         FROM documents GROUP BY text
@@ -542,6 +591,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
