@@ -25,6 +25,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     dedup,
     incremental,
     kmeans,
+    pca,
     timeseries,
     multimodal,
     profiling,
@@ -39,7 +40,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as st
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
-            profiling, corpus, incremental, kmeans, timeseries)
+            profiling, corpus, incremental, kmeans, timeseries, pca)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-3 ordering rule: entries needing fresh driver evidence
@@ -72,7 +73,7 @@ _PRIORITY = [
     "tpch_q4_order_priority", "tpch_q16_supplier_cnt",
     "tpch_q21_waiting_supplier", "zorder_bucket_census", "dq_histogram",
     "ts_rolling_stats", "ts_user_cadence", "fuzzy_name_pairs",
-    "approx_distinct_rollup",
+    "approx_distinct_rollup", "emb_pca_project",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

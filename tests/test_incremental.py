@@ -142,3 +142,60 @@ def test_scd2_intervals_are_well_formed(spark, sf_dir):
         F.col("nxt").isNotNull() & (F.col("valid_to") != F.col("nxt"))
     ).count() == 0
     out.unpersist()
+
+
+def test_oplog_apply_matches_sequential_fold(spark):
+    """Property: the distributed window-based replay equals a sequential
+    per-key fold of the same log (the semantics a single-node consumer
+    would produce), across randomized op sequences."""
+    from hypothesis import given, settings, strategies as st
+
+    op_strat = st.tuples(
+        st.integers(0, 4),                        # doc_key
+        st.sampled_from(["i", "u_status", "u_amount", "d"]),
+        st.sampled_from(["a", "b", "c"]),         # status payload
+        st.floats(0, 100, allow_nan=False).map(lambda x: round(x, 2)),
+    )
+
+    def sequential(rows):
+        state = {}
+        for seq, (key, op, sv, av) in enumerate(rows):
+            if op == "d":
+                state.pop(key, None)
+                continue
+            cur = state.get(key, {"status": None, "amount": None, "n": 0})
+            if op in ("i", "u_status"):
+                cur["status"] = sv
+            if op in ("i", "u_amount"):
+                cur["amount"] = av
+            cur["n"] += 1
+            cur["last_seq"] = seq
+            state[key] = cur
+        return {
+            k: (v["status"], v["amount"], v["last_seq"], v["n"])
+            for k, v in state.items()
+        }
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(op_strat, min_size=1, max_size=40))
+    def check(rows):
+        data = [
+            (
+                key,
+                seq,
+                op,
+                sv if op in ("i", "u_status") else None,
+                av if op in ("i", "u_amount") else None,
+            )
+            for seq, (key, op, sv, av) in enumerate(rows)
+        ]
+        ops = spark.createDataFrame(
+            data, "doc_key int, seq int, op string, status string, amount double"
+        )
+        got = {
+            r["doc_key"]: (r["status"], r["amount"], r["last_seq"], r["n_ops"])
+            for r in inc.oplog_apply(ops).collect()
+        }
+        assert got == sequential(rows)
+
+    check()
