@@ -166,6 +166,28 @@ def approx_distinct_rollup(spark, sf_dir):
     )
 
 
+def approx_distinct_rollup_sketch(spark, sf_dir):
+    """The PRODUCTION form of approx_distinct_rollup: daily sketches
+    merged per type, NO exact count anywhere in the plan — the shuffle
+    carries |days x types| fixed-size sketches, then |types| merged
+    ones. Rows-only driver check (sketch estimates are engine-
+    specific); the 5% bound vs exact is driver-verified by the
+    companion approx_distinct_rollup."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sk", F.lit(False))
+            ).alias("approx_users")
+        )
+        .orderBy("event_type")
+    )
+
+
 def approx_distinct_users(spark, sf_dir):
     """HLL++ distinct-count VERIFICATION harness per event_type.
 
@@ -1293,6 +1315,7 @@ QUERIES = {
     "tpch_q18_large_orders": tpch_q18_large_orders,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "approx_distinct_rollup": approx_distinct_rollup,
+    "approx_distinct_rollup_sketch": approx_distinct_rollup_sketch,
     "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
     "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,

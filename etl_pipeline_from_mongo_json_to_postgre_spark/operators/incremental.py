@@ -207,7 +207,13 @@ def _oplog(spark, sf_dir):
     Ops: 'd' (delete), 'u_status' ($set status only), 'u_amount'
     ($set amount only), 'i' (insert/replace: sets both fields).
     """
-    ev = load_table(spark, sf_dir, "events")
+    return oplog_from(load_table(spark, sf_dir, "events"))
+
+
+def oplog_from(ev):
+    """The op-log projection itself — works on a batch frame OR a
+    readStream frame (streaming/events.stream_oplog_apply feeds it the
+    file stream for the stateful streaming twin)."""
     op = (
         F.when(F.col("event_id") % OPLOG_DEL_MOD == 0, "d")
         .when(F.col("event_id") % OPLOG_FIELD_MOD == 0, "u_status")

@@ -338,7 +338,117 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).distinct()
 
 
+def oplog_apply_stream(ops: DataFrame) -> DataFrame:
+    """Streaming CDC materialization: replay an insert/$set/delete
+    op-log into per-document state with applyInPandasWithState — the
+    streaming twin of operators/incremental.oplog_apply (same
+    semantics, incremental execution: each micro-batch folds its ops
+    into the carried state and emits the key's current materialized
+    row; a delete removes state and emits a tombstone).
+
+    State per doc_key: (status, amount, last_seq, n_ops) — fixed-size
+    regardless of log length, partitioned by key across executors; at
+    100 TB the source is the sharded Mongo oplog / Kafka and this
+    operator IS the continuously-maintained sink table."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 (executor-side import)
+
+        (doc_key,) = key
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                pdf[["seq", "op", "status", "amount"]].itertuples(index=False)
+            )
+        if not rows:
+            return
+        rows.sort(key=lambda r: r.seq)
+        if state.exists:
+            status, amount, last_seq, n_ops = state.get
+            alive = True
+        else:
+            status, amount, last_seq, n_ops = None, None, -1, 0
+            alive = False
+        for r in rows:
+            if r.op == "d":
+                status, amount, last_seq, n_ops = None, None, -1, 0
+                alive = False
+                continue
+            if r.status == r.status and r.status is not None:  # not NaN/None
+                status = r.status
+            if r.amount == r.amount and r.amount is not None:
+                amount = float(r.amount)
+            last_seq = int(r.seq)
+            n_ops += 1
+            alive = True
+        if alive:
+            state.update((status, amount, last_seq, n_ops))
+            yield pd.DataFrame({
+                "doc_key": [doc_key], "status": [status], "amount": [amount],
+                "last_seq": [last_seq], "n_ops": [n_ops], "deleted": [False],
+            })
+        else:
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame({
+                "doc_key": [doc_key], "status": [None], "amount": [None],
+                "last_seq": [None], "n_ops": [None], "deleted": [True],
+            })
+
+    out_schema = ("doc_key bigint, status string, amount double, "
+                  "last_seq bigint, n_ops bigint, deleted boolean")
+    state_schema = "status string, amount double, last_seq bigint, n_ops bigint"
+    return ops.groupBy("doc_key").applyInPandasWithState(
+        _update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_oplog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: run the CDC replay through the streaming engine
+    (availableNow) and return the final materialized table — the last
+    update per key, tombstones dropped. Oracle: identical SQL to the
+    batch twin inc_oplog_apply (the replay is deterministic, so the
+    stream-maintained table converges to the batch answer)."""
+    from ..operators.incremental import oplog_from
+    from ..session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    ops = oplog_from(events_stream(spark, sf_dir))
+    name = "stream_oplog_tbl"
+    q = (
+        oplog_apply_stream(ops)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_oplog_"))
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    updates = spark.table(name)
+    # latest update per key = the row from the LAST micro-batch that
+    # touched it; memory-sink rows arrive in batch-append order, so tag
+    # them (single-batch under availableNow here: each key appears once)
+    latest = (
+        updates.withColumn("batch_rn", F.monotonically_increasing_id())
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_key").orderBy(F.desc("batch_rn"))))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        latest.where(~F.col("deleted"))
+        .select("doc_key", "status", "amount", "last_seq", "n_ops")
+    )
+
+
+from ..operators.incremental import ORACLE_SQL as _INC_ORACLE
+
 ORACLE_SQL = {
+    "stream_oplog_apply": _INC_ORACLE["inc_oplog_apply"],
     "stream_stream_click_purchase": """
         SELECT p.event_id AS purchase_id,
                c.event_id AS click_id,
@@ -389,6 +499,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_oplog_apply": stream_oplog_apply,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_stream_click_purchase": stream_stream_click_purchase,
