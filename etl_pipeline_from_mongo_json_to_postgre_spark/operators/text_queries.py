@@ -253,7 +253,74 @@ def doc_stats_by_lang(spark, sf_dir):
     )
 
 
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality scoring: each document's total and per-token
+    unigram log-probability under the corpus's own unigram model — the
+    classic cheap perplexity proxy for filtering degenerate text
+    (rare-token soup scores low, natural text scores near the corpus
+    average).
+
+    Scale shape: the unigram model is |vocab|-sized (one map-side-
+    combined count agg + a 1-row total) and joins back against the
+    exploded token stream on the word key; the per-doc reduction is a
+    second map-side-combined agg on doc_id. Shuffles carry (word,
+    count) and (doc_id, partial-sum) — never document text.
+
+    Determinism: per-word ln() is rounded to 9 dp BEFORE the decimal
+    per-doc sum, so engine-library ulp differences in ln cannot
+    accumulate; the final score rounds to 6 dp.
+    """
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    toks = d.where(F.size(w) > 0).select("doc_id", F.explode(w).alias("word"))
+    vocab = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(F.log(F.col("cnt") / F.col("total")), 9)
+        .cast("decimal(18,9)")
+        .alias("logp"),
+    )
+    return (
+        toks.join(logp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("logp").cast("double"), 6).alias("sum_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_logp",
+            F.round(F.col("sum_logp") / F.col("n_tokens"), 6).alias("avg_logp"),
+        )
+    )
+
+
 ORACLE_SQL = {
+    "text_unigram_logprob": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_WORDS}) AS word
+            FROM documents WHERE len({_DUCK_WORDS}) > 0
+        ), vocab AS (
+            SELECT word, count(*) AS cnt FROM toks GROUP BY word
+        ), total AS (
+            SELECT sum(cnt) AS total FROM vocab
+        ), logp AS (
+            SELECT word,
+                   CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9)
+                        AS DECIMAL(18,9)) AS logp
+            FROM vocab, total
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(CAST(sum(logp) AS DOUBLE), 6) AS sum_logp
+            FROM toks JOIN logp USING (word)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, sum_logp,
+               round(sum_logp / n_tokens, 6) AS avg_logp
+        FROM per_doc
+    """,
     "text_token_count": f"""
         SELECT doc_id,
                len({_DUCK_WORDS}) AS token_count,
@@ -363,6 +430,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_ngram_counts": text_ngram_counts,
     "text_pii_mask": text_pii_mask,
+    "text_unigram_logprob": text_unigram_logprob,
     "doc_stats_by_lang": doc_stats_by_lang,
     "sample_stratified": sample_stratified,
 }
