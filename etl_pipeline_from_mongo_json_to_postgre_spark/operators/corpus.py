@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.sampling import scrambled_key, scrambled_key_sql
 from ..session import tune_for_oracle
 from ..sources.parquet import fan_out, load_table
 
@@ -199,7 +200,7 @@ def pack_sequences(spark, sf_dir):
     toks = d.select(
         "doc_id",
         F.size(w).cast("bigint").alias("n_tokens"),
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(SHARDS)).alias("shard"),
+        scrambled_key(F.col("doc_id"), SHARDS).alias("shard"),
     )
     win = (
         Window.partitionBy("shard")
@@ -257,7 +258,7 @@ def sample_domain_mix(spark, sf_dir):
             F.floor(F.lit(MIX_MULT) * F.sqrt(F.col("n_s"))).alias("k_s"),
         )
     )
-    order_key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007))
+    order_key = scrambled_key(F.col("doc_id"))
     w = Window.partitionBy("source").orderBy(order_key.asc(), F.col("doc_id").asc())
     ranked = d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
     return (
@@ -281,7 +282,7 @@ def sample_token_budget(spark, sf_dir):
     """
     d = _docs(spark, sf_dir)
     w_arr = _words(F.col("text"))
-    order_key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007))
+    order_key = scrambled_key(F.col("doc_id"))
     toks = d.select(
         "doc_id", "source",
         F.size(w_arr).cast("bigint").alias("n_tokens"),
@@ -370,7 +371,7 @@ ORACLE_SQL = {
             SELECT doc_id, source,
                    row_number() OVER (
                        PARTITION BY source
-                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                       ORDER BY {scrambled_key_sql('doc_id')}, doc_id
                    ) AS rk
             FROM documents
         )
@@ -382,7 +383,7 @@ ORACLE_SQL = {
         WITH toks AS (
             SELECT doc_id, source,
                    len({_DUCK_WORDS}) AS n_tokens,
-                   (doc_id * 2654435761) % 1000000007 AS ok
+                   {scrambled_key_sql('doc_id')} AS ok
             FROM documents
         ), cums AS (
             SELECT doc_id, source, n_tokens,
@@ -399,7 +400,7 @@ ORACLE_SQL = {
         WITH toks AS (
             SELECT doc_id,
                    len({_DUCK_WORDS}) AS n_tokens,
-                   (doc_id * 2654435761) % {SHARDS} AS shard
+                   {scrambled_key_sql('doc_id', SHARDS)} AS shard
             FROM documents
         ), binned AS (
             SELECT shard, n_tokens,

@@ -32,10 +32,11 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401 (SparkSession in registry signature)
 from pyspark.sql import functions as F
 
-from .similarity import DIM, _emb_d, _matrix_dots, _vectors
+from ..functions.sampling import scrambled_key
+from .similarity import DIM, _matrix_dots, _vectors
 
 K = 16
 ITERS = 3
@@ -48,7 +49,7 @@ def _init_centroids(vecs: DataFrame, k: int) -> list[list[float]]:
     """Deterministic init: the k corpus vectors with the smallest
     scrambled key (Knuth-multiplied id — decorrelated from id order,
     identical on every run/engine). k rows to the driver."""
-    scram = F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(1_000_000_007))
+    scram = scrambled_key(F.col("vec_id"))
     rows = (
         vecs.select("vec_id", "v", scram.alias("sk"))
         .orderBy("sk", "vec_id")
@@ -106,8 +107,11 @@ def _update(assigned: DataFrame, k: int) -> list[list[float]]:
     ]
 
 
-def _sse(assigned: DataFrame, centroids: list[list[float]]) -> float:
-    """Total within-cluster squared error, decimal-accumulated."""
+def _d2(centroids: list[list[float]]):
+    """Squared L2 distance of column ``v`` to its assigned centroid
+    (``cluster_id``, 1-based): ||v||^2 - 2 v.c + ||c||^2 against the
+    literal centroid matrix — the ONE definition both the SSE metric
+    and the census query use."""
     sq = [sum(x * x for x in c) for c in centroids]
     cvals = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
     csq = F.array(*[F.lit(s) for s in sq])
@@ -123,15 +127,18 @@ def _sse(assigned: DataFrame, centroids: list[list[float]]) -> float:
     vsq = F.aggregate(
         F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
-    d2 = vsq - 2.0 * vdot + F.element_at(csq, F.col("cluster_id"))
+    return vsq - 2.0 * vdot + F.element_at(csq, F.col("cluster_id"))
+
+
+def _sse(assigned: DataFrame, centroids: list[list[float]]) -> float:
+    """Total within-cluster squared error, decimal-accumulated."""
     row = assigned.select(
-        F.sum(d2.cast(_ACC)).alias("sse")
+        F.sum(_d2(centroids).cast(_ACC)).alias("sse")
     ).collect()[0]
     return float(row["sse"])
 
 
 def train(
-    spark: SparkSession,
     vecs: DataFrame,
     k: int = K,
     iters: int = ITERS,
@@ -161,23 +168,9 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only driver check — iterative FP algorithm; the semantic
     invariants live in tests/test_kmeans.py."""
     vecs = _vectors(spark, sf_dir).select("vec_id", "v")
-    centroids, _ = train(spark, vecs, compute_history=False)
+    centroids, _ = train(vecs, compute_history=False)
     assigned = _assign(vecs, centroids)
-    sq = [sum(x * x for x in c) for c in centroids]
-    cvals = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    csq = F.array(*[F.lit(s) for s in sq])
-    vdot = F.aggregate(
-        F.zip_with(
-            F.col("v"), F.element_at(cvals, F.col("cluster_id")),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    vsq = F.aggregate(
-        F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-    )
-    d2 = vsq - 2.0 * vdot + F.element_at(csq, F.col("cluster_id"))
+    d2 = _d2(centroids)
     return (
         assigned.groupBy("cluster_id")
         .agg(

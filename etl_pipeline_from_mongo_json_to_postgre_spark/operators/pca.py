@@ -34,7 +34,7 @@ N_COMPONENTS = 8
 _ACC = "decimal(32,14)"
 
 
-def fit(spark: SparkSession, vecs: DataFrame, k: int = N_COMPONENTS):
+def fit(vecs: DataFrame, k: int = N_COMPONENTS):
     """Returns (mean: list[float], components: list[list[float]],
     explained_var: list[float]) — components are the top-k eigenvectors
     of the covariance matrix, eigenvalue-descending."""
@@ -98,7 +98,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(
         eager=True  # fit runs two aggregations + project reads it again
     )
-    mean, components, _ = fit(spark, vecs)
+    mean, components, _ = fit(vecs)
     return project(vecs, mean, components)
 
 

@@ -93,8 +93,8 @@ ZBUCKET_SHIFT = 26  # 32-bit key >> 26 = 64 census buckets
 
 def zorder_bucket_census(spark, sf_dir):
     """Morton-key clustering census over lineitem (l_partkey,
-    l_suppkey): per Z-bucket (top 8 bits of the 32-bit interleaved
-    key), the row count and both dimensions' min/max spread. This is
+    l_suppkey): per Z-bucket (top 6 bits of the 32-bit interleaved
+    key — 64 census buckets), the row count and both dimensions' min/max spread. This is
     the planning query behind storage.write_zordered — narrow per-
     bucket min/max ranges on BOTH columns are exactly what makes the
     clustered layout skippable (tests/test_zorder.py measures the

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.sampling import scrambled_key, scrambled_key_sql
 from ..functions.text import MOD, char_fold_hash, duck_char_fold_hash
 from ..session import tune_for_oracle
 from ..sources.parquet import fan_out, load_table
@@ -122,7 +123,7 @@ def sample_hash_mod(spark, sf_dir):
     multiplier spreads adjacent ids across residues (cheap Knuth-style
     hash) without leaving BIGINT range."""
     d = _docs(spark, sf_dir)
-    residue = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(SAMPLE_MOD))
+    residue = scrambled_key(F.col("doc_id"), SAMPLE_MOD)
     return d.where(residue < SAMPLE_KEEP).select("doc_id", "lang")
 
 
@@ -155,7 +156,7 @@ def sample_stratified(spark, sf_dir):
     from pyspark.sql.window import Window
 
     d = _docs(spark, sf_dir)
-    order_key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007))
+    order_key = scrambled_key(F.col("doc_id"))
     w = Window.partitionBy("lang").orderBy(order_key.asc(), F.col("doc_id").asc())
     return (
         d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
@@ -359,7 +360,7 @@ ORACLE_SQL = {
     """,
     "sample_hash_mod": f"""
         SELECT doc_id, lang FROM documents
-        WHERE (doc_id * 2654435761) % {SAMPLE_MOD} < {SAMPLE_KEEP}
+        WHERE {scrambled_key_sql('doc_id', SAMPLE_MOD)} < {SAMPLE_KEEP}
     """,
     "text_bpe_token_count": f"""
         SELECT doc_id,
@@ -403,7 +404,7 @@ ORACLE_SQL = {
             SELECT doc_id, lang,
                    row_number() OVER (
                        PARTITION BY lang
-                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                       ORDER BY {scrambled_key_sql('doc_id')}, doc_id
                    ) AS rk
             FROM documents
         ) WHERE rk <= {STRATUM_K}

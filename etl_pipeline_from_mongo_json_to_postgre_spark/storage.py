@@ -231,20 +231,56 @@ def compaction_plan(spark: SparkSession, path: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("size_bytes").over(w)
-    return df.select(
+    # raw bucket floor(cum_before/target) is monotone along file order
+    # but SKIPS ids when one file exceeds ~2x target; dense_rank over it
+    # renumbers to contiguous 0..k per dir
+    raw = F.floor((cum - F.col("size_bytes")) / F.lit(target_bytes))
+    staged = df.select("dir", "file", "size_bytes", raw.alias("_raw"))
+    w_dense = Window.partitionBy("dir").orderBy("_raw")
+    return staged.select(
         "dir", "file", "size_bytes",
-        F.floor((cum - F.col("size_bytes")) / F.lit(target_bytes)).alias("bin_id"),
+        (F.dense_rank().over(w_dense) - 1).alias("bin_id"),
     )
 
 
 def compact(spark: SparkSession, src_path: str, dst_path: str,
             target_bytes: int) -> int:
-    """Execute a compaction plan: rewrite the table with one output
-    file per planned bin (repartitionByRange on the bin key keeps each
-    bin's rows together). Returns the number of output bins. Row-parity
-    and file-count reduction are asserted in tests/test_compaction.py."""
-    plan = compaction_plan(spark, src_path, target_bytes)
-    n_bins = plan.select("dir", "bin_id").distinct().count()
-    df = spark.read.parquet(src_path)
-    df.repartition(max(n_bins, 1)).write.mode("overwrite").parquet(dst_path)
-    return n_bins
+    """Execute a compaction plan FAITHFULLY: per source directory
+    (= hive partition), tag each row with its file's planned bin via
+    input_file_name + a broadcast file→bin map, range-partition on the
+    bin id so each output file IS one planned bin, and write under the
+    same relative directory. One job per partition directory — exactly
+    how production compactors bound blast radius — with per-dir
+    parallelism inside the job. Returns the total number of bins.
+    Plan fidelity, row parity and file-count reduction are asserted in
+    tests/test_compaction.py."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    plan = compaction_plan(spark, src_path, target_bytes).collect()
+    by_dir: dict[str, dict[str, int]] = {}
+    for r in plan:
+        by_dir.setdefault(r["dir"], {})[r["file"]] = r["bin_id"]
+    total_bins = 0
+    for d, file_bins in by_dir.items():
+        src_dir = src_path if d == "." else os.path.join(src_path, d)
+        dst_dir = dst_path if d == "." else os.path.join(dst_path, d)
+        n_bins = max(file_bins.values()) + 1
+        total_bins += n_bins
+        mapping = F.create_map(
+            *[x for f, b in sorted(file_bins.items())
+              for x in (F.lit(f), F.lit(b))]
+        )
+        df = spark.read.parquet(src_dir).withColumn(
+            "_bin",
+            mapping[F.element_at(F.split(F.input_file_name(), "/"), -1)],
+        )
+        (
+            df.repartitionByRange(n_bins, "_bin")
+            .sortWithinPartitions("_bin")
+            .drop("_bin")
+            .write.mode("overwrite")
+            .parquet(dst_dir)
+        )
+    return total_bins

@@ -346,10 +346,18 @@ def oplog_apply_stream(ops: DataFrame) -> DataFrame:
     into the carried state and emits the key's current materialized
     row; a delete removes state and emits a tombstone).
 
-    State per doc_key: (status, amount, last_seq, n_ops) — fixed-size
-    regardless of log length, partitioned by key across executors; at
-    100 TB the source is the sharded Mongo oplog / Kafka and this
-    operator IS the continuously-maintained sink table."""
+    State per doc_key: (status, amount, last_seq, n_ops, hwm) —
+    fixed-size regardless of log length, partitioned by key across
+    executors; at 100 TB the source is the sharded Mongo oplog / Kafka
+    and this operator IS the continuously-maintained sink table.
+
+    Transport contract: per-key ops must arrive in non-decreasing seq
+    order ACROSS micro-batches (the CDC transport guarantee — Mongo
+    oplog tailing and Kafka key-partitioning both provide it; within a
+    batch we sort). The state carries a per-key high-water mark so an
+    at-least-once transport's re-deliveries (and any op older than
+    what's already applied) are dropped instead of corrupting the
+    fold."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def _update(key, pdfs, state: GroupState):
@@ -365,12 +373,17 @@ def oplog_apply_stream(ops: DataFrame) -> DataFrame:
             return
         rows.sort(key=lambda r: r.seq)
         if state.exists:
-            status, amount, last_seq, n_ops = state.get
-            alive = True
+            status, amount, last_seq, n_ops, hwm = state.get
+            alive = n_ops is not None and n_ops > 0
         else:
             status, amount, last_seq, n_ops = None, None, -1, 0
+            hwm = -1
             alive = False
+        rows = [r for r in rows if r.seq > hwm]  # drop re-delivered/stale
+        if not rows:
+            return
         for r in rows:
+            hwm = max(hwm, int(r.seq))
             if r.op == "d":
                 status, amount, last_seq, n_ops = None, None, -1, 0
                 alive = False
@@ -383,14 +396,16 @@ def oplog_apply_stream(ops: DataFrame) -> DataFrame:
             n_ops += 1
             alive = True
         if alive:
-            state.update((status, amount, last_seq, n_ops))
+            state.update((status, amount, last_seq, n_ops, hwm))
             yield pd.DataFrame({
                 "doc_key": [doc_key], "status": [status], "amount": [amount],
                 "last_seq": [last_seq], "n_ops": [n_ops], "deleted": [False],
             })
         else:
-            if state.exists:
-                state.remove()
+            # tombstone state (not remove): the hwm must survive the
+            # delete so stale re-deliveries can't resurrect the doc;
+            # a continuous deployment expires tombstones via timeout
+            state.update((None, None, -1, 0, hwm))
             yield pd.DataFrame({
                 "doc_key": [doc_key], "status": [None], "amount": [None],
                 "last_seq": [None], "n_ops": [None], "deleted": [True],
@@ -398,7 +413,8 @@ def oplog_apply_stream(ops: DataFrame) -> DataFrame:
 
     out_schema = ("doc_key bigint, status string, amount double, "
                   "last_seq bigint, n_ops bigint, deleted boolean")
-    state_schema = "status string, amount double, last_seq bigint, n_ops bigint"
+    state_schema = ("status string, amount double, last_seq bigint, "
+                    "n_ops bigint, hwm bigint")
     return ops.groupBy("doc_key").applyInPandasWithState(
         _update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,

@@ -1,6 +1,7 @@
-"""Small-file compaction planner: bin totals respect the greedy
-target, the plan is deterministic, and executing it preserves rows
-while collapsing the file count."""
+"""Small-file compaction planner: bin ids are contiguous even with
+oversized files, bin totals respect the greedy target, and executing
+the plan preserves rows while collapsing the file count to the
+planned bins."""
 
 import glob
 import os
@@ -33,15 +34,42 @@ def test_plan_bins_respect_greedy_target(spark, sf_dir, tmp_path):
     assert bins == list(range(len(bins)))
 
 
+def test_plan_bins_contiguous_with_oversized_file(spark, sf_dir, tmp_path):
+    """A file larger than 2x target must not leave holes in the bin
+    numbering (floor(cum/target) alone would skip ids)."""
+    src = str(tmp_path / "skewed")
+    li = load_table(spark, sf_dir, "lineitem")
+    # one huge file + several small ones, deterministic file order
+    li.coalesce(1).write.parquet(src)
+    small = str(tmp_path / "skewed_small")
+    li.limit(200).repartition(4).write.parquet(small)
+    for i, f in enumerate(sorted(glob.glob(small + "/*.parquet"))):
+        os.rename(f, os.path.join(src, f"part-z{i}.parquet"))
+    sizes = sorted(
+        os.path.getsize(f) for f in glob.glob(src + "/*.parquet")
+    )
+    target = max(sizes[0], sizes[-1] // 8)  # big file >> target
+    plan = storage.compaction_plan(spark, src, target).collect()
+    bins = sorted({r["bin_id"] for r in plan})
+    assert bins == list(range(len(bins))), bins
+
+
 def test_compact_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
     src = str(tmp_path / "small2")
     dst = str(tmp_path / "compacted")
     _write_small_files(spark, sf_dir, src)
     total = sum(os.path.getsize(f) for f in glob.glob(src + "/*.parquet"))
-    n_bins = storage.compact(spark, src, dst, target_bytes=int(total / 3))
+    target = int(total / 3)
+    n_bins = storage.compact(spark, src, dst, target_bytes=target)
     assert 1 <= n_bins < 16
     assert len(glob.glob(dst + "/*.parquet")) == n_bins
     a = spark.read.parquet(src)
     b = spark.read.parquet(dst)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # plan fidelity: no output file materially exceeds the greedy bound
+    # (bin stops growing once it crosses target => size < target + max
+    # input file, modulo parquet re-encoding)
+    max_in = max(os.path.getsize(f) for f in glob.glob(src + "/*.parquet"))
+    for f in glob.glob(dst + "/*.parquet"):
+        assert os.path.getsize(f) <= (target + max_in) * 1.5

@@ -20,15 +20,15 @@ def vecs(spark, sf_dir):
 
 
 def test_sse_monotone_non_increasing(spark, vecs):
-    _, hist = kmeans.train(spark, vecs, iters=3)
+    _, hist = kmeans.train(vecs, iters=3)
     assert len(hist) == 3
     for a, b in zip(hist, hist[1:]):
         assert b <= a + 1e-6, hist
 
 
 def test_training_is_deterministic(spark, vecs):
-    c1, h1 = kmeans.train(spark, vecs, iters=2)
-    c2, h2 = kmeans.train(spark, vecs, iters=2)
+    c1, h1 = kmeans.train(vecs, iters=2)
+    c2, h2 = kmeans.train(vecs, iters=2)
     assert c1 == c2  # decimal accumulation: bit-equal, not just close
     assert h1 == h2
 
@@ -36,7 +36,7 @@ def test_training_is_deterministic(spark, vecs):
 def test_assignment_is_true_argmin(spark, vecs):
     """Spark's map-side argmax(score) must equal numpy's argmin of
     squared L2 distance for every vector (ties: lowest cluster id)."""
-    centroids, _ = kmeans.train(spark, vecs, iters=1, compute_history=False)
+    centroids, _ = kmeans.train(vecs, iters=1, compute_history=False)
     got = {
         r["vec_id"]: r["cluster_id"]
         for r in kmeans._assign(vecs, centroids).collect()
@@ -51,7 +51,7 @@ def test_assignment_is_true_argmin(spark, vecs):
 def test_trained_centroids_beat_random_init(spark, vecs):
     """The whole point of training: final SSE must be strictly below
     the SSE of the fixed random CENTROIDS the IVF index ships with."""
-    trained, hist = kmeans.train(spark, vecs, iters=3)
+    trained, hist = kmeans.train(vecs, iters=3)
     random_sse = kmeans._sse(kmeans._assign(vecs, CENTROIDS), CENTROIDS)
     assert hist[-1] < random_sse
 

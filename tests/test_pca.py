@@ -12,7 +12,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import _
 @pytest.fixture(scope="module")
 def fitted(spark, sf_dir):
     vecs = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=True)
-    mean, comps, expl = pca.fit(spark, vecs)
+    mean, comps, expl = pca.fit(vecs)
     return vecs, np.array(mean), np.array(comps), np.array(expl)
 
 
