@@ -301,6 +301,138 @@ def sample_token_budget(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF term scoring, per-domain selection, percentile trimming, and
+# shard manifests — the remaining curation stages between "raw corpus"
+# and "training shards on disk".
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+BEST_K = 10
+MANIFEST_SHARDS = 16
+TRIM_LO = 0.05
+TRIM_HI = 0.95
+
+
+def text_tfidf_topk(spark, sf_dir):
+    """Top-K TF-IDF terms per document: term frequency within the doc x
+    inverse document frequency across the corpus.
+
+    Ranking is fully integer-deterministic (tf DESC, df ASC, term ASC) so
+    the oracle can't diverge on float ties; the tfidf score itself is
+    emitted as a rounded value column (tf * ln(N/df), both engines
+    compute ln on identical integer-derived doubles).
+
+    Scale shape: the explode emits (doc_id, term) pairs but both
+    aggregates reduce map-side — the tf shuffle carries per-(doc,term)
+    counts, the df shuffle per-term counts (vocabulary-sized). The corpus
+    size N is a 1-row broadcast. The tf<->df equi-join is term-keyed on
+    count-sized inputs (never document text), and the final top-K window
+    re-shuffles doc-keyed rows once. No stage ever carries the corpus
+    payload past the first projection.
+    """
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    terms = d.where(F.size(w) > 0).select(
+        "doc_id", F.explode(w).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = d.where(F.size(w) > 0).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= TFIDF_K)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.col("rk").cast("int").alias("rk"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 3)
+            .alias("tfidf"),
+        )
+    )
+
+
+def corpus_best_per_source(spark, sf_dir):
+    """Per-domain quality selection: keep the BEST_K largest documents of
+    each source (the "take the best K pages per domain" curation stage).
+    One hash shuffle on source; each partition keeps a bounded top-K via
+    the window sort, so output is sources x K regardless of corpus size.
+    """
+    d = _docs(spark, sf_dir)
+    win = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= BEST_K)
+        .select("doc_id", "source", "lang", "n_chars",
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def corpus_length_trim(spark, sf_dir):
+    """Percentile-band outlier trim: per-language exact p05/p95 of
+    document length, keep documents inside the band. Both engines use
+    the same linear-interpolation percentile definition (rank p*(n-1)),
+    computed on identical integers — the bounds are bit-equal doubles.
+
+    Scale shape: the per-language EXACT percentile needs each language's
+    lengths together — one shuffle of (lang, n_chars) pairs, never text.
+    (At 100 TB swap in approx_percentile for a sketch-only shuffle; the
+    exact form is kept here because the oracle must match bit-for-bit.)
+    The bounds frame is language-count-sized and broadcast back onto the
+    scan, so the trim itself is a pushed-down filter.
+    """
+    d = _docs(spark, sf_dir)
+    bounds = d.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {TRIM_LO})").alias("lo"),
+        F.expr(f"percentile(n_chars, {TRIM_HI})").alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(bounds), "lang")
+        .where(F.col("n_chars").cast("double").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def corpus_shard_manifest(spark, sf_dir):
+    """Training-shard manifest: deterministic shard assignment
+    (scrambled doc_id mod MANIFEST_SHARDS) with per-shard document,
+    token, and byte totals — what the dataloader reads to plan epoch
+    order, and what the writer uses to verify shard balance.
+
+    Scale shape: pure map-side projection + one count-sized aggregate;
+    the shuffle carries MANIFEST_SHARDS rows of partial sums. The same
+    key feeds ``df.write.partitionBy(shard)`` for the physical layout,
+    so manifest and data are derived from one deterministic function of
+    doc_id (retry-safe, rerun-stable)."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    return (
+        d.select(
+            scrambled_key(F.col("doc_id"), MANIFEST_SHARDS).alias("shard"),
+            F.size(w).cast("bigint").alias("n_tokens"),
+            F.col("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 ORACLE_SQL = {
     "contamination_ngram_overlap": f"""
         WITH words AS (
@@ -396,6 +528,60 @@ ORACLE_SQL = {
         FROM cums
         WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
     """,
+    "text_tfidf_topk": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
+            WHERE len({_DUCK_WORDS}) > 0
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM terms
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+            WHERE len({_DUCK_WORDS}) > 0
+        ), ranked AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+                   ) AS rk,
+                   round(tf.tf * ln(n.n_docs / df.df), 3) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, CAST(rk AS INT) AS rk, tfidf
+        FROM ranked WHERE rk <= {TFIDF_K}
+    """,
+    "corpus_best_per_source": f"""
+        WITH ranked AS (
+            SELECT doc_id, source, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, lang, n_chars, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= {BEST_K}
+    """,
+    "corpus_length_trim": f"""
+        WITH bounds AS (
+            SELECT lang,
+                   quantile_cont(n_chars, {TRIM_LO}) AS lo,
+                   quantile_cont(n_chars, {TRIM_HI}) AS hi
+            FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN bounds b USING (lang)
+        WHERE CAST(d.n_chars AS DOUBLE) BETWEEN b.lo AND b.hi
+    """,
+    "corpus_shard_manifest": f"""
+        SELECT {scrambled_key_sql('doc_id', MANIFEST_SHARDS)} AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len({_DUCK_WORDS})) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY shard
+    """,
     "pack_sequences": f"""
         WITH toks AS (
             SELECT doc_id,
@@ -417,6 +603,10 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "text_tfidf_topk": text_tfidf_topk,
+    "corpus_best_per_source": corpus_best_per_source,
+    "corpus_length_trim": corpus_length_trim,
+    "corpus_shard_manifest": corpus_shard_manifest,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "text_repetition_stats": text_repetition_stats,
     "text_c4_filters": text_c4_filters,
