@@ -76,7 +76,8 @@ _PRIORITY = [
     "approx_distinct_rollup", "approx_distinct_rollup_sketch",
     "emb_pca_project", "semantic_search_topk", "stream_oplog_apply",
     "text_unigram_logprob", "text_tfidf_topk", "corpus_best_per_source",
-    "corpus_length_trim", "corpus_shard_manifest",
+    "corpus_length_trim", "corpus_shard_manifest", "ts_funnel_stages",
+    "ts_cohort_retention",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

@@ -82,7 +82,111 @@ def ts_user_cadence(spark, sf_dir):
     )
 
 
+def ts_funnel_stages(spark, sf_dir):
+    """Ordered-sequence funnel: per user, the first time each stage of
+    view -> click -> purchase was reached IN ORDER (a click only counts
+    after the first view, a purchase only after that click). Emits the
+    stage timestamps as epoch micros (NULL = stage never reached); the
+    stage-by-stage drop-off report is a trivial count over this frame.
+
+    Scale shape: each stage is a user-keyed MIN aggregate joined back to
+    the (already user-partitioned) next stage's events — three hash
+    joins on the same key over user-cardinality frames, so AQE reuses
+    one partitioning and nothing event-sized crosses more than the
+    first shuffle. No correlated subquery, no per-user collect: the
+    sequential dependency is expressed as filter-join-min chains, which
+    is how funnel semantics stay embarrassingly parallel at 100 TB.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("t_us").alias("t_view_us"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("t_us") > F.col("t_view_us"))
+        .groupBy("user_id").agg(F.min("t_us").alias("t_click_us"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("t_us") > F.col("t_click_us"))
+        .groupBy("user_id").agg(F.min("t_us").alias("t_purchase_us"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t_view_us", "t_click_us", "t_purchase_us")
+    )
+
+
+def ts_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users bucketed by first-seen
+    week, counted in every subsequent week they were active — the
+    classic triangle behind any retention dashboard.
+
+    Scale shape: the (user, week) activity set collapses map-side
+    before its shuffle; the cohort frame is user-cardinality and joins
+    on the same user key; the final matrix is cohorts x weeks (tiny).
+    Week arithmetic is integer days/7 on DATE values so both engines
+    bucket identically (ISO Monday truncation in each).
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    )
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 ORACLE_SQL = {
+    "ts_funnel_stages": """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+        ), s1 AS (
+            SELECT user_id, min(t_us) AS t_view_us FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT ev.user_id, min(t_us) AS t_click_us
+            FROM ev JOIN s1 USING (user_id)
+            WHERE ev.event_type = 'click' AND ev.t_us > s1.t_view_us
+            GROUP BY ev.user_id
+        ), s3 AS (
+            SELECT ev.user_id, min(t_us) AS t_purchase_us
+            FROM ev JOIN s2 USING (user_id)
+            WHERE ev.event_type = 'purchase' AND ev.t_us > s2.t_click_us
+            GROUP BY ev.user_id
+        )
+        SELECT s1.user_id, s1.t_view_us, s2.t_click_us, s3.t_purchase_us
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    "ts_cohort_retention": """
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        ), cohort AS (
+            SELECT user_id, min(week) AS cohort_week FROM active
+            GROUP BY user_id
+        )
+        SELECT cohort_week,
+               CAST((active.week - cohort.cohort_week) / 7 AS INT) AS week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM active JOIN cohort USING (user_id)
+        GROUP BY 1, 2
+    """,
     "ts_rolling_stats": f"""
         WITH staged AS (
             SELECT event_id, user_id, epoch_us(ts) AS t_us,
@@ -119,4 +223,6 @@ ORACLE_SQL = {
 QUERIES = {
     "ts_rolling_stats": ts_rolling_stats,
     "ts_user_cadence": ts_user_cadence,
+    "ts_funnel_stages": ts_funnel_stages,
+    "ts_cohort_retention": ts_cohort_retention,
 }
