@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     analytics,
+    association,
     corpus,
     dedup,
     incremental,
@@ -40,7 +41,8 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as st
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
-            profiling, corpus, incremental, kmeans, timeseries, pca)
+            profiling, corpus, incremental, kmeans, timeseries, pca,
+            association)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-3 ordering rule: entries needing fresh driver evidence
@@ -77,7 +79,8 @@ _PRIORITY = [
     "emb_pca_project", "semantic_search_topk", "stream_oplog_apply",
     "text_unigram_logprob", "text_tfidf_topk", "corpus_best_per_source",
     "corpus_length_trim", "corpus_shard_manifest", "ts_funnel_stages",
-    "ts_cohort_retention",
+    "ts_cohort_retention", "ts_adjacent_pattern",
+    "basket_copurchase_pairs", "events_heavy_hitters",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

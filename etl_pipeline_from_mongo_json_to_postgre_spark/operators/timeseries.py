@@ -151,7 +151,53 @@ def ts_cohort_retention(spark, sf_dir):
     )
 
 
+PATTERN_WINDOW_US = 3_600_000_000  # adjacent-pair window: 1 hour
+
+
+def ts_adjacent_pattern(spark, sf_dir):
+    """Sequence-pattern counts (a two-event MATCH_RECOGNIZE): per user,
+    how often an 'error' event is IMMEDIATELY followed by a 'purchase'
+    within the hour — the "did the failure cost a sale?" adjacency.
+    Single window pass: lead() over one (user_id) shuffle; the pattern
+    predicate is a pure row expression over (event, next-event), so any
+    regex-like adjacency pattern compiles to the same one-Exchange plan.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    staged = ev.select(
+        "event_id", "user_id", F.col("event_type"),
+        F.unix_micros("ts").alias("t_us"),
+    ).select(
+        "user_id", "event_type", "t_us",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("t_us").over(w).alias("next_t_us"),
+    )
+    return (
+        staged.where(
+            (F.col("event_type") == "error")
+            & (F.col("next_type") == "purchase")
+            & (F.col("next_t_us") - F.col("t_us") <= PATTERN_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_error_then_purchase"))
+    )
+
+
 ORACLE_SQL = {
+    "ts_adjacent_pattern": f"""
+        WITH staged AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t_us,
+                   lead(event_type) OVER w AS next_type,
+                   lead(epoch_us(ts)) OVER w AS next_t_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT user_id, count(*) AS n_error_then_purchase
+        FROM staged
+        WHERE event_type = 'error' AND next_type = 'purchase'
+          AND next_t_us - t_us <= {PATTERN_WINDOW_US}
+        GROUP BY user_id
+    """,
     "ts_funnel_stages": """
         WITH ev AS (
             SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
@@ -225,4 +271,5 @@ QUERIES = {
     "ts_user_cadence": ts_user_cadence,
     "ts_funnel_stages": ts_funnel_stages,
     "ts_cohort_retention": ts_cohort_retention,
+    "ts_adjacent_pattern": ts_adjacent_pattern,
 }
