@@ -169,3 +169,47 @@ def test_ts_rolling_single_exchange(spark, sf_dir):
     plan = physical_plan(ts_rolling_stats(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+def test_adjacent_pattern_single_exchange(spark, sf_dir):
+    """The two-event sequence pattern is ONE window pass: a single
+    (user_id) hash shuffle feeds the lead() evaluation, the pattern
+    predicate stays a row filter, and the per-user count reuses the
+    same partitioning."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        ts_adjacent_pattern,
+    )
+
+    plan = physical_plan(ts_adjacent_pattern(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_copurchase_pairs_no_self_join(spark, sf_dir):
+    """Pair generation must be array expressions inside the basket
+    stage — no join operator (a row-level self-join would shuffle
+    lineitem twice), and the pair-count aggregate partial-combines."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.association import (
+        basket_copurchase_pairs,
+    )
+
+    plan = physical_plan(basket_copurchase_pairs(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Python" not in plan
+
+
+def test_report_assembly_transform_runs_once(spark, sf_dir):
+    """The audit report's expensive document-transform subtree is
+    materialized ONCE behind the pre-aggregate checkpoint: the returned
+    plan must read the checkpointed RDD, not re-derive the JSON
+    transform per report branch (the regression was 4 from_json
+    pipelines in one optimized plan)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.transform_queries import (
+        audit_report_assembly,
+    )
+
+    df = audit_report_assembly(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "from_json" not in optimized
+    assert "ExistingRDD" in optimized or "LogicalRDD" in optimized
