@@ -24,6 +24,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     association,
     corpus,
     dedup,
+    graph,
     incremental,
     kmeans,
     pca,
@@ -42,7 +43,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as st
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
             profiling, corpus, incremental, kmeans, timeseries, pca,
-            association)
+            association, graph)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-3 ordering rule: entries needing fresh driver evidence
@@ -81,6 +82,7 @@ _PRIORITY = [
     "corpus_length_trim", "corpus_shard_manifest", "ts_funnel_stages",
     "ts_cohort_retention", "ts_adjacent_pattern",
     "basket_copurchase_pairs", "events_heavy_hitters",
+    "graph_pagerank_parts",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

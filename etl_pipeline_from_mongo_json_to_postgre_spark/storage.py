@@ -284,3 +284,44 @@ def compact(spark: SparkSession, src_path: str, dst_path: str,
             .parquet(dst_dir)
         )
     return total_bins
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int = 16,
+    sort_keys: list[str] | None = None,
+    max_records_per_file: int = 0,
+) -> None:
+    """Write a corpus as deterministic training shards:
+    ``path/shard=K/*.parquet`` with rows inside each file ordered by
+    ``sort_keys``.
+
+    Layout contract (what a dataloader relies on):
+    - shard membership is a pure function of ``key`` (scrambled-key mod,
+      the same function the manifest operators use) — task retries,
+      re-runs, and incremental appends place a row in the same shard;
+    - one task per shard (repartition on the shard column, which hash-
+      distributes the K shard ids across K tasks) so each shard
+      directory is written by exactly one writer — no tiny-file spray;
+    - ``maxRecordsPerFile`` caps file size for loader parallelism while
+      sortWithinPartitions keeps every file internally ordered.
+
+    At 100 TB: bump ``n_shards`` to O(cluster cores); everything else
+    is unchanged — the shuffle moves each row once, the sort is
+    per-shard local, and the write streams.
+    """
+    from .functions.sampling import scrambled_key
+
+    from pyspark.sql import functions as F
+
+    staged = (
+        df.withColumn("shard", scrambled_key(F.col(key), n_shards))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", *(sort_keys or [key]))
+    )
+    writer = staged.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").parquet(path)
