@@ -82,7 +82,7 @@ _PRIORITY = [
     "corpus_length_trim", "corpus_shard_manifest", "ts_funnel_stages",
     "ts_cohort_retention", "ts_adjacent_pattern",
     "basket_copurchase_pairs", "events_heavy_hitters",
-    "graph_pagerank_parts",
+    "graph_pagerank_parts", "dq_histogram_equidepth", "dq_key_skew",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

@@ -230,6 +230,68 @@ def dq_histogram(spark, sf_dir):
     )
 
 
+DEPTH_PROBS = tuple(round(0.1 * i, 1) for i in range(1, 10))  # deciles
+SKEW_TOP_K = 20
+
+
+def dq_histogram_equidepth(spark, sf_dir):
+    """Equi-depth (decile) histogram of event value per event_type:
+    exact decile boundaries, then a bucket census. The scale-correct
+    shape — NEVER a global ntile sort (that single-threads the whole
+    table through one sort partition): boundaries are one aggregate per
+    type (percentile over the type's values, one shuffle of
+    (type, value) pairs), broadcast back type-count-sized, and bucket
+    assignment is a pure array expression on the scan. Both engines
+    interpolate percentiles identically on identical doubles, so bucket
+    edges are bit-equal."""
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    probs = "array(" + ", ".join(str(p) for p in DEPTH_PROBS) + ")"
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {probs})").alias("bnds")
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.size(F.filter("bnds", lambda b: F.col("value") > b))
+            .cast("bigint").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dq_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic: the SKEW_TOP_K heaviest supplier keys
+    in lineitem with each key's share of total rows — the report that
+    decides whether a join needs the salting operators (operators/
+    skew.py) or AQE's skew split will do. Two map-side-combined
+    aggregates (per-key counts; 1-row total) and a top-K window over
+    count-sized rows; shares are rounded for cross-engine stability."""
+    tune_for_oracle(spark)
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    total = li.agg(F.count("*").cast("double").alias("total"))
+    # top-K via sort+limit (TakeOrderedAndProject: per-partition local
+    # top-K, K-sized merge on one reducer) — NOT a row_number window
+    # over every key, which would funnel all key counts through a
+    # single unpartitioned window sort; the rank window then runs over
+    # K rows only.
+    top = counts.orderBy(F.desc("cnt"), F.asc("l_suppkey")).limit(SKEW_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .select(
+            "l_suppkey", "cnt", "rk",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
 ORACLE_SQL["zorder_bucket_census"] = _zorder_census_sql()
 # DuckDB has no width_bucket; the CASE replicates Spark's exact
 # arithmetic (floor((v - lo) / ((hi - lo) / n)) + 1, out-of-range to
@@ -246,9 +308,39 @@ ORACLE_SQL["dq_histogram"] = f"""
     FROM events GROUP BY 1, 2
 """
 
+_depth_probs_sql = "[" + ", ".join(str(p) for p in DEPTH_PROBS) + "]"
+ORACLE_SQL["dq_histogram_equidepth"] = f"""
+    WITH bounds AS (
+        SELECT event_type, quantile_cont(value, {_depth_probs_sql}) AS bnds
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(len(list_filter(b.bnds, x -> e.value > x)) AS BIGINT) AS bucket,
+           count(*) AS cnt
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY 1, 2
+"""
+ORACLE_SQL["dq_key_skew"] = f"""
+    WITH counts AS (
+        SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ), total AS (
+        SELECT CAST(count(*) AS DOUBLE) AS total FROM lineitem
+    ), ranked AS (
+        SELECT l_suppkey, cnt,
+               row_number() OVER (ORDER BY cnt DESC, l_suppkey ASC) AS rk
+        FROM counts
+    )
+    SELECT l_suppkey, cnt, CAST(rk AS INT) AS rk,
+           round(cnt / total.total, 6) AS share
+    FROM ranked CROSS JOIN total
+    WHERE rk <= {SKEW_TOP_K}
+"""
+
 QUERIES = {
     "dq_column_profile": dq_column_profile,
     "dq_null_violations": dq_null_violations,
     "zorder_bucket_census": zorder_bucket_census,
     "dq_histogram": dq_histogram,
+    "dq_histogram_equidepth": dq_histogram_equidepth,
+    "dq_key_skew": dq_key_skew,
 }
