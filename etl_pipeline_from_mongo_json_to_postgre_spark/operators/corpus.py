@@ -433,6 +433,81 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Sparse TF-vector cosine similarity via inverted-index join — the
+# weighted companion to dedup_ngram_jaccard (set overlap) and the
+# no-embedding fallback to dedup_embedding_cosine.
+# ---------------------------------------------------------------------------
+
+# threshold 0.98, applied as the EXACT integer predicate
+# dot^2 * 10^4 >= 9604 * |a|^2 * |b|^2  — no float comparison can
+# disagree between engines at the boundary.
+SPARSE_T2_NUM = 9604
+SPARSE_T2_DEN = 10_000
+# 100 TB cap: terms appearing in more than SPARSE_MAX_DF documents are
+# dropped from the inverted index before pairing (a stop-term emits
+# O(df^2) candidate pairs; its discriminative weight is ~0 anyway).
+# Inert at test scale — the synthetic vocabulary is small enough that
+# every term stays under the cap, keeping the oracle exact.
+SPARSE_MAX_DF = 1_000_000
+
+
+def text_sparse_cosine_pairs(spark, sf_dir):
+    """Document-pair cosine similarity on raw term-frequency vectors,
+    computed through an inverted index: explode terms, self-join on the
+    term (each term contributes its tf product to every doc pair that
+    shares it), aggregate dot products, normalize by exact integer
+    norms.
+
+    Scale shape: the shuffles carry (doc, term, tf) triples and
+    (pair, partial-dot) counts — never document text; per-term fan-out
+    is bounded by the SPARSE_MAX_DF stop-term cap, which is what keeps
+    the candidate set near-linear on a Zipfian corpus. All similarity
+    math until the final display column is int64 (tf products, squared
+    norms), so the >= threshold predicate is exact in both engines.
+    """
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    tf = (
+        d.where(F.size(w) > 0)
+        .select("doc_id", F.explode(w).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    kept = tf.join(
+        F.broadcast(df_.where(F.col("df") <= SPARSE_MAX_DF)), "term"
+    ).select("doc_id", "term", "tf")
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "term",
+                    F.col("tf").alias("tf_a"))
+    b = kept.select(F.col("doc_id").alias("doc_b"), "term",
+                    F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .where(
+            F.col("dot") * F.col("dot") * F.lit(SPARSE_T2_DEN)
+            >= F.lit(SPARSE_T2_NUM) * F.col("na2") * F.col("nb2")
+        )
+        .select(
+            "doc_a", "doc_b", "dot",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
 ORACLE_SQL = {
     "contamination_ngram_overlap": f"""
         WITH words AS (
@@ -528,6 +603,33 @@ ORACLE_SQL = {
         FROM cums
         WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
     """,
+    "text_sparse_cosine_pairs": f"""
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
+                WHERE len({_DUCK_WORDS}) > 0
+            ) GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), kept AS (
+            SELECT tf.doc_id, tf.term, tf.tf
+            FROM tf JOIN df USING (term) WHERE df.df <= {SPARSE_MAX_DF}
+        ), norms AS (
+            SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum(a.tf * b.tf) AS dot
+            FROM kept a JOIN kept b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, dot,
+               round(dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cosine
+        FROM dots
+        JOIN norms na ON dots.doc_a = na.doc_id
+        JOIN norms nb ON dots.doc_b = nb.doc_id
+        WHERE dot * dot * {SPARSE_T2_DEN} >= {SPARSE_T2_NUM} * na.n2 * nb.n2
+    """,
     "text_tfidf_topk": f"""
         WITH terms AS (
             SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
@@ -603,6 +705,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "text_sparse_cosine_pairs": text_sparse_cosine_pairs,
     "text_tfidf_topk": text_tfidf_topk,
     "corpus_best_per_source": corpus_best_per_source,
     "corpus_length_trim": corpus_length_trim,
