@@ -94,6 +94,29 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir)
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: SLIDING-window streaming aggregation (1-hour
+    window every 30 minutes — each event feeds 2 windows) through the
+    real streaming engine. Same state-bounding watermark as the
+    tumbling path; the window fan-out happens map-side before the
+    keyed-state aggregation, so sliding costs window/slide x the
+    tumbling shuffle volume, not a re-scan per pane."""
+    from ..session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    q = (
+        windowed_counts(events_stream(spark, sf_dir), slide="30 minutes")
+        .writeStream.format("memory")
+        .queryName("stream_sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_slide_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_sliding")
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -487,6 +510,19 @@ ORACLE_SQL = {
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2
     """,
+    "stream_sliding_counts": """
+        WITH exploded AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - i.n * INTERVAL '30 minutes' AS window_start,
+                   event_type, value
+            FROM events, (SELECT unnest(range(0, 2)) AS n) i
+            WHERE ts < time_bucket(INTERVAL '30 minutes', ts)
+                       - i.n * INTERVAL '30 minutes' + INTERVAL '1 hour'
+        )
+        SELECT window_start, event_type, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM exploded GROUP BY 1, 2
+    """,
     "stream_sessionize": f"""
         WITH flagged AS (
             SELECT user_id, ts, value,
@@ -515,6 +551,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_sliding_counts": stream_sliding_counts,
     "stream_oplog_apply": stream_oplog_apply,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_keys": stream_dedup_keys,

@@ -213,3 +213,44 @@ def test_report_assembly_transform_runs_once(spark, sf_dir):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "from_json" not in optimized
     assert "ExistingRDD" in optimized or "LogicalRDD" in optimized
+
+
+def test_equidepth_broadcasts_bounds(spark, sf_dir):
+    """Per-type decile bounds are type-count-sized and must broadcast
+    back onto the scan — never a shuffled join of the fact table
+    against its own aggregate."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.profiling import (
+        dq_histogram_equidepth,
+    )
+
+    plan = physical_plan(dq_histogram_equidepth(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_key_skew_takeordered_not_global_window(spark, sf_dir):
+    """Top-K heavy keys must plan as TakeOrderedAndProject (local
+    per-partition top-K + K-sized merge), not a single-partition
+    row_number window over every key."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.profiling import (
+        dq_key_skew,
+    )
+
+    plan = physical_plan(dq_key_skew(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_sparse_cosine_shuffles_ids_not_text(spark, sf_dir):
+    """After the first projection, no shuffle may carry the document
+    text: the inverted-index join moves (doc, term, tf) triples and the
+    dot-product aggregate moves pair partials."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.corpus import (
+        text_sparse_cosine_pairs,
+    )
+
+    plan = physical_plan(text_sparse_cosine_pairs(spark, sf_dir))
+    for exchange_chunk in plan.split("Exchange hashpartitioning")[1:]:
+        keys = exchange_chunk.split("]")[0]
+        assert "text" not in keys
+    assert "Python" not in plan
