@@ -619,6 +619,44 @@ def w2_offset_rank_funcs(spark, sf_dir):
     )
 
 
+def w3_distribution_funcs(spark, sf_dir):
+    """Window distribution breadth: percent_rank / cume_dist (value
+    position within the user's own purchase distribution) plus
+    last_value IGNORE NULLS (most recent high-value event carried
+    forward). One hash shuffle on user_id serves every function; the
+    two ordering specs (by value, by time) share the Exchange and
+    differ only in their local sorts."""
+    events = _t(spark, sf_dir, "events")
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w_time = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    big = F.when(F.col("value") > 400, F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.percent_rank().over(w_val).alias("pr"),
+        F.cume_dist().over(w_val).alias("cd"),
+        F.last(big, ignorenulls=True).over(w_time).alias("last_big_value"),
+    )
+
+
+def u5_except_all(spark, sf_dir):
+    """EXCEPT ALL (multiset difference, duplicate-count-aware) — the
+    bag-semantics sibling of u3: each nationkey survives
+    max(count_customer - count_supplier, 0) times. Planned as a
+    count-tagged aggregate join, one shuffle per side."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
 def tumbling_window_agg(spark, sf_dir):
     """Batch twin of the streaming tumbling-window aggregation
     (streaming/events.py runs the same plan via readStream)."""
@@ -1122,6 +1160,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    "w3_distribution_funcs": """
+        SELECT event_id, user_id,
+               percent_rank() OVER w_val AS pr,
+               cume_dist() OVER w_val AS cd,
+               last_value(CASE WHEN value > 400 THEN value END IGNORE NULLS)
+                   OVER w_time AS last_big_value
+        FROM events
+        WINDOW
+            w_val AS (PARTITION BY user_id ORDER BY value, event_id),
+            w_time AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "u5_except_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
     "tumbling_window_agg": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                count(*) AS cnt,
@@ -1306,6 +1361,8 @@ QUERIES = {
     "j6_range_join": j6_range_join,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
+    "w3_distribution_funcs": w3_distribution_funcs,
+    "u5_except_all": u5_except_all,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
