@@ -36,3 +36,57 @@ def test_pair_ordering_and_counts(spark):
     assert out[(3, 9)] == 1
     assert out[(5, 9)] == 1
     assert all(a < b for (a, b) in out)
+
+
+def test_funnel_matches_bruteforce(spark):
+    """ts_funnel_stages' filter-join-min chain must equal the obvious
+    sequential per-user scan on randomized event sequences."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    eid = 0
+    for user in range(40):
+        for _ in range(rng.randint(0, 12)):
+            eid += 1
+            rows.append(
+                (eid, user,
+                 rng.choice(["view", "click", "purchase", "error"]),
+                 rng.randint(0, 10_000))
+            )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, t_us bigint"
+    )
+
+    # brute force in plain Python
+    by_user = {}
+    for e_id, user, typ, t in rows:
+        by_user.setdefault(user, []).append((t, e_id, typ))
+    expected = {}
+    for user, evs in by_user.items():
+        evs.sort()
+        t1 = min((t for t, _, ty in evs if ty == "view"), default=None)
+        t2 = (min((t for t, _, ty in evs if ty == "click" and t > t1),
+                  default=None) if t1 is not None else None)
+        t3 = (min((t for t, _, ty in evs if ty == "purchase" and t > t2),
+                  default=None) if t2 is not None else None)
+        if t1 is not None:
+            expected[user] = (t1, t2, t3)
+
+    # re-run the operator's stage chain over the synthetic frame
+    from pyspark.sql import functions as F
+
+    ev = df.select("user_id", "event_type", F.col("t_us"))
+    s1 = (ev.where(F.col("event_type") == "view")
+            .groupBy("user_id").agg(F.min("t_us").alias("t_view_us")))
+    s2 = (ev.where(F.col("event_type") == "click")
+            .join(s1, "user_id").where(F.col("t_us") > F.col("t_view_us"))
+            .groupBy("user_id").agg(F.min("t_us").alias("t_click_us")))
+    s3 = (ev.where(F.col("event_type") == "purchase")
+            .join(s2, "user_id").where(F.col("t_us") > F.col("t_click_us"))
+            .groupBy("user_id").agg(F.min("t_us").alias("t_purchase_us")))
+    got = {
+        r.user_id: (r.t_view_us, r.t_click_us, r.t_purchase_us)
+        for r in s1.join(s2, "user_id", "left").join(s3, "user_id", "left").collect()
+    }
+    assert got == expected
