@@ -84,7 +84,7 @@ _PRIORITY = [
     "basket_copurchase_pairs", "events_heavy_hitters",
     "graph_pagerank_parts", "dq_histogram_equidepth", "dq_key_skew",
     "text_sparse_cosine_pairs", "stream_sliding_counts",
-    "w3_distribution_funcs", "u5_except_all",
+    "w3_distribution_funcs", "u5_except_all", "j7_interval_join",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

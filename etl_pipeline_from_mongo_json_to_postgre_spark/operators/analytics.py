@@ -541,6 +541,69 @@ def j5_asof_join(spark, sf_dir):
     )
 
 
+SESSION_GAP_US = 1_800_000_000       # 30 min gaps-and-islands gap
+INTERVAL_BUCKET_US = 1_800_000_000   # containment-join bucket width
+
+
+def j7_interval_join(spark, sf_dir):
+    """Point-in-interval (temporal) join (training-pipeline extension;
+    no Spark primitive): each purchase joined to the user's BROWSING
+    session (gaps-and-islands over view events, 30-min gap) whose
+    [start, end] interval contains the purchase timestamp.
+
+    Scale shape: NOT the naive inequality join (start <= ts AND
+    ts <= end degrades to a per-user cross product). Sessions explode
+    into the time buckets they cover (sequence of floor(t/W) — bounded
+    by span/W rows per interval), purchases emit their single bucket,
+    and the equi-join on (user_id, bucket) prunes candidates to
+    same-bucket pairs before the exact containment filter. Disjoint
+    sessions + single-bucket probes mean each qualifying pair matches
+    exactly once — no dedup pass. The session build itself is one
+    user-keyed window pass (same island pattern as inc_scd2_intervals).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    views = ev.where(F.col("event_type") == "view")
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts_us") - F.col("prev_ts") > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sessions = (
+        views.withColumn("prev_ts", F.lag("ts_us").over(w_ord))
+        .withColumn("sess_no", F.sum(new_sess).over(w_cum))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count("*").alias("n_views"),
+        )
+    )
+    covered = sessions.select(
+        "user_id", "start_us", "end_us", "n_views",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / INTERVAL_BUCKET_US),
+                F.floor(F.col("end_us") / INTERVAL_BUCKET_US),
+            )
+        ).alias("bucket"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        F.floor(F.col("ts_us") / INTERVAL_BUCKET_US).alias("bucket"),
+    )
+    return (
+        purchases.join(covered, ["user_id", "bucket"])
+        .where(F.col("p_ts").between(F.col("start_us"), F.col("end_us")))
+        .select("purchase_id", "user_id", "p_ts", "start_us", "end_us", "n_views")
+    )
+
+
 RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -1136,6 +1199,35 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN views v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
+    "j7_interval_join": f"""
+        WITH views AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'view'
+        ), flagged AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM views
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), numbered AS (
+            SELECT user_id, ts_us,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                       ROWS UNBOUNDED PRECEDING) AS sess_no
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+                   count(*) AS n_views
+            FROM numbered GROUP BY user_id, sess_no
+        )
+        SELECT p.event_id AS purchase_id, p.user_id,
+               epoch_us(p.ts) AS p_ts, s.start_us, s.end_us, s.n_views
+        FROM events p JOIN sessions s
+          ON p.user_id = s.user_id
+         AND epoch_us(p.ts) BETWEEN s.start_us AND s.end_us
+        WHERE p.event_type = 'purchase'
+    """,
     "j6_range_join": f"""
         SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
                abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
@@ -1359,6 +1451,7 @@ QUERIES = {
     "f5_json_extract": f5_json_extract,
     "j5_asof_join": j5_asof_join,
     "j6_range_join": j6_range_join,
+    "j7_interval_join": j7_interval_join,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,
