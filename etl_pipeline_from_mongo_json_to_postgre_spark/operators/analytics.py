@@ -117,6 +117,24 @@ def a11_grouping_sets(spark, sf_dir):
     )
 
 
+def a12_stats_agg(spark, sf_dir):
+    """Statistical aggregates (extension): Pearson correlation, sample
+    covariance, and sample stddev of quantity vs price per return flag.
+    Map-side-combinable co-moment partials (count/sum/sum-of-products),
+    one |groups|-row shuffle. Both engines use the same sample
+    definitions; results are rounded past the partial-aggregation
+    reorder noise (co-moments agree to ~1e-12 relative; display is 6
+    decimals)."""
+    l = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp(p), 2).alias("stddev_price"),
+    )
+
+
 def approx_distinct_users_sketch(spark, sf_dir):
     """The PRODUCTION approx-distinct query: HLL++ sketch only, no
     exact countDistinct anywhere in the plan — the shuffle carries
@@ -1098,6 +1116,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
+    "a12_stats_agg": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               round(stddev_samp(l_extendedprice), 2) AS stddev_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "a11_grouping_sets": """
         SELECT l_returnflag, l_linestatus,
                GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
@@ -1432,6 +1457,7 @@ QUERIES = {
     "a9_rollup_counts": a9_rollup_counts,
     "a10_cube_counts": a10_cube_counts,
     "a11_grouping_sets": a11_grouping_sets,
+    "a12_stats_agg": a12_stats_agg,
     "approx_distinct_users": approx_distinct_users,
     "approx_distinct_users_sketch": approx_distinct_users_sketch,  # rows-only (sketch values are engine-specific)
     "approx_value_quantiles": approx_value_quantiles,
