@@ -559,6 +559,74 @@ def j5_asof_join(spark, sf_dir):
     )
 
 
+def tpch_q2_argmin_supplier(spark, sf_dir):
+    """Q2-shaped argmin join: for every part, the supplier row that
+    achieves its minimum price (Q2's correlated MIN subquery re-shaped
+    as a rank-1 window — one shuffle on the group key, no re-join of
+    the fact table against its own aggregate). Ties break on supplier
+    key, making the argmin row deterministic."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        l.select("l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_suppkey").alias("cheapest_suppkey"),
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+def j5b_asof_join_forward(spark, sf_dir):
+    """Forward as-of join: each view event joined to the user's NEXT
+    purchase strictly after it — the mirror of j5 (backward as-of),
+    via the same union + carry window walked in reverse order. Same
+    single-shuffle scale shape; DuckDB oracle is the inequality-min
+    form (exact but fine at oracle scale)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    # walk the timeline descending; at equal ts the view sorts FIRST so
+    # a same-instant purchase is NOT in the view's preceding frame —
+    # "strictly after" holds by frame construction, not a post-filter
+    # (a post-filter would wrongly drop views whose nearest purchase is
+    # same-instant even when a strictly-later purchase exists)
+    order_tag = F.when(F.col("event_type") == "view", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), order_tag.asc(), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt_id = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    nxt_ts = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_id", nxt_id)
+        .withColumn("wait_us", nxt_ts - F.col("ts_us"))
+        .where(F.col("event_type") == "view")
+        .where(F.col("next_purchase_id").isNotNull())
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts_us").alias("view_ts_us"),
+            "next_purchase_id",
+            "wait_us",
+        )
+    )
+
+
 SESSION_GAP_US = 1_800_000_000       # 30 min gaps-and-islands gap
 INTERVAL_BUCKET_US = 1_800_000_000   # containment-join bucket width
 
@@ -1224,6 +1292,40 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN views v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
+    "tpch_q2_argmin_supplier": """
+        WITH ranked AS (
+            SELECT l_partkey, l_suppkey, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_extendedprice, l_suppkey,
+                                l_orderkey, l_linenumber
+                   ) AS rn
+            FROM lineitem
+        )
+        SELECT l_partkey, l_suppkey AS cheapest_suppkey,
+               l_extendedprice AS min_price
+        FROM ranked WHERE rn = 1
+    """,
+    "j5b_asof_join_forward": """
+        WITH v AS (
+            SELECT event_id AS view_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'view'
+        ), p AS (
+            SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), ranked AS (
+            SELECT v.view_id, v.user_id, v.ts_us, p.pid,
+                   p.pts - v.ts_us AS wait_us,
+                   row_number() OVER (
+                       PARTITION BY v.view_id ORDER BY p.pts, p.pid
+                   ) AS rk
+            FROM v JOIN p
+              ON p.user_id = v.user_id AND p.pts > v.ts_us
+        )
+        SELECT view_id, user_id, ts_us AS view_ts_us,
+               pid AS next_purchase_id, wait_us
+        FROM ranked WHERE rk = 1
+    """,
     "j7_interval_join": f"""
         WITH views AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
@@ -1478,6 +1580,8 @@ QUERIES = {
     "j5_asof_join": j5_asof_join,
     "j6_range_join": j6_range_join,
     "j7_interval_join": j7_interval_join,
+    "j5b_asof_join_forward": j5b_asof_join_forward,
+    "tpch_q2_argmin_supplier": tpch_q2_argmin_supplier,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,
