@@ -63,26 +63,30 @@ _PRIORITY = [
     "stream_windowed_counts", "stream_sessionize", "stream_dedup_keys",
     "stream_stream_click_purchase", "j5_asof_join", "j6_range_join",
     "mm_binary_stats",
-    # -- 2: implementation changed / added this round (no evidence yet) ----
+    # -- 2: implementation changed / added this round (no driver evidence
+    #       yet). ORACLE-CHECKED entries only: a driver slot spent on a
+    #       rows-only entry buys just a count>=0 check (our local suite
+    #       already runs that), so rows-only newcomers are deferred to
+    #       group 4b below and their slots given to hash-checked ops. ----
     "dedup_exact", "ann_cosine_topk", "dedup_minhash_pairs",
-    "approx_distinct_users_sketch", "s3_mongo_datasource_scan",
+    "s3_mongo_datasource_scan",
     "text_ngram_counts", "text_pii_mask", "doc_stats_by_lang",
     "dedup_components_bigstar", "dedup_minhash_canonical",
     "dq_column_profile", "dq_null_violations", "sample_stratified",
     "contamination_ngram_overlap", "text_repetition_stats", "text_c4_filters",
     "pack_sequences", "inc_upsert_latest", "inc_snapshot_diff",
     "inc_scd2_intervals", "inc_oplog_apply",
-    "sample_domain_mix", "sample_token_budget", "kmeans_train",
+    "sample_domain_mix", "sample_token_budget",
     "tpch_q4_order_priority", "tpch_q16_supplier_cnt",
     "tpch_q21_waiting_supplier", "zorder_bucket_census", "dq_histogram",
     "ts_rolling_stats", "ts_user_cadence", "fuzzy_name_pairs",
-    "approx_distinct_rollup", "approx_distinct_rollup_sketch",
-    "emb_pca_project", "semantic_search_topk", "stream_oplog_apply",
+    "approx_distinct_rollup",
+    "semantic_search_topk", "stream_oplog_apply",
     "text_unigram_logprob", "text_tfidf_topk", "corpus_best_per_source",
     "corpus_length_trim", "corpus_shard_manifest", "ts_funnel_stages",
     "ts_cohort_retention", "ts_adjacent_pattern",
     "basket_copurchase_pairs", "events_heavy_hitters",
-    "graph_pagerank_parts", "dq_histogram_equidepth", "dq_key_skew",
+    "dq_histogram_equidepth", "dq_key_skew",
     "text_sparse_cosine_pairs", "stream_sliding_counts",
     "w3_distribution_funcs", "u5_except_all", "j7_interval_join",
     "a12_stats_agg", "tpch_q2_argmin_supplier", "j5b_asof_join_forward",
@@ -120,6 +124,12 @@ _PRIORITY = [
     "sliding_window_agg",
     "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
     "scalar_subquery_above_avg",
+    # -- 4b: rows-only entries (no SQL oracle — the driver can only do a
+    #        count>=0 check, which the local suite already performs; their
+    #        real correctness evidence is the invariant tests named in
+    #        COVERAGE.md, so they never outrank a hash-checked entry). ----
+    "approx_distinct_users_sketch", "approx_distinct_rollup_sketch",
+    "kmeans_train", "emb_pca_project", "graph_pagerank_parts",
     "dedup_minhash_pairs_fast",
     # -- 5: remainder keeps module order -----------------------------------
 ]
