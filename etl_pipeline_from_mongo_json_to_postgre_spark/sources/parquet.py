@@ -92,6 +92,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_timestamps(df)
 
 
+def load_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose files were written under DIFFERENT
+    schema versions (columns added over time — the normal life of a
+    100 TB table that outlives its first writer).
+
+    ``mergeSchema`` unions the footer schemas: rows from files missing
+    a column surface it as NULL, matching the engine's
+    missing-attribute semantics (plans/mapping_plan.py). Cost note:
+    schema merging reads every file footer up front — on huge tables
+    prefer a table format / explicit schema and reserve this for
+    landing zones where writers drift. Timestamp normalization is the
+    same as load_table (one choke point for encoding drift).
+    """
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return normalize_timestamps(df)
+
+
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a narrow scan up to the session's parallelism.
 
