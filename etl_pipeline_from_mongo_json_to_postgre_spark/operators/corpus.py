@@ -433,6 +433,49 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+def doc_chunk_spans(spark, sf_dir):
+    """Sliding-window document chunking (the context-window prep step
+    for RAG indexing / long-document training): each document explodes
+    into CHUNK_TOKENS-token spans every CHUNK_STRIDE tokens, the final
+    span truncated at the document end. Emits the span manifest
+    (doc_id, chunk_no, start_tok, chunk_len) — the text slice itself is
+    ``slice(words, start+1, len)`` on the same expressions when needed.
+
+    Scale shape: pure per-row array arithmetic inside the scan stage —
+    the explode multiplies rows by ~n_tokens/STRIDE but carries three
+    ints per row, and there is NO shuffle at all: chunk manifests
+    write straight back out partition-parallel. Chunk count/positions
+    are exact integer functions of token count, so re-runs and the
+    oracle agree bit-for-bit.
+    """
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    n = F.size(w)
+    # number of stride steps: ceil(max(n - CHUNK, 0) / STRIDE) + 1
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1)
+            / CHUNK_STRIDE
+        ) + 1
+    ).cast("int")
+    staged = d.where(n > 0).select(
+        "doc_id", n.cast("bigint").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+    )
+    start = (F.col("chunk_no").cast("bigint") * CHUNK_STRIDE)
+    return staged.select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        start.alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS).cast("bigint"),
+                F.col("n_tokens") - start).alias("chunk_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sparse TF-vector cosine similarity via inverted-index join — the
 # weighted companion to dedup_ngram_jaccard (set overlap) and the
@@ -603,6 +646,23 @@ ORACLE_SQL = {
         FROM cums
         WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
     """,
+    "doc_chunk_spans": f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   len({_DUCK_WORDS}) AS n_tokens,
+                   unnest(range(0,
+                       CAST(floor((greatest(len({_DUCK_WORDS}) - {CHUNK_TOKENS}, 0)
+                                   + {CHUNK_STRIDE} - 1) / {CHUNK_STRIDE}) AS BIGINT)
+                       + 1)) AS chunk_no
+            FROM documents WHERE len({_DUCK_WORDS}) > 0
+        )
+        SELECT doc_id,
+               CAST(chunk_no AS INT) AS chunk_no,
+               chunk_no * {CHUNK_STRIDE} AS start_tok,
+               least({CHUNK_TOKENS}, n_tokens - chunk_no * {CHUNK_STRIDE})
+                   AS chunk_len
+        FROM staged
+    """,
     "text_sparse_cosine_pairs": f"""
         WITH tf AS (
             SELECT doc_id, term, count(*) AS tf FROM (
@@ -705,6 +765,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "doc_chunk_spans": doc_chunk_spans,
     "text_sparse_cosine_pairs": text_sparse_cosine_pairs,
     "text_tfidf_topk": text_tfidf_topk,
     "corpus_best_per_source": corpus_best_per_source,
