@@ -559,6 +559,52 @@ def j5_asof_join(spark, sf_dir):
     )
 
 
+RFM_QUINTILES = (0.2, 0.4, 0.6, 0.8)
+
+
+def customer_rfm_scores(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer scoring: per
+    customer aggregates, then a 1-5 score per dimension by corpus-wide
+    quintile thresholds.
+
+    Scale shape: scores come from PERCENTILE THRESHOLDS broadcast back
+    onto the aggregate (4 doubles per dimension), NOT ntile — a global
+    ntile would funnel every customer through one unpartitioned window
+    sort. score = 1 + #thresholds strictly below the metric: pure
+    array arithmetic, identical tie semantics in both engines, and the
+    thresholds are bit-equal (same interpolation on same inputs — cf.
+    corpus_length_trim)."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.unix_date(F.max("o_orderdate").cast("date")).alias("r_days"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("monetary"),
+    )
+    probs = "array(" + ", ".join(str(p) for p in RFM_QUINTILES) + ")"
+    bounds = agg.agg(
+        F.expr(f"percentile(r_days, {probs})").alias("rb"),
+        F.expr(f"percentile(freq, {probs})").alias("fb"),
+        F.expr(f"percentile(monetary, {probs})").alias("mb"),
+    )
+
+    def _score(col, bnds):
+        return (
+            F.size(F.filter(bnds, lambda b: F.col(col) > b)) + 1
+        ).cast("int")
+
+    return (
+        agg.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            "r_days", "freq", "monetary",
+            _score("r_days", F.col("rb")).alias("r_score"),
+            _score("freq", F.col("fb")).alias("f_score"),
+            _score("monetary", F.col("mb")).alias("m_score"),
+        )
+    )
+
+
 def tpch_q2_argmin_supplier(spark, sf_dir):
     """Q2-shaped argmin join: for every part, the supplier row that
     achieves its minimum price (Q2's correlated MIN subquery re-shaped
@@ -1292,6 +1338,27 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN views v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
+    "customer_rfm_scores": f"""
+        WITH agg AS (
+            SELECT o_custkey,
+                   CAST(max(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
+                        AS BIGINT) AS r_days,
+                   count(*) AS freq,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS monetary
+            FROM orders GROUP BY o_custkey
+        ), bounds AS (
+            SELECT quantile_cont(r_days, {list(RFM_QUINTILES)}) AS rb,
+                   quantile_cont(freq, {list(RFM_QUINTILES)}) AS fb,
+                   quantile_cont(monetary, {list(RFM_QUINTILES)}) AS mb
+            FROM agg
+        )
+        SELECT o_custkey, r_days, freq, monetary,
+               CAST(len(list_filter(rb, b -> r_days > b)) + 1 AS INT) AS r_score,
+               CAST(len(list_filter(fb, b -> freq > b)) + 1 AS INT) AS f_score,
+               CAST(len(list_filter(mb, b -> monetary > b)) + 1 AS INT) AS m_score
+        FROM agg CROSS JOIN bounds
+    """,
     "tpch_q2_argmin_supplier": """
         WITH ranked AS (
             SELECT l_partkey, l_suppkey, l_extendedprice,
@@ -1582,6 +1649,7 @@ QUERIES = {
     "j7_interval_join": j7_interval_join,
     "j5b_asof_join_forward": j5b_asof_join_forward,
     "tpch_q2_argmin_supplier": tpch_q2_argmin_supplier,
+    "customer_rfm_scores": customer_rfm_scores,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,

@@ -151,6 +151,46 @@ def ts_cohort_retention(spark, sf_dir):
     )
 
 
+WAU_DAYS = 7
+
+
+def ts_active_users(spark, sf_dir):
+    """DAU / trailing-WAU census per day — the canonical engagement
+    rollup. Rolling DISTINCT does not decompose into mergeable
+    partials, so the scale-correct shape is: collapse once to the
+    DISTINCT (day, user) pair set (map-side combined, pair-set-sized
+    shuffle), then for the trailing window join each activity day onto
+    the WAU_DAYS days it contributes to (a bounded explode of day
+    offsets — the j6 bucket trick in one dimension) and count distinct
+    users per target day. Nothing event-sized survives past the first
+    aggregate; at 100 TB the pair set is |users x days|, orders of
+    magnitude below the event count. (The sketch alternative — daily
+    HLL unions, cf. approx_distinct_rollup — trades exactness for a
+    fixed-size shuffle.)"""
+    ev = _events(spark, sf_dir)
+    pairs = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(WAU_DAYS - 1))
+        ).alias("off"),
+        F.date_add("day", F.col("off")).alias("tday"),
+    ).select("user_id", "tday")
+    wau = (
+        contrib.join(dau.select(F.col("day").alias("tday")), "tday")
+        .groupBy("tday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.tday)
+        .select("day", "dau", "wau")
+    )
+
+
 PATTERN_WINDOW_US = 3_600_000_000  # adjacent-pair window: 1 hour
 
 
@@ -184,6 +224,22 @@ def ts_adjacent_pattern(spark, sf_dir):
 
 
 ORACLE_SQL = {
+    "ts_active_users": f"""
+        WITH pairs AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), dau AS (
+            SELECT day, count(*) AS dau FROM pairs GROUP BY day
+        ), contrib AS (
+            SELECT user_id, day + CAST(i.n AS INTEGER) AS tday
+            FROM pairs, (SELECT unnest(range(0, {WAU_DAYS})) AS n) i
+        ), wau AS (
+            SELECT tday, count(DISTINCT user_id) AS wau
+            FROM contrib JOIN (SELECT day AS tday FROM dau) USING (tday)
+            GROUP BY tday
+        )
+        SELECT d.day, d.dau, w.wau
+        FROM dau d JOIN wau w ON d.day = w.tday
+    """,
     "ts_adjacent_pattern": f"""
         WITH staged AS (
             SELECT user_id, event_type, epoch_us(ts) AS t_us,
@@ -272,4 +328,5 @@ QUERIES = {
     "ts_funnel_stages": ts_funnel_stages,
     "ts_cohort_retention": ts_cohort_retention,
     "ts_adjacent_pattern": ts_adjacent_pattern,
+    "ts_active_users": ts_active_users,
 }
