@@ -172,8 +172,17 @@ class MappingPlan:
             ),
             lambda x: x.isNotNull(),
         )
+        # a document that failed to parse as a JSON object (__keys NULL:
+        # malformed, empty, non-object, or NULL input) must surface as a
+        # per-document ERROR, not an all-NULL "success" row — the
+        # reference's per-document loop throws on it (transformer.py) and
+        # marks that document failed while the batch continues.
+        parse_error = F.when(
+            F.col("__keys").isNull(), F.lit("document: invalid JSON object")
+        )
         errors = F.filter(
             F.array(
+                parse_error,
                 *[
                     F.when(
                         F.array_contains(F.col("__keys"), a.source_attr)

@@ -64,6 +64,24 @@ def collections_to_raw_df(
     return out
 
 
+def read_collection_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Data-scale input path: one collection as line-delimited JSON
+    (the staging format the module docstring promises). Reads as raw
+    TEXT, not spark.read.json — schema stays opaque until a MappingPlan
+    projects it (identical to collections_to_raw_df), and malformed
+    lines are PRESERVED as rows instead of being dropped or shunted to
+    a _corrupt_record column: the transform engine flags them as
+    per-document errors in the audit trail (plans/mapping_plan.py),
+    which is the reference's failed-document semantics, not a silent
+    data loss. Blank lines are skipped (they are formatting, not
+    documents). Splittable + partition-parallel at any size."""
+    return (
+        spark.read.text(path)
+        .where(F.length(F.trim(F.col("value"))) > 0)
+        .select(F.col("value").alias("raw_json"))
+    )
+
+
 def read_collections_distributed(
     spark: SparkSession, path: str, collections: list[str]
 ) -> dict[str, DataFrame]:
