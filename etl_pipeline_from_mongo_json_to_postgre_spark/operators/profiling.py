@@ -292,6 +292,64 @@ def dq_key_skew(spark, sf_dir):
     )
 
 
+def dq_referential_violations(spark, sf_dir):
+    """Cross-table referential-integrity audit: orphan counts for each
+    foreign-key edge of the star schema (orders→customer,
+    lineitem→orders, lineitem→part, customer→nation). The ETL-hygiene
+    report the reference's audit trail implies but never materializes
+    (its per-document loop can't see across collections).
+
+    Scale shape: each edge is a LEFT ANTI join — fact side streams,
+    key side reduces to its distinct key set first (distinct combines
+    map-side, so the join build input is key-cardinality); small key
+    sets broadcast under AQE. Output is one row per edge: constant-size
+    regardless of data."""
+    tune_for_oracle(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+
+    def _orphans(fact, fk, dim, pk, edge):
+        keys = dim.select(F.col(pk).alias(fk)).distinct()
+        return (
+            fact.select(fk)
+            .join(keys, fk, "left_anti")
+            .agg(F.count("*").alias("orphan_rows"))
+            .select(F.lit(edge).alias("fk_edge"), "orphan_rows")
+        )
+
+    edges = [
+        _orphans(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        _orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        _orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"),
+        _orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+ORACLE_SQL["dq_referential_violations"] = """
+    SELECT 'orders->customer' AS fk_edge,
+           count(*) FILTER (WHERE c.c_custkey IS NULL) AS orphan_rows
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+           count(*) FILTER (WHERE o.o_orderkey IS NULL)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part',
+           count(*) FILTER (WHERE p.p_partkey IS NULL)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'customer->nation',
+           count(*) FILTER (WHERE n.n_nationkey IS NULL)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
 ORACLE_SQL["zorder_bucket_census"] = _zorder_census_sql()
 # DuckDB has no width_bucket; the CASE replicates Spark's exact
 # arithmetic (floor((v - lo) / ((hi - lo) / n)) + 1, out-of-range to
@@ -343,4 +401,5 @@ QUERIES = {
     "dq_histogram": dq_histogram,
     "dq_histogram_equidepth": dq_histogram_equidepth,
     "dq_key_skew": dq_key_skew,
+    "dq_referential_violations": dq_referential_violations,
 }
