@@ -254,3 +254,42 @@ def test_sparse_cosine_shuffles_ids_not_text(spark, sf_dir):
         keys = exchange_chunk.split("]")[0]
         assert "text" not in keys
     assert "Python" not in plan
+
+
+def test_rfm_no_global_window(spark, sf_dir):
+    """RFM scores must come from broadcast percentile thresholds —
+    a Window operator here would mean the global-ntile shape that
+    funnels every customer through one sort partition."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        customer_rfm_scores,
+    )
+
+    plan = physical_plan(customer_rfm_scores(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+    assert "Python" not in plan
+
+
+def test_active_users_no_window_no_python(spark, sf_dir):
+    """DAU/WAU: the rolling distinct is pair-set joins + aggregates;
+    no Window operator, no Python, and the first aggregate partial-
+    combines before its shuffle."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        ts_active_users,
+    )
+
+    plan = physical_plan(ts_active_users(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_referential_audit_anti_joins(spark, sf_dir):
+    """Every FK edge must plan as an anti join (orphans = absence),
+    with the key sides reduced/broadcast — never a full outer merge."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.profiling import (
+        dq_referential_violations,
+    )
+
+    plan = physical_plan(dq_referential_violations(spark, sf_dir))
+    assert plan.count("LeftAnti") == 4
+    assert "Python" not in plan
