@@ -559,6 +559,33 @@ def j5_asof_join(spark, sf_dir):
     )
 
 
+def a13_percent_of_total(spark, sf_dir):
+    """Percent-of-total / ratio_to_report (extension): each nation's
+    share of global order revenue with its rank. The window runs over
+    the AGGREGATE OUTPUT (|nations| rows), which is the only place an
+    unpartitioned window is scale-safe — the heavy lifting is the
+    map-side-combined revenue aggregate below it; revenue sums are
+    DECIMAL-exact before the share division."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w_tot = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("rev"), F.asc("n_name"))
+    return rev.select(
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w_tot), 6)
+        .cast("double").alias("share"),
+        F.row_number().over(w_rank).cast("int").alias("rk"),
+    )
+
+
 RFM_QUINTILES = (0.2, 0.4, 0.6, 0.8)
 
 
@@ -1338,6 +1365,21 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN views v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
+    "a13_percent_of_total": """
+        WITH rev AS (
+            SELECT n_name,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(round(rev / sum(rev) OVER (), 6) AS DOUBLE) AS share,
+               CAST(row_number() OVER (ORDER BY rev DESC, n_name ASC) AS INT) AS rk
+        FROM rev
+    """,
     "customer_rfm_scores": f"""
         WITH agg AS (
             SELECT o_custkey,
@@ -1650,6 +1692,7 @@ QUERIES = {
     "j5b_asof_join_forward": j5b_asof_join_forward,
     "tpch_q2_argmin_supplier": tpch_q2_argmin_supplier,
     "customer_rfm_scores": customer_rfm_scores,
+    "a13_percent_of_total": a13_percent_of_total,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,

@@ -76,6 +76,36 @@ def text_langid(spark, sf_dir):
     ).where(F.size(w) > 0)
 
 
+def text_langid_confusion(spark, sf_dir):
+    """Label-vs-prediction confusion matrix for the langid heuristic —
+    the evaluation census any classifier-over-corpus step needs
+    (per (labeled, predicted) cell counts + cell share of the label's
+    row). Two map-side-combined aggregates over the same scan; the
+    row-total frame is label-cardinality and broadcast back."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(w)
+    pred = (
+        F.when(ratio >= 0.08, "en")
+        .when(ratio >= 0.03, "en_maybe")
+        .otherwise("unknown")
+    )
+    cells = (
+        d.where(F.size(w) > 0)
+        .select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    totals = cells.groupBy("labeled").agg(F.sum("n_docs").alias("row_total"))
+    return (
+        cells.join(F.broadcast(totals), "labeled")
+        .select(
+            "labeled", "predicted", "n_docs",
+            F.round(F.col("n_docs") / F.col("row_total"), 4).alias("row_share"),
+        )
+    )
+
+
 BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
@@ -351,6 +381,27 @@ ORACLE_SQL = {
                     ELSE 'unknown' END AS predicted_lang
         FROM s
     """,
+    "text_langid_confusion": f"""
+        WITH s AS (
+            SELECT lang AS labeled,
+                   CASE WHEN CAST(len(list_filter({_DUCK_WORDS},
+                                  x -> x IN ('the', 'a'))) AS DOUBLE)
+                             / len({_DUCK_WORDS}) >= 0.08 THEN 'en'
+                        WHEN CAST(len(list_filter({_DUCK_WORDS},
+                                  x -> x IN ('the', 'a'))) AS DOUBLE)
+                             / len({_DUCK_WORDS}) >= 0.03 THEN 'en_maybe'
+                        ELSE 'unknown' END AS predicted
+            FROM documents WHERE len({_DUCK_WORDS}) > 0
+        ), cells AS (
+            SELECT labeled, predicted, count(*) AS n_docs
+            FROM s GROUP BY 1, 2
+        ), totals AS (
+            SELECT labeled, sum(n_docs) AS row_total FROM cells GROUP BY 1
+        )
+        SELECT labeled, predicted, n_docs,
+               round(n_docs / row_total, 4) AS row_share
+        FROM cells JOIN totals USING (labeled)
+    """,
     "text_normalize": r"""
         SELECT doc_id,
                trim(regexp_replace(
@@ -428,6 +479,7 @@ QUERIES = {
     "sample_hash_mod": sample_hash_mod,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
+    "text_langid_confusion": text_langid_confusion,
     "text_fingerprint": text_fingerprint,
     "text_ngram_counts": text_ngram_counts,
     "text_pii_mask": text_pii_mask,
