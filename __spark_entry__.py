@@ -92,7 +92,8 @@ _PRIORITY = [
     "a12_stats_agg", "tpch_q2_argmin_supplier", "j5b_asof_join_forward",
     "doc_chunk_spans", "ts_active_users", "customer_rfm_scores",
     "dq_referential_violations", "a13_percent_of_total",
-    "text_langid_confusion",
+    "text_langid_confusion", "orders_backlog_timeline",
+    "dedup_cluster_census",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

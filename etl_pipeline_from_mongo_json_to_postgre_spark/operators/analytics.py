@@ -586,6 +586,44 @@ def a13_percent_of_total(spark, sf_dir):
     )
 
 
+def orders_backlog_timeline(spark, sf_dir):
+    """Event-sourcing running balance: daily open-order backlog =
+    cumulative orders placed minus cumulative orders fully shipped
+    (an order completes on its last lineitem's ship date). The pattern
+    behind any inventory/queue-depth timeline.
+
+    Scale shape: both daily series are map-side-combined counts (the
+    per-order completion date is itself a max aggregate); the cumsum
+    window runs over the DAY-cardinality merged series only — the same
+    aggregate-then-window discipline as a13_percent_of_total."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    placed = (
+        o.select(F.to_date("o_orderdate").alias("day"))
+        .groupBy("day").agg(F.count("*").alias("placed"))
+    )
+    completed = (
+        li.groupBy("l_orderkey")
+        .agg(F.to_date(F.max("l_shipdate")).alias("day"))
+        .groupBy("day").agg(F.count("*").alias("completed"))
+    )
+    merged = (
+        placed.join(completed, "day", "outer")
+        .select(
+            "day",
+            F.coalesce("placed", F.lit(0)).alias("placed"),
+            F.coalesce("completed", F.lit(0)).alias("completed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return merged.select(
+        "day", "placed", "completed",
+        (F.sum("placed").over(w) - F.sum("completed").over(w))
+        .alias("open_backlog"),
+    )
+
+
 RFM_QUINTILES = (0.2, 0.4, 0.6, 0.8)
 
 
@@ -1365,6 +1403,27 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN views v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
+    "orders_backlog_timeline": """
+        WITH placed AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS placed
+            FROM orders GROUP BY 1
+        ), completed AS (
+            SELECT day, count(*) AS completed FROM (
+                SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS day
+                FROM lineitem GROUP BY l_orderkey
+            ) GROUP BY day
+        ), merged AS (
+            SELECT COALESCE(p.day, c.day) AS day,
+                   COALESCE(p.placed, 0) AS placed,
+                   COALESCE(c.completed, 0) AS completed
+            FROM placed p FULL OUTER JOIN completed c ON p.day = c.day
+        )
+        SELECT day, placed, completed,
+               sum(placed) OVER w - sum(completed) OVER w AS open_backlog
+        FROM merged
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    """,
     "a13_percent_of_total": """
         WITH rev AS (
             SELECT n_name,
@@ -1693,6 +1752,7 @@ QUERIES = {
     "tpch_q2_argmin_supplier": tpch_q2_argmin_supplier,
     "customer_rfm_scores": customer_rfm_scores,
     "a13_percent_of_total": a13_percent_of_total,
+    "orders_backlog_timeline": orders_backlog_timeline,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,

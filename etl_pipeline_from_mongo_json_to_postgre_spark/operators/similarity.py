@@ -603,6 +603,24 @@ ORACLE_SQL["emb_quantize_int8"] = f"""
     FROM errs
 """
 
+
+def dedup_cluster_census(spark, sf_dir):
+    """Near-dup cluster-size census: how many duplicate clusters of
+    each size the corpus contains — the report that decides dedup
+    policy (a corpus of pairs dedups differently from one with
+    thousand-document pile-ups). Derived from the full transitive
+    closure (dedup_components) by two count-sized aggregates; the
+    iterative work happens once, everything above it is map-side
+    combinable."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
 ORACLE_SQL["dedup_components"] = f"""
     WITH RECURSIVE vecs AS MATERIALIZED (
         SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
@@ -637,6 +655,16 @@ ORACLE_SQL["dedup_components"] = f"""
 """
 
 ORACLE_SQL["dedup_components_bigstar"] = ORACLE_SQL["dedup_components"]
+
+ORACLE_SQL["dedup_cluster_census"] = ORACLE_SQL["dedup_components"].replace(
+    "SELECT v AS vec_id, MIN(lbl) AS component_id FROM walk GROUP BY v",
+    """SELECT cluster_size, count(*) AS n_clusters FROM (
+           SELECT component_id, count(*) AS cluster_size FROM (
+               SELECT v AS vec_id, MIN(lbl) AS component_id FROM walk GROUP BY v
+           ) GROUP BY component_id
+       ) GROUP BY cluster_size""",
+)
+
 
 ORACLE_SQL["ann_ivf_topk"] = f"""
     WITH vecs AS (
@@ -705,5 +733,6 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,
     "dedup_components_bigstar": dedup_components_bigstar,
+    "dedup_cluster_census": dedup_cluster_census,
     "emb_quantize_int8": emb_quantize_int8,
 }
