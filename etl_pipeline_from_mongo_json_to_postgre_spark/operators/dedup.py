@@ -405,6 +405,82 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered Jaccard join (Chaudhuri/Ganti/Kaushik's
+    SSJoin-style candidate pruning): identical output to
+    dedup_ngram_jaccard, but candidates come from joining only each
+    document's PREFIX — its first n - ceil(T*n) + 1 shingles under a
+    global total order — instead of its full shingle set. Any pair with
+    J >= T must share a prefix shingle (pigeonhole over the sorted
+    order), so pruning is EXACT: same result, and the candidate-join
+    shuffle shrinks by ~T of the exploded rows, concentrated on the
+    rarest tokens when the order is df-ascending (hash order here —
+    correctness needs only consistency; swap in a df-rank order at
+    100 TB for maximum pruning). Verification intersects the full
+    arrays carried on the candidate pairs — per-pair compute, no
+    second inverted-index shuffle (unlike the full-join variant).
+
+    Oracle: shares dedup_ngram_jaccard's SQL verbatim — the two
+    operators are result-identical by construction, which IS the
+    property worth pinning."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    docs = (
+        d.select("doc_id", "lang", word_hashes(w).alias("wh"))
+        .select(
+            "doc_id", "lang",
+            F.array_sort(
+                F.array_distinct(shingle_hashes(F.col("wh"), k=3))
+            ).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=True)  # read 2x: prefix explode + verify join
+    )
+    n = F.size("sh")
+    prefix_len = (n - F.ceil(n * F.lit(JACCARD_THRESHOLD)) + 1).cast("int")
+    prefixes = docs.select(
+        "doc_id", "lang",
+        F.explode(F.slice("sh", 1, prefix_len)).alias("s"),
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("common"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -590,6 +666,8 @@ ORACLE_SQL = {
     """,
 }
 
+ORACLE_SQL["dedup_jaccard_prefix"] = ORACLE_SQL["dedup_ngram_jaccard"]
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "dedup_exact": dedup_exact,
@@ -598,5 +676,6 @@ QUERIES = {
     "dedup_minhash_canonical": dedup_minhash_canonical,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_minhash_pairs_fast": dedup_minhash_pairs_fast,  # rows-only (xxhash64)
 }
