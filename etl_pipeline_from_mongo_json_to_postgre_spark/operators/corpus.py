@@ -433,6 +433,39 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
+WEIGHTED_K = 50
+
+
+def sample_weighted_topk(spark, sf_dir):
+    """Weight-proportional sampling without replacement
+    (Efraimidis-Spirakis A-Res): each document draws a deterministic
+    pseudo-uniform u from its scrambled id and competes with key
+    u^(1/weight); the K largest keys ARE a weight-proportional
+    without-replacement sample. Weight here = n_chars (longer documents
+    favored — the usual "sample by token mass" curation draw).
+
+    Determinism: u is exact rational arithmetic on the scrambled id;
+    pow is computed on identical doubles in both engines; ties are
+    impossible (distinct u per doc_id). Scale shape: key is a per-row
+    expression and the top-K is sort+limit (TakeOrderedAndProject:
+    local per-partition top-K, K-row merge) — no global sort, no
+    shuffle of non-survivors. One pass, any corpus size.
+    """
+    d = _docs(spark, sf_dir)
+    u = (scrambled_key(F.col("doc_id")) + 1).cast("double") / (
+        1_000_000_007 + 1
+    )
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        d.select(
+            "doc_id", "n_chars",
+            F.round(key, 12).alias("draw_key"),
+        )
+        .orderBy(F.desc("draw_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+    )
+
+
 CHUNK_TOKENS = 128
 CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
 
@@ -646,6 +679,14 @@ ORACLE_SQL = {
         FROM cums
         WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
     """,
+    "sample_weighted_topk": f"""
+        SELECT doc_id, n_chars,
+               round(pow(CAST({scrambled_key_sql('doc_id')} + 1 AS DOUBLE)
+                         / 1000000008, 1.0 / n_chars), 12) AS draw_key
+        FROM documents
+        ORDER BY draw_key DESC, doc_id ASC
+        LIMIT {WEIGHTED_K}
+    """,
     "doc_chunk_spans": f"""
         WITH staged AS (
             SELECT doc_id,
@@ -766,6 +807,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "doc_chunk_spans": doc_chunk_spans,
+    "sample_weighted_topk": sample_weighted_topk,
     "text_sparse_cosine_pairs": text_sparse_cosine_pairs,
     "text_tfidf_topk": text_tfidf_topk,
     "corpus_best_per_source": corpus_best_per_source,
