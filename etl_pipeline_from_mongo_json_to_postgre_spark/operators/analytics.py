@@ -624,6 +624,97 @@ def orders_backlog_timeline(spark, sf_dir):
     )
 
 
+def revenue_date_spine(spark, sf_dir):
+    """Gap-filled daily revenue: a generated date spine (min..max order
+    date) left-joined onto the daily aggregate, so days with no orders
+    appear as explicit zero rows — the densification step every
+    time-series chart/model needs (sparse aggregates silently skip
+    days; downstream windows then compute wrong trailing stats).
+
+    Scale shape: the spine is GENERATED (sequence over the 2-value
+    min/max aggregate), never scanned; days are bounded (years x 365)
+    regardless of corpus size, so the spine side broadcasts and the
+    heavy side remains the map-side-combined daily aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(F.to_date("o_orderdate").alias("day"),
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_orders"), F.sum("p").alias("rev"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("rev").cast("double"), F.lit(0.0)).alias("revenue"),
+            (F.col("rev").isNotNull()).cast("int").alias("has_sales"),
+        )
+    )
+
+
+PATH_LEN = 5
+PATH_TOP_K = 10
+PATH_GAP_US = 1_800_000_000
+
+
+def session_top_paths(spark, sf_dir):
+    """Session path mining: the PATH_TOP_K most common session-opening
+    event-type sequences (first PATH_LEN events of each 30-min-gap
+    session) — the "how do users start a session" report behind any
+    navigation-flow diagram.
+
+    Scale shape: sessionization is the one-window islands pass; the
+    per-session path is built by sort_array over the session's
+    (bounded: PATH_LEN after slice) struct list inside the same
+    user-keyed aggregation, and path counting shuffles
+    (path, partial-count) rows. Top-K is sort+limit."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("t_us") - F.col("prev_ts") > PATH_GAP_US), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("prev_ts", F.lag("t_us").over(w_ord))
+        .withColumn("sess_no", F.sum(new_sess).over(w_cum))
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("t_us", "event_id", "event_type")
+                            )
+                        ),
+                        1, PATH_LEN,
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
 RFM_QUINTILES = (0.2, 0.4, 0.6, 0.8)
 
 
@@ -1403,6 +1494,49 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN views v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
+    "revenue_date_spine": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        ), spine AS (
+            SELECT CAST(unnest(generate_series(min(day), max(day),
+                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM daily
+        )
+        SELECT s.day,
+               COALESCE(d.n_orders, 0) AS n_orders,
+               COALESCE(CAST(d.rev AS DOUBLE), 0.0) AS revenue,
+               CAST(d.rev IS NOT NULL AS INT) AS has_sales
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    "session_top_paths": f"""
+        WITH staged AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+                   lag(epoch_us(ts)) OVER w AS prev_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), numbered AS (
+            SELECT user_id, event_id, event_type, t_us,
+                   sum(CASE WHEN prev_ts IS NULL
+                              OR t_us - prev_ts > {PATH_GAP_US}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY t_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_no
+            FROM staged
+        ), paths AS (
+            SELECT user_id, sess_no,
+                   array_to_string(
+                       (list(event_type ORDER BY t_us, event_id))[1:{PATH_LEN}],
+                       '>') AS path
+            FROM numbered GROUP BY user_id, sess_no
+        )
+        SELECT path, count(*) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path ASC
+        LIMIT {PATH_TOP_K}
+    """,
     "orders_backlog_timeline": """
         WITH placed AS (
             SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS placed
@@ -1753,6 +1887,8 @@ QUERIES = {
     "customer_rfm_scores": customer_rfm_scores,
     "a13_percent_of_total": a13_percent_of_total,
     "orders_backlog_timeline": orders_backlog_timeline,
+    "revenue_date_spine": revenue_date_spine,
+    "session_top_paths": session_top_paths,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,
