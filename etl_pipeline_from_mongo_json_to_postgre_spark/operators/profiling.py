@@ -292,6 +292,54 @@ def dq_key_skew(spark, sf_dir):
     )
 
 
+MAD_K = 3.0  # outlier fence: |x - median| > K * MAD
+
+
+def dq_mad_outliers(spark, sf_dir):
+    """Robust outlier census (median absolute deviation): per event
+    type, the exact median, the MAD, and how many values sit outside
+    median ± K*MAD — the heavy-tail-safe sibling of z-score fences
+    (mean/stddev fences break on the very outliers they hunt).
+
+    Scale shape: two chained aggregations on the SAME type key (median
+    of values, then median of absolute deviations + fence count), so
+    the second pass reuses the first's hash partitioning; the medians
+    frame between them is type-cardinality and broadcast. Exact median
+    forces each type's values through its reducer — the documented
+    sketch swap at 100 TB is percentile_approx (cf.
+    approx_value_quantiles), same plan otherwise."""
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", "value", "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.median("adev").alias("mad"),
+    )
+    return (
+        dev.select("event_type", "value")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(MAD_K) * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def dq_referential_violations(spark, sf_dir):
     """Cross-table referential-integrity audit: orphan counts for each
     foreign-key edge of the star schema (orders→customer,
@@ -331,6 +379,24 @@ def dq_referential_violations(spark, sf_dir):
         out = out.unionByName(e)
     return out
 
+
+ORACLE_SQL["dq_mad_outliers"] = f"""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), mad AS (
+        SELECT e.event_type, any_value(m.med) AS med,
+               median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           round(any_value(a.med), 6) AS med,
+           round(any_value(a.mad), 6) AS mad,
+           count(*) FILTER (WHERE abs(e.value - a.med) > {MAD_K} * a.mad)
+               AS n_outliers
+    FROM events e JOIN mad a USING (event_type)
+    GROUP BY e.event_type
+"""
 
 ORACLE_SQL["dq_referential_violations"] = """
     SELECT 'orders->customer' AS fk_edge,
@@ -402,4 +468,5 @@ QUERIES = {
     "dq_histogram_equidepth": dq_histogram_equidepth,
     "dq_key_skew": dq_key_skew,
     "dq_referential_violations": dq_referential_violations,
+    "dq_mad_outliers": dq_mad_outliers,
 }
