@@ -151,6 +151,28 @@ def ts_cohort_retention(spark, sf_dir):
     )
 
 
+def ts_trend_slope(spark, sf_dir):
+    """Per-type linear trend via AGGREGATE-ONLY least squares
+    (regr_slope / regr_intercept / regr_r2): the regression reduces to
+    five map-side-combinable co-moment sums, so fitting a trend line
+    to a 100 TB series is one |groups|-row shuffle — no iterative
+    solver, no collect. x is the integer day index (bounded magnitude:
+    raw epoch-micros x would burn double precision in the x^2 sums);
+    outputs rounded past partial-agg reorder noise (~1e-14 relative)."""
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        "event_type",
+        F.unix_date(F.to_date("ts")).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return staged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope_per_day"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )
+
+
 WAU_DAYS = 7
 
 
@@ -224,6 +246,20 @@ def ts_adjacent_pattern(spark, sf_dir):
 
 
 ORACLE_SQL = {
+    "ts_trend_slope": """
+        SELECT event_type,
+               count(*) AS n,
+               round(regr_slope(value,
+                     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE)), 6)
+                   AS slope_per_day,
+               round(regr_intercept(value,
+                     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE)), 4)
+                   AS intercept,
+               round(regr_r2(value,
+                     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE)), 6)
+                   AS r2
+        FROM events GROUP BY event_type
+    """,
     "ts_active_users": f"""
         WITH pairs AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -329,4 +365,5 @@ QUERIES = {
     "ts_cohort_retention": ts_cohort_retention,
     "ts_adjacent_pattern": ts_adjacent_pattern,
     "ts_active_users": ts_active_users,
+    "ts_trend_slope": ts_trend_slope,
 }
