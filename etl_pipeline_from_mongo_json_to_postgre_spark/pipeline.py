@@ -352,3 +352,29 @@ def format_summary(summary: Mapping[str, Any]) -> str:
         lines += ["", "Object statuses:"]
         lines += [f"  - {k}: {v}" for k, v in summary["object_statuses"].items()]
     return "\n".join(lines)
+
+
+def write_with_metrics(df: DataFrame, path: str,
+                       metrics: Mapping[str, Any] | None = None) -> dict:
+    """Write ``df`` to parquet while collecting audit metrics IN the
+    same pass via Spark's Observation API — the engine-side answer to
+    the reference's per-document counters (pipeline.py:188-284
+    increments success/error tallies as it loops): here the counters
+    ride the write job's tasks, so the table lands AND its run-report
+    numbers exist after ONE scan, no second aggregation job over the
+    data.
+
+    ``metrics`` maps metric name -> aggregate Column (e.g.
+    ``{"n_errors": F.count(F.when(F.col("status") == "error", 1))}``);
+    a ``rows_written`` count is always included. Returns the collected
+    metric dict after the write completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    agg_cols = [F.count(F.lit(1)).alias("rows_written")]
+    for name, col in (metrics or {}).items():
+        agg_cols.append(col.alias(name))
+    observed = df.observe(obs, *agg_cols)
+    observed.write.mode("overwrite").parquet(path)
+    return dict(obs.get)

@@ -184,3 +184,29 @@ def test_cli_error_exit(tmp_path, capsys):
     ])
     assert rc == 1
     assert "Pipeline error" in capsys.readouterr().err
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    """Observation-based write: metrics collected during the write job
+    must equal a direct aggregate, and the written table must be
+    complete — one scan produces both."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.pipeline import (
+        write_with_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "error" if i % 7 == 0 else "success") for i in range(1000)],
+        "id bigint, status string",
+    )
+    out = str(tmp_path / "observed")
+    got = write_with_metrics(
+        df, out,
+        {"n_errors": F.count(F.when(F.col("status") == "error", 1)),
+         "max_id": F.max("id")},
+    )
+    assert got["rows_written"] == 1000
+    assert got["n_errors"] == len([i for i in range(1000) if i % 7 == 0])
+    assert got["max_id"] == 999
+    assert spark.read.parquet(out).count() == 1000
