@@ -641,6 +641,11 @@ def revenue_date_spine(spark, sf_dir):
                  F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
         .groupBy("day")
         .agg(F.count("*").alias("n_orders"), F.sum("p").alias("rev"))
+        # day-cardinality; materialized once so the spine's min/max and
+        # the join side share ONE scan of orders (without the barrier
+        # Catalyst plans a second full scan just to compute the bounds —
+        # pinned in test_plans.py::test_date_spine_generated_not_scanned)
+        .localCheckpoint(eager=True)
     )
     spine = (
         daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))

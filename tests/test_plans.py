@@ -293,3 +293,35 @@ def test_referential_audit_anti_joins(spark, sf_dir):
     plan = physical_plan(dq_referential_violations(spark, sf_dir))
     assert plan.count("LeftAnti") == 4
     assert "Python" not in plan
+
+
+def test_date_spine_generated_not_scanned(spark, sf_dir):
+    """The calendar spine must be GENERATED (explode over the 2-value
+    min/max aggregate) — a Generate node fed by an aggregate, not a
+    second scan of the orders table."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        revenue_date_spine,
+    )
+
+    plan = physical_plan(revenue_date_spine(spark, sf_dir))
+    assert "Generate explode" in plan
+    # the daily aggregate is checkpointed: both the spine bounds and
+    # the join side read the materialized day-cardinality RDD — the
+    # orders table was scanned exactly once (at checkpoint), so the
+    # returned plan contains NO file scans at all
+    assert "FileScan" not in plan
+    assert "ExistingRDD" in plan
+    assert "Python" not in plan
+
+
+def test_session_paths_single_user_shuffle(spark, sf_dir):
+    """Path mining: islands window + per-session path aggregate share
+    the user_id partitioning; the only other exchange carries
+    (path, partial-count) rows; top-K is TakeOrdered."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        session_top_paths,
+    )
+
+    plan = physical_plan(session_top_paths(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
