@@ -299,7 +299,115 @@ _CHANGES_SQL = f"""
         )
 """
 
+INC_CUTOFF_DAY = "2024-01-20"
+
+
+def inc_agg_refresh(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: the per-(day,
+    event_type) rollup is refreshed by MERGING a new batch's partial
+    aggregate into the existing one (count/sum partials combine
+    associatively) instead of recomputing over all history. Here the
+    events table is split at INC_CUTOFF_DAY into "already materialized"
+    and "newly arrived", each aggregated independently, and the merge
+    re-aggregates the union of partials — byte-identical to the full
+    recompute (the oracle), which IS the incremental-view-maintenance
+    correctness property.
+
+    Scale shape: the delta aggregate touches only new partitions (at
+    100 TB: one day of data, not the table); the merge shuffles
+    group-cardinality partial rows from BOTH sides — never re-reads
+    history. Works for any algebraic aggregate (count/sum/min/max;
+    avg via sum+count); holistic aggregates (median, distinct) need
+    the sketch route (cf. approx_distinct_rollup)."""
+    from ..session import tune_for_oracle
+    from ..sources.parquet import load_table
+
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    cutoff = F.lit(INC_CUTOFF_DAY).cast("date")
+
+    def _partial(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").alias("vsum"),
+        )
+
+    base = _partial(ev.where(F.col("day") < cutoff))
+    delta = _partial(ev.where(F.col("day") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("vsum").alias("vsum"))
+    )
+    return merged.select(
+        "day", "event_type", "cnt",
+        F.col("vsum").cast("double").alias("value_sum"),
+    )
+
+
+def user_acquisition_census(spark, sf_dir):
+    """New-vs-returning daily census: each event classified by whether
+    its user was first seen that day; per-day counts of new users,
+    returning users, and events. The acquisition/retention split every
+    growth dashboard opens with.
+
+    Scale shape: first-seen is a user-keyed MIN aggregate
+    (user-cardinality) broadcast-joined back onto the (day, user)
+    distinct pair set; both censuses combine map-side."""
+    from ..session import tune_for_oracle
+    from ..sources.parquet import load_table
+
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    pairs = ev.distinct()
+    first_seen = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily_events = ev.groupBy("day").agg(F.count("*").alias("n_events"))
+    census = (
+        pairs.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("first_day"), 1))
+            .alias("new_users"),
+            F.count(F.when(F.col("day") != F.col("first_day"), 1))
+            .alias("returning_users"),
+        )
+    )
+    return census.join(daily_events, "day").select(
+        "day", "new_users", "returning_users", "n_events"
+    )
+
+
 ORACLE_SQL = {
+    "inc_agg_refresh": f"""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1, 2
+    """,
+    "user_acquisition_census": """
+        WITH pairs AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ), first_seen AS (
+            SELECT user_id, min(day) AS first_day FROM pairs GROUP BY user_id
+        ), census AS (
+            SELECT day,
+                   count(*) FILTER (WHERE day = first_day) AS new_users,
+                   count(*) FILTER (WHERE day <> first_day) AS returning_users
+            FROM pairs JOIN first_seen USING (user_id)
+            GROUP BY day
+        ), daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT day, new_users, returning_users, n_events
+        FROM census JOIN daily USING (day)
+    """,
     "inc_oplog_apply": f"""
         WITH ops0 AS (
             SELECT user_id AS doc_key, event_id AS seq, event_type, value,
@@ -407,6 +515,8 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "inc_agg_refresh": inc_agg_refresh,
+    "user_acquisition_census": user_acquisition_census,
     "inc_oplog_apply": inc_oplog_apply,
     "inc_upsert_latest": inc_upsert_latest,
     "inc_snapshot_diff": inc_snapshot_diff,
