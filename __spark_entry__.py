@@ -136,7 +136,7 @@ _PRIORITY = [
     #        COVERAGE.md, so they never outrank a hash-checked entry). ----
     "approx_distinct_users_sketch", "approx_distinct_rollup_sketch",
     "kmeans_train", "emb_pca_project", "graph_pagerank_parts",
-    "dedup_minhash_pairs_fast",
+    "dedup_minhash_pairs_fast", "approx_heavy_users",
     # -- 5: remainder keeps module order -----------------------------------
 ]
 

@@ -292,6 +292,30 @@ def dq_key_skew(spark, sf_dir):
     )
 
 
+FREQ_SUPPORT = 0.02
+
+
+def approx_heavy_users(spark, sf_dir):
+    """Single-pass approximate heavy hitters via ``freqItems``
+    (Karp/Shenker/Papadimitriou counter sketch): every user whose event
+    share exceeds FREQ_SUPPORT is GUARANTEED to be returned (possible
+    false positives, no false negatives — the superset contract is
+    pinned against exact counts in test_approx.py). The sketch carries
+    a fixed 1/support-sized counter map per partition and merges — no
+    per-key shuffle at all, vs the exact heavy-hitter query's
+    (type, user) aggregate (events_heavy_hitters). Rows-only driver
+    check: candidate sets are sketch-internal-order dependent across
+    engines, so no SQL oracle; the guarantee, not the candidate list,
+    is the contract."""
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    res = ev.stat.freqItems(["user_id"], support=FREQ_SUPPORT)
+    return (
+        res.select(F.explode("user_id_freqItems").alias("user_id"))
+        .orderBy("user_id")
+    )
+
+
 MAD_K = 3.0  # outlier fence: |x - median| > K * MAD
 
 
@@ -469,4 +493,5 @@ QUERIES = {
     "dq_key_skew": dq_key_skew,
     "dq_referential_violations": dq_referential_violations,
     "dq_mad_outliers": dq_mad_outliers,
+    "approx_heavy_users": approx_heavy_users,
 }

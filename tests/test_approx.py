@@ -40,3 +40,29 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
         assert sorted(c["q"] for c in cells) == [0.5, 0.95, 0.99]
         for c in cells:
             assert c["rank_ok"], f"{etype} q{c['q']}: rank outside bound"
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """freqItems contract: every key whose true share exceeds the
+    support threshold must appear in the candidate set (false
+    positives allowed, false negatives never)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.profiling import (
+        FREQ_SUPPORT,
+        approx_heavy_users,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+
+    candidates = {r.user_id for r in approx_heavy_users(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    true_heavy = {
+        r.user_id
+        for r in ev.groupBy("user_id").count()
+        .where(F.col("count") > FREQ_SUPPORT * total)
+        .collect()
+    }
+    assert true_heavy <= candidates
