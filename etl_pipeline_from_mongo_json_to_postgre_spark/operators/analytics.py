@@ -720,6 +720,61 @@ def session_top_paths(spark, sf_dir):
     )
 
 
+def a14_time_rollup(spark, sf_dir):
+    """Multi-granularity time rollup in ONE pass: daily, weekly, and
+    monthly event counts + value sums via GROUPING SETS over
+    pre-computed calendar columns — one shuffle serves all three
+    granularities (Catalyst's Expand emits one row per grouping per
+    input row, all partials map-side-combined) instead of three
+    separate scans/aggregations. gid disambiguates the level."""
+    events = _t(spark, sf_dir, "events")
+    events.select(
+        F.to_date("ts").alias("day"),
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.to_date(F.date_trunc("month", "ts")).alias("month"),
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    ).createOrReplaceTempView("ev_cal_v")
+    return spark.sql(
+        """
+        SELECT day, week, month,
+               grouping(day) * 4 + grouping(week) * 2 + grouping(month) AS gid,
+               count(*) AS cnt,
+               CAST(sum(v) AS DOUBLE) AS value_sum
+        FROM ev_cal_v
+        GROUP BY GROUPING SETS ((day), (week), (month))
+        """
+    )
+
+
+def json_key_census(spark, sf_dir):
+    """Schema-drift census over semi-structured payloads: for every key
+    appearing in the events ``props`` JSON, how many documents carry it
+    and its presence share — the report that catches producers silently
+    adding/dropping fields (the reference's missing-column audit is the
+    per-MAPPING view; this is the unmapped-payload view).
+
+    Scale shape: json_object_keys is a per-row expression, the explode
+    emits (key) tokens only, and the census is a map-side-combined
+    count; the total is a 1-row broadcast."""
+    events = _t(spark, sf_dir, "events")
+    with_keys = events.where(F.col("props").isNotNull()).select(
+        F.explode(F.json_object_keys("props")).alias("key")
+    )
+    total = events.where(F.col("props").isNotNull()).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    return (
+        with_keys.groupBy("key")
+        .agg(F.count("*").alias("n_docs_with_key"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key", "n_docs_with_key",
+            F.round(F.col("n_docs_with_key") / F.col("n_docs"), 6)
+            .alias("presence_share"),
+        )
+    )
+
+
 RFM_QUINTILES = (0.2, 0.4, 0.6, 0.8)
 
 
@@ -1499,6 +1554,34 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN views v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
+    "a14_time_rollup": """
+        WITH cal AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(date_trunc('week', ts) AS DATE) AS week,
+                   CAST(date_trunc('month', ts) AS DATE) AS month,
+                   CAST(value AS DECIMAL(14,2)) AS v
+            FROM events
+        )
+        SELECT day, week, month,
+               GROUPING(day) * 4 + GROUPING(week) * 2 + GROUPING(month) AS gid,
+               count(*) AS cnt,
+               CAST(sum(v) AS DOUBLE) AS value_sum
+        FROM cal
+        GROUP BY GROUPING SETS ((day), (week), (month))
+    """,
+    "json_key_census": """
+        WITH keys AS (
+            SELECT unnest(json_keys(props)) AS key FROM events
+            WHERE props IS NOT NULL
+        ), total AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM events
+            WHERE props IS NOT NULL
+        )
+        SELECT key, count(*) AS n_docs_with_key,
+               round(count(*) / any_value(t.n_docs), 6) AS presence_share
+        FROM keys CROSS JOIN total t
+        GROUP BY key
+    """,
     "revenue_date_spine": """
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
@@ -1894,6 +1977,8 @@ QUERIES = {
     "orders_backlog_timeline": orders_backlog_timeline,
     "revenue_date_spine": revenue_date_spine,
     "session_top_paths": session_top_paths,
+    "a14_time_rollup": a14_time_rollup,
+    "json_key_census": json_key_census,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,
