@@ -746,6 +746,27 @@ def a14_time_rollup(spark, sf_dir):
     )
 
 
+def events_dow_hour_heatmap(spark, sf_dir):
+    """Weekday x hour activity heatmap (the load-pattern census behind
+    capacity planning / anomaly baselines): counts and exact decimal
+    value sums per (weekday, hour) cell. Pure calendar projection +
+    one 168-cell map-side-combined aggregate. Weekday is Monday=0 in
+    both engines (Spark ``weekday``, DuckDB ``isodow - 1``)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.weekday("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+            F.col("value").cast("decimal(14,2)").alias("v"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").cast("double").alias("value_sum"),
+        )
+    )
+
+
 def json_key_census(spark, sf_dir):
     """Schema-drift census over semi-structured payloads: for every key
     appearing in the events ``props`` JSON, how many documents carry it
@@ -1569,6 +1590,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal
         GROUP BY GROUPING SETS ((day), (week), (month))
     """,
+    "events_dow_hour_heatmap": """
+        SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hour,
+               count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1, 2
+    """,
     "json_key_census": """
         WITH keys AS (
             SELECT unnest(json_keys(props)) AS key FROM events
@@ -1979,6 +2007,7 @@ QUERIES = {
     "session_top_paths": session_top_paths,
     "a14_time_rollup": a14_time_rollup,
     "json_key_census": json_key_census,
+    "events_dow_hour_heatmap": events_dow_hour_heatmap,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,
