@@ -697,6 +697,75 @@ ORACLE_SQL["ann_ivf_topk"] = f"""
     ) WHERE rank <= {TOPK}
 """
 
+KNN_K = 5
+
+
+def sim_knn_graph(spark, sf_dir):
+    """Corpus-wide k-NN graph (the input structure for graph-based ANN
+    indexes, near-dup clustering, and label propagation): every
+    vector's KNN_K nearest same-cluster neighbors by exact cosine.
+
+    Scale shape: the quadratic term is confined WITHIN IVF cells — the
+    self-join key is cluster_id, so candidate volume is sum over cells
+    of |cell|^2, not |corpus|^2 (with balanced cells that is
+    |corpus|^2 / n_cells; hot cells are AQE's skew-join case and, at
+    100 TB, the cue to deepen the quantizer via kmeans_train). The
+    per-vector top-K window reuses the same clustered partitioning.
+    Neighbors outside the cell are invisible by contract — recall
+    rises with cluster count/probes, the standard IVF trade — and the
+    oracle replicates the same cell rule, so parity is exact."""
+    from pyspark.sql.window import Window
+
+    vecs = _vectors(spark, sf_dir)
+    assigned = vecs.select(
+        "vec_id", "v", "nrm",
+        _matrix_dots(F.col("v"), CENTROIDS).alias("dots"),
+    ).select(
+        "vec_id", "v", "nrm",
+        F.array_position("dots", F.array_max("dots")).alias("cluster_id"),
+    ).localCheckpoint(eager=True)  # both self-join sides read it
+
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("src"),
+        F.col("v").alias("sv"), F.col("nrm").alias("sn"),
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("dst"),
+        F.col("v").alias("dv"), F.col("nrm").alias("dn"),
+    )
+    cos = _dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "dst", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+
+ORACLE_SQL["sim_knn_graph"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, v, nrm,
+               list_position(dots, list_max(dots)) AS cluster_id
+        FROM (SELECT vec_id, v, nrm, {_DUCK_CENT_DOTS} AS dots FROM vecs)
+    ), scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, rank, round(cos, 6) AS cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src ORDER BY cos DESC, dst) AS rank
+        FROM scored
+    ) WHERE rank <= {KNN_K}
+"""
+
 def semantic_search_topk(spark, sf_dir):
     """End-to-end retrieval: IVF top-k over the embedding index joined
     back to the documents table for the payload (language + snippet) —
@@ -729,6 +798,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "semantic_search_topk": semantic_search_topk,
+    "sim_knn_graph": sim_knn_graph,
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,
