@@ -213,6 +213,68 @@ def ts_active_users(spark, sf_dir):
     )
 
 
+CONC_GAP_US = 1_800_000_000  # session gap for the concurrency sweep
+
+
+def sessions_concurrency_daily(spark, sf_dir):
+    """Peak concurrent user-sessions per day via the interval sweep
+    (+1 at session start, -1 after session end) — implemented as a
+    DISTRIBUTED PREFIX SUM: boundaries partition by day, each day
+    computes its local running sum, and a day-cardinality carry
+    (exclusive cumsum of per-day delta totals) shifts every day's
+    local sums to global concurrency. No global single-partition sort
+    ever happens — the only unpartitioned window runs over |days| rows.
+    That block-carry decomposition is how any running balance scales
+    past one reducer.
+
+    Determinism: boundaries order by (t, delta DESC) so coincident
+    starts count as overlapping (inclusive sweep); equal-delta ties
+    don't change the set of prefix values."""
+    ev = _events(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("t_us") - F.col("prev_ts") > CONC_GAP_US), 1
+    ).otherwise(0)
+    sessions = (
+        ev.select("event_id", "user_id", F.unix_micros("ts").alias("t_us"))
+        .withColumn("prev_ts", F.lag("t_us").over(w_ord))
+        .withColumn("sess_no", F.sum(new_sess).over(w_cum))
+        .groupBy("user_id", "sess_no")
+        .agg(F.min("t_us").alias("start_us"), F.max("t_us").alias("end_us"))
+    )
+    boundaries = sessions.select(
+        F.col("start_us").alias("t_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            (F.col("end_us") + 1).alias("t_us"), F.lit(-1).alias("delta")
+        )
+    ).select(
+        F.to_date(F.timestamp_micros("t_us")).alias("day"), "t_us", "delta"
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("t_us", F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = boundaries.withColumn("run", F.sum("delta").over(w_day))
+    day_totals = boundaries.groupBy("day").agg(F.sum("delta").alias("dtot"))
+    w_carry = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_totals.select(
+        "day",
+        F.coalesce(F.sum("dtot").over(w_carry), F.lit(0)).alias("carry"),
+    )
+    return (
+        local.join(F.broadcast(carry), "day")
+        .groupBy("day")
+        .agg(F.max(F.col("run") + F.col("carry")).alias("peak_concurrent"))
+    )
+
+
 PATTERN_WINDOW_US = 3_600_000_000  # adjacent-pair window: 1 hour
 
 
@@ -246,6 +308,38 @@ def ts_adjacent_pattern(spark, sf_dir):
 
 
 ORACLE_SQL = {
+    "sessions_concurrency_daily": f"""
+        WITH staged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                   lag(epoch_us(ts)) OVER w AS prev_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), numbered AS (
+            SELECT user_id, t_us,
+                   sum(CASE WHEN prev_ts IS NULL
+                              OR t_us - prev_ts > {CONC_GAP_US}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY t_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_no
+            FROM staged
+        ), sessions AS (
+            SELECT user_id, sess_no,
+                   min(t_us) AS start_us, max(t_us) AS end_us
+            FROM numbered GROUP BY user_id, sess_no
+        ), boundaries AS (
+            SELECT start_us AS t_us, 1 AS delta FROM sessions
+            UNION ALL
+            SELECT end_us + 1, -1 FROM sessions
+        ), swept AS (
+            SELECT CAST(make_timestamp(t_us) AS DATE) AS day,
+                   sum(delta) OVER (
+                       ORDER BY t_us, delta DESC
+                       ROWS UNBOUNDED PRECEDING) AS run
+            FROM boundaries
+        )
+        SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrent
+        FROM swept GROUP BY day
+    """,
     "ts_trend_slope": """
         SELECT event_type,
                count(*) AS n,
@@ -366,4 +460,5 @@ QUERIES = {
     "ts_adjacent_pattern": ts_adjacent_pattern,
     "ts_active_users": ts_active_users,
     "ts_trend_slope": ts_trend_slope,
+    "sessions_concurrency_daily": sessions_concurrency_daily,
 }
