@@ -97,7 +97,8 @@ _PRIORITY = [
     "revenue_date_spine", "session_top_paths", "dq_mad_outliers",
     "ts_trend_slope", "inc_agg_refresh", "user_acquisition_census",
     "a14_time_rollup", "json_key_census", "events_dow_hour_heatmap",
-    "sim_knn_graph", "sessions_concurrency_daily",
+    "sim_knn_graph", "sessions_concurrency_daily", "text_zipf_fit",
+    "text_vocab_growth",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

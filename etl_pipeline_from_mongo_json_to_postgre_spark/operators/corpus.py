@@ -433,6 +433,77 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
+GROWTH_CHECKPOINTS = 10
+
+
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus term distribution: regression of
+    ln(frequency) on ln(rank) — slope near -1 is the natural-language
+    signature; a flat slope flags synthetic/templated text. One
+    vocabulary-sized aggregate, a rank window over vocab rows (never
+    corpus rows), then the aggregate-only least-squares co-moments
+    (cf. ts_trend_slope). Single-row output."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    counts = (
+        d.select(F.explode(w).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term"))),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rank))"), 6
+        ).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(freq), ln(rank))"), 6).alias("r2"),
+    )
+
+
+def text_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: distinct vocabulary size
+    after each tenth of the corpus, documents assigned to tenths by a
+    pure scrambled-key expression (a deterministic random shuffle-and-
+    split — no global row_number sort, no driver-side count). Running
+    DISTINCT without per-checkpoint rescans: each term contributes only
+    at its FIRST tenth (a vocab-sized min aggregate); new-term counts
+    per tenth then cumsum over the 10-row census. The only
+    unpartitioned window runs over GROWTH_CHECKPOINTS rows."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    checkpoint = (
+        F.floor(
+            scrambled_key(F.col("doc_id")) * GROWTH_CHECKPOINTS
+            / F.lit(1_000_000_007)
+        ) + 1
+    ).cast("int")
+    first_seen = (
+        d.select(
+            checkpoint.alias("checkpoint"),
+            F.explode(_words(F.col("text"))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("checkpoint").alias("first_checkpoint"))
+    )
+    per_bucket = first_seen.groupBy(
+        F.col("first_checkpoint").alias("checkpoint")
+    ).agg(F.count("*").alias("new_terms"))
+    w_cum = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "checkpoint",
+        "new_terms",
+        F.sum("new_terms").over(w_cum).alias("vocab_size"),
+    )
+
+
 WEIGHTED_K = 50
 
 
@@ -679,6 +750,39 @@ ORACLE_SQL = {
         FROM cums
         WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
     """,
+    "text_zipf_fit": f"""
+        WITH counts AS (
+            SELECT term, count(*) AS freq FROM (
+                SELECT unnest({_DUCK_WORDS}) AS term FROM documents
+            ) GROUP BY term
+        ), ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+            FROM counts
+        )
+        SELECT count(*) AS vocab_size,
+               round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+               round(regr_r2(ln(freq), ln(rank)), 6) AS r2
+        FROM ranked
+    """,
+    "text_vocab_growth": f"""
+        WITH first_seen AS (
+            SELECT term,
+                   min(CAST(floor({scrambled_key_sql('doc_id')}
+                                  * {GROWTH_CHECKPOINTS} / 1000000007)
+                            AS INT) + 1) AS checkpoint
+            FROM (
+                SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
+            ) GROUP BY term
+        ), per_bucket AS (
+            SELECT checkpoint, count(*) AS new_terms
+            FROM first_seen GROUP BY checkpoint
+        )
+        SELECT checkpoint, new_terms,
+               sum(new_terms) OVER (ORDER BY checkpoint
+                   ROWS UNBOUNDED PRECEDING) AS vocab_size
+        FROM per_bucket
+    """,
     "sample_weighted_topk": f"""
         SELECT doc_id, n_chars,
                round(pow(CAST({scrambled_key_sql('doc_id')} + 1 AS DOUBLE)
@@ -808,6 +912,8 @@ ORACLE_SQL = {
 QUERIES = {
     "doc_chunk_spans": doc_chunk_spans,
     "sample_weighted_topk": sample_weighted_topk,
+    "text_zipf_fit": text_zipf_fit,
+    "text_vocab_growth": text_vocab_growth,
     "text_sparse_cosine_pairs": text_sparse_cosine_pairs,
     "text_tfidf_topk": text_tfidf_topk,
     "corpus_best_per_source": corpus_best_per_source,
