@@ -746,6 +746,37 @@ def a14_time_rollup(spark, sf_dir):
     )
 
 
+def ship_latency_profile(spark, sf_dir):
+    """Cross-table latency profile: order-to-ship lag (days) per order
+    priority — median/p95/max plus the late-rate beyond a fixed SLA.
+    The fact-fact join is orderkey-equi (lineitem streams, orders
+    pre-projected to two columns); the exact percentile shuffle
+    carries integer day lags keyed by the 5 priorities (swap in
+    percentile_approx at 100 TB — cf. dq_histogram_equidepth)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    lag = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff("sd", "od").alias("lag_days"),
+        )
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.expr("percentile(lag_days, 0.5)").alias("p50_days"),
+        F.expr("percentile(lag_days, 0.95)").alias("p95_days"),
+        F.max("lag_days").alias("max_days"),
+        F.round(
+            F.count(F.when(F.col("lag_days") > 90, 1)) / F.count("*"), 6
+        ).alias("late_rate_90d"),
+    )
+
+
 def events_dow_hour_heatmap(spark, sf_dir):
     """Weekday x hour activity heatmap (the load-pattern census behind
     capacity planning / anomaly baselines): counts and exact decimal
@@ -1590,6 +1621,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal
         GROUP BY GROUPING SETS ((day), (week), (month))
     """,
+    "ship_latency_profile": """
+        WITH lag AS (
+            SELECT o.o_orderpriority,
+                   CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                       AS lag_days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               quantile_cont(lag_days, 0.5) AS p50_days,
+               quantile_cont(lag_days, 0.95) AS p95_days,
+               CAST(max(lag_days) AS INT) AS max_days,
+               round(CAST(count(*) FILTER (WHERE lag_days > 90) AS DOUBLE)
+                     / count(*), 6) AS late_rate_90d
+        FROM lag GROUP BY o_orderpriority
+    """,
     "events_dow_hour_heatmap": """
         SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
                CAST(hour(ts) AS INT) AS hour,
@@ -2008,6 +2055,7 @@ QUERIES = {
     "a14_time_rollup": a14_time_rollup,
     "json_key_census": json_key_census,
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
+    "ship_latency_profile": ship_latency_profile,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,
