@@ -98,7 +98,7 @@ _PRIORITY = [
     "ts_trend_slope", "inc_agg_refresh", "user_acquisition_census",
     "a14_time_rollup", "json_key_census", "events_dow_hour_heatmap",
     "sim_knn_graph", "sessions_concurrency_daily", "text_zipf_fit",
-    "text_vocab_growth", "ship_latency_profile",
+    "text_vocab_growth", "ship_latency_profile", "doc_source_entropy",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

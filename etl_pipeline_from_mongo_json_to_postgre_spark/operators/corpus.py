@@ -433,6 +433,28 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
+def doc_source_entropy(spark, sf_dir):
+    """Per-source language diversity: Shannon entropy (nats) of each
+    source's language mix plus its language count — the census that
+    flags monolingual domains vs aggregation hubs when planning
+    language-balanced sampling. Two count-sized aggregates on the same
+    source key (cell counts, then the entropy fold); shares are exact
+    integer ratios so both engines feed ln identical doubles."""
+    d = _docs(spark, sf_dir)
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    totals = cells.groupBy("source").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("total")
+    return (
+        cells.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_langs"),
+            F.round((-F.sum(p * F.log(p))), 6).alias("lang_entropy"),
+            F.first("total").alias("n_docs"),
+        )
+    )
+
+
 GROWTH_CHECKPOINTS = 10
 
 
@@ -750,6 +772,22 @@ ORACLE_SQL = {
         FROM cums
         WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
     """,
+    "doc_source_entropy": """
+        WITH cells AS (
+            SELECT source, lang, count(*) AS cnt FROM documents
+            GROUP BY source, lang
+        ), totals AS (
+            SELECT source, sum(cnt) AS total FROM cells GROUP BY source
+        )
+        SELECT source,
+               CAST(count(*) AS INT) AS n_langs,
+               round(-sum((CAST(cnt AS DOUBLE) / total)
+                          * ln(CAST(cnt AS DOUBLE) / total)), 6)
+                   AS lang_entropy,
+               CAST(any_value(total) AS BIGINT) AS n_docs
+        FROM cells JOIN totals USING (source)
+        GROUP BY source
+    """,
     "text_zipf_fit": f"""
         WITH counts AS (
             SELECT term, count(*) AS freq FROM (
@@ -914,6 +952,7 @@ QUERIES = {
     "sample_weighted_topk": sample_weighted_topk,
     "text_zipf_fit": text_zipf_fit,
     "text_vocab_growth": text_vocab_growth,
+    "doc_source_entropy": doc_source_entropy,
     "text_sparse_cosine_pairs": text_sparse_cosine_pairs,
     "text_tfidf_topk": text_tfidf_topk,
     "corpus_best_per_source": corpus_best_per_source,
