@@ -746,6 +746,58 @@ def a14_time_rollup(spark, sf_dir):
     )
 
 
+def a15_mode_agg(spark, sf_dir):
+    """Deterministic MODE aggregate: the most frequent l_quantity per
+    return flag, ties broken by the smallest value (engine-native
+    mode() returns an ARBITRARY tie member — useless for reproducible
+    pipelines, so the engine ships the two-stage form: value counts
+    combine map-side, then a rank-1 window over count-sized rows)."""
+    l = _t(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+def events_daily_ohlc(spark, sf_dir):
+    """Daily OHLC bars per event type (open/high/low/close of value) —
+    the canonical time-series downsampling. Open/close are the first/
+    last event's value under deterministic (ts, event_id) order,
+    computed as MIN/MAX over (t_us, event_id, value) structs — struct
+    ordering makes first/last ordinary map-side-combinable aggregates,
+    so the whole bar is ONE shuffle of per-group partials (no window,
+    no second pass)."""
+    events = _t(spark, sf_dir, "events")
+    staged = events.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.struct(
+            F.unix_micros("ts").alias("t"),
+            F.col("event_id").alias("e"),
+            F.col("value").alias("v"),
+        ).alias("s"),
+        "value",
+    )
+    return staged.groupBy("day", "event_type").agg(
+        F.min("s").getField("v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max("s").getField("v").alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def ship_latency_profile(spark, sf_dir):
     """Cross-table latency profile: order-to-ship lag (days) per order
     priority — median/p95/max plus the late-rate beyond a fixed SLA.
@@ -1621,6 +1673,33 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal
         GROUP BY GROUPING SETS ((day), (week), (month))
     """,
+    "a15_mode_agg": """
+        WITH counts AS (
+            SELECT l_returnflag, l_quantity, count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ), ranked AS (
+            SELECT l_returnflag, l_quantity, cnt,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY cnt DESC, l_quantity ASC
+                   ) AS rn
+            FROM counts
+        )
+        SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+        FROM ranked WHERE rn = 1
+    """,
+    "events_daily_ohlc": """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               (min(struct_pack(t := epoch_us(ts), e := event_id,
+                                v := value))).v AS open,
+               max(value) AS high,
+               min(value) AS low,
+               (max(struct_pack(t := epoch_us(ts), e := event_id,
+                                v := value))).v AS close,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
     "ship_latency_profile": """
         WITH lag AS (
             SELECT o.o_orderpriority,
@@ -2056,6 +2135,8 @@ QUERIES = {
     "json_key_census": json_key_census,
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
     "ship_latency_profile": ship_latency_profile,
+    "a15_mode_agg": a15_mode_agg,
+    "events_daily_ohlc": events_daily_ohlc,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,
