@@ -99,7 +99,8 @@ _PRIORITY = [
     "a14_time_rollup", "json_key_census", "events_dow_hour_heatmap",
     "sim_knn_graph", "sessions_concurrency_daily", "text_zipf_fit",
     "text_vocab_growth", "ship_latency_profile", "doc_source_entropy",
-    "a15_mode_agg", "events_daily_ohlc",
+    "a15_mode_agg", "events_daily_ohlc", "lineitem_2d_histogram",
+    "part_brand_type_pmi", "events_user_gini",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

@@ -746,6 +746,79 @@ def a14_time_rollup(spark, sf_dir):
     )
 
 
+H2D_Q_BUCKETS = 10
+H2D_D_BUCKETS = 5
+
+
+def lineitem_2d_histogram(spark, sf_dir):
+    """Two-dimensional banded census: (quantity bucket x discount
+    bucket) cell counts — the joint-distribution view a 1-D histogram
+    (dq_histogram) can't show. Both bucket ids are pure width_bucket
+    arithmetic on the scan; one map-side-combined aggregate carries
+    50 cells regardless of row count."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.width_bucket(F.col("l_quantity"), F.lit(0.0), F.lit(50.0),
+                           F.lit(H2D_Q_BUCKETS)).alias("qty_bucket"),
+            F.width_bucket(F.col("l_discount"), F.lit(0.0), F.lit(0.1),
+                           F.lit(H2D_D_BUCKETS)).alias("disc_bucket"),
+        )
+        .groupBy("qty_bucket", "disc_bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def part_brand_type_pmi(spark, sf_dir):
+    """Pointwise mutual information between part brand and type:
+    lift = P(brand, type) / (P(brand) P(type)), PMI = ln(lift) —
+    which brand/type combinations co-occur beyond chance. Joint cells
+    and both marginals are count-sized aggregates off one scan (the
+    joint frame re-aggregates into each marginal, so the part table is
+    read once); marginals broadcast back onto the cells."""
+    p = _t(spark, sf_dir, "part")
+    joint = p.groupBy("p_brand", "p_type").agg(F.count("*").alias("n_bt"))
+    brand = joint.groupBy("p_brand").agg(F.sum("n_bt").alias("n_b"))
+    ptype = joint.groupBy("p_type").agg(F.sum("n_bt").alias("n_t"))
+    total = joint.agg(F.sum("n_bt").cast("double").alias("n"))
+    lift = (F.col("n_bt") * F.col("n")) / (F.col("n_b") * F.col("n_t"))
+    return (
+        joint.join(F.broadcast(brand), "p_brand")
+        .join(F.broadcast(ptype), "p_type")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p_brand", "p_type", "n_bt",
+            F.round(lift, 6).alias("lift"),
+            F.round(F.log(lift), 6).alias("pmi"),
+        )
+    )
+
+
+def events_user_gini(spark, sf_dir):
+    """Gini coefficient of per-user activity — the single-number
+    concentration index behind "is our traffic a few whales or a broad
+    base". Computed from the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending per-user
+    counts: the rank window runs over the AGGREGATE OUTPUT
+    (user-cardinality counts, the aggregate-then-window discipline);
+    every term is exact integer until the final division. At extreme
+    user counts swap the exact rank for quantile-bucketed Lorenz
+    points (same aggregates, bounded sort)."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("x"))
+    w = Window.orderBy(F.asc("x"), F.asc("user_id"))
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
 def a15_mode_agg(spark, sf_dir):
     """Deterministic MODE aggregate: the most frequent l_quantity per
     return flag, ties broken by the smallest value (engine-native
@@ -1673,6 +1746,49 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal
         GROUP BY GROUPING SETS ((day), (week), (month))
     """,
+    "lineitem_2d_histogram": f"""
+        -- mirrors Spark width_bucket's multiply-first arithmetic
+        -- (floor(n * (v - lo) / (hi - lo)) + 1): divide-first grouping
+        -- shifts boundary values when the step is float-inexact (0.02)
+        SELECT CASE WHEN l_quantity < 0 THEN 0
+                    WHEN l_quantity >= 50 THEN {H2D_Q_BUCKETS + 1}
+                    ELSE CAST(floor({H2D_Q_BUCKETS} * l_quantity / 50.0)
+                              AS BIGINT) + 1 END AS qty_bucket,
+               CASE WHEN l_discount < 0 THEN 0
+                    WHEN l_discount >= 0.1 THEN {H2D_D_BUCKETS + 1}
+                    ELSE CAST(floor({H2D_D_BUCKETS} * l_discount / 0.1)
+                              AS BIGINT) + 1 END AS disc_bucket,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "part_brand_type_pmi": """
+        WITH joint AS (
+            SELECT p_brand, p_type, count(*) AS n_bt FROM part GROUP BY 1, 2
+        ), brand AS (
+            SELECT p_brand, sum(n_bt) AS n_b FROM joint GROUP BY 1
+        ), ptype AS (
+            SELECT p_type, sum(n_bt) AS n_t FROM joint GROUP BY 1
+        ), total AS (
+            SELECT CAST(sum(n_bt) AS DOUBLE) AS n FROM joint
+        )
+        SELECT p_brand, p_type, n_bt,
+               round((n_bt * n) / (n_b * n_t), 6) AS lift,
+               round(ln((n_bt * n) / (n_b * n_t)), 6) AS pmi
+        FROM joint JOIN brand USING (p_brand)
+        JOIN ptype USING (p_type) CROSS JOIN total
+    """,
+    "events_user_gini": """
+        WITH counts AS (
+            SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+        ), ranked AS (
+            SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i
+            FROM counts
+        )
+        SELECT count(*) AS n_users,
+               round(2.0 * sum(i * x) / (count(*) * sum(x))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM ranked
+    """,
     "a15_mode_agg": """
         WITH counts AS (
             SELECT l_returnflag, l_quantity, count(*) AS cnt
@@ -2137,6 +2253,9 @@ QUERIES = {
     "ship_latency_profile": ship_latency_profile,
     "a15_mode_agg": a15_mode_agg,
     "events_daily_ohlc": events_daily_ohlc,
+    "lineitem_2d_histogram": lineitem_2d_histogram,
+    "part_brand_type_pmi": part_brand_type_pmi,
+    "events_user_gini": events_user_gini,
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,
