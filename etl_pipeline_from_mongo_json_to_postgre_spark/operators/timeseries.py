@@ -307,7 +307,57 @@ def ts_adjacent_pattern(spark, sf_dir):
     )
 
 
+def ts_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over event types: for
+    every (from, to) adjacent pair within a user's timeline, the count
+    and the row-normalized transition probability — the empirical
+    chain behind next-action prediction and anomaly scoring.
+
+    Scale shape: one lead() pass over the (user_id) shuffle emits
+    (from, to) tokens; the matrix aggregate is |types|^2-sized and
+    map-side-combined; row totals broadcast back. Probabilities are
+    exact integer ratios rounded for display."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "event_id",
+            F.col("event_type").alias("from_type"),
+            F.unix_micros("ts").alias("t_us"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("cnt").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "cnt",
+            F.round(F.col("cnt") / F.col("row_total"), 6).alias("p"),
+        )
+    )
+
+
 ORACLE_SQL = {
+    "ts_markov_transitions": """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS to_type
+            FROM events
+        ), cells AS (
+            SELECT from_type, to_type, count(*) AS cnt FROM pairs
+            WHERE to_type IS NOT NULL GROUP BY 1, 2
+        ), totals AS (
+            SELECT from_type, sum(cnt) AS row_total FROM cells GROUP BY 1
+        )
+        SELECT from_type, to_type, cnt,
+               round(cnt / row_total, 6) AS p
+        FROM cells JOIN totals USING (from_type)
+    """,
     "sessions_concurrency_daily": f"""
         WITH staged AS (
             SELECT user_id, event_id, epoch_us(ts) AS t_us,
@@ -461,4 +511,5 @@ QUERIES = {
     "ts_active_users": ts_active_users,
     "ts_trend_slope": ts_trend_slope,
     "sessions_concurrency_daily": sessions_concurrency_daily,
+    "ts_markov_transitions": ts_markov_transitions,
 }
