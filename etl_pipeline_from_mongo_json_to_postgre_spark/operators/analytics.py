@@ -746,6 +746,36 @@ def a14_time_rollup(spark, sf_dir):
     )
 
 
+def part_abc_classification(spark, sf_dir):
+    """ABC / Pareto classification: parts ranked by revenue, classified
+    A (first 80% of cumulative revenue), B (to 95%), C (tail) — the
+    inventory-policy census. The rank/cumsum window runs over the
+    AGGREGATE OUTPUT (per-part revenue); class boundaries compare
+    EXACT DECIMALS (cum*100 <= total*80), so no float boundary can
+    disagree between engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w_rank = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = rev.agg(F.sum("rev").alias("total"))
+    staged = (
+        rev.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("cum_rev", F.sum("rev").over(w_cum))
+        .crossJoin(F.broadcast(total))
+    )
+    abc = (
+        F.when(F.col("cum_rev") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return staged.groupBy(abc.alias("abc_class")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+    )
+
+
 H2D_Q_BUCKETS = 10
 H2D_D_BUCKETS = 5
 
@@ -1746,6 +1776,25 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal
         GROUP BY GROUPING SETS ((day), (week), (month))
     """,
+    "part_abc_classification": """
+        WITH rev AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+            FROM lineitem GROUP BY l_partkey
+        ), staged AS (
+            SELECT rev,
+                   sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum_rev,
+                   sum(rev) OVER () AS total
+            FROM rev
+        )
+        SELECT CASE WHEN cum_rev * 100 <= total * 80 THEN 'A'
+                    WHEN cum_rev * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               count(*) AS n_parts,
+               CAST(sum(rev) AS DOUBLE) AS class_revenue
+        FROM staged GROUP BY 1
+    """,
     "lineitem_2d_histogram": f"""
         -- mirrors Spark width_bucket's multiply-first arithmetic
         -- (floor(n * (v - lo) / (hi - lo)) + 1): divide-first grouping
@@ -2254,6 +2303,7 @@ QUERIES = {
     "a15_mode_agg": a15_mode_agg,
     "events_daily_ohlc": events_daily_ohlc,
     "lineitem_2d_histogram": lineitem_2d_histogram,
+    "part_abc_classification": part_abc_classification,
     "part_brand_type_pmi": part_brand_type_pmi,
     "events_user_gini": events_user_gini,
     "w1_running_total": w1_running_total,
