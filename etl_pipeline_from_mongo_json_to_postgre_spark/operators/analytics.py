@@ -746,6 +746,33 @@ def a14_time_rollup(spark, sf_dir):
     )
 
 
+def orders_monthly_growth(spark, sf_dir):
+    """Month-over-month revenue growth: monthly DECIMAL-exact revenue,
+    previous month via lag, growth rate as a rounded ratio. The
+    lag/ratio window runs over the month-cardinality aggregate output
+    (~tens of rows for years of data) — the aggregate-then-window
+    discipline again; NULL growth on the first month, not a fake 0."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("month")
+        .agg(F.count("*").alias("n_orders"), F.sum("p").alias("rev"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev") - prev) / prev, 6
+        ).cast("double").alias("mom_growth"),
+    )
+
+
 def part_abc_classification(spark, sf_dir):
     """ABC / Pareto classification: parts ranked by revenue, classified
     A (first 80% of cumulative revenue), B (to 95%), C (tail) — the
@@ -1776,6 +1803,20 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal
         GROUP BY GROUPING SETS ((day), (week), (month))
     """,
+    "orders_monthly_growth": """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT month, n_orders,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(round((rev - lag(rev) OVER (ORDER BY month))
+                          / lag(rev) OVER (ORDER BY month), 6) AS DOUBLE)
+                   AS mom_growth
+        FROM monthly
+    """,
     "part_abc_classification": """
         WITH rev AS (
             SELECT l_partkey,
@@ -2304,6 +2345,7 @@ QUERIES = {
     "events_daily_ohlc": events_daily_ohlc,
     "lineitem_2d_histogram": lineitem_2d_histogram,
     "part_abc_classification": part_abc_classification,
+    "orders_monthly_growth": orders_monthly_growth,
     "part_brand_type_pmi": part_brand_type_pmi,
     "events_user_gini": events_user_gini,
     "w1_running_total": w1_running_total,
