@@ -746,6 +746,34 @@ def a14_time_rollup(spark, sf_dir):
     )
 
 
+def p13_unpivot_melt(spark, sf_dir):
+    """UNPIVOT / melt (the inverse of A1's pivot): wide per-line
+    measure columns become (metric, value) rows via the native
+    ``DataFrame.unpivot`` — a zero-shuffle Expand in the scan stage
+    (row count x n_measures, but each output row carries 3 columns,
+    and downstream per-metric aggregates combine map-side). Aggregated
+    here to a per-metric census so the oracle output stays bounded."""
+    l = _t(spark, sf_dir, "lineitem")
+    melted = l.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("n_values"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        .alias("value_sum"),
+    )
+
+
 def orders_monthly_growth(spark, sf_dir):
     """Month-over-month revenue growth: monthly DECIMAL-exact revenue,
     previous month via lag, growth rate as a rounded ratio. The
@@ -1803,6 +1831,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal
         GROUP BY GROUPING SETS ((day), (week), (month))
     """,
+    "p13_unpivot_melt": """
+        WITH melted AS (
+            SELECT metric, value FROM (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(l_quantity AS DOUBLE) AS quantity,
+                       CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                       CAST(l_discount AS DOUBLE) AS discount
+                FROM lineitem
+            ) UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
+        )
+        SELECT metric, count(*) AS n_values,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM melted GROUP BY metric
+    """,
     "orders_monthly_growth": """
         WITH monthly AS (
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
@@ -2346,6 +2390,7 @@ QUERIES = {
     "lineitem_2d_histogram": lineitem_2d_histogram,
     "part_abc_classification": part_abc_classification,
     "orders_monthly_growth": orders_monthly_growth,
+    "p13_unpivot_melt": p13_unpivot_melt,
     "part_brand_type_pmi": part_brand_type_pmi,
     "events_user_gini": events_user_gini,
     "w1_running_total": w1_running_total,
