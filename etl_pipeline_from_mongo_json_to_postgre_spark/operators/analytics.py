@@ -746,6 +746,35 @@ def a14_time_rollup(spark, sf_dir):
     )
 
 
+def segment_reorder_cadence(spark, sf_dir):
+    """Repeat-purchase cadence per market segment: the distribution of
+    gaps between a customer's consecutive orders (median / p90 days),
+    joined to the customer dimension for the segment rollup. The gap
+    window shuffles once on custkey; the percentile aggregate carries
+    integer day gaps keyed by 5 segments; the segment attribute rides
+    a broadcast-joined dimension."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    gaps = (
+        o.select("o_custkey", F.to_date("o_orderdate").alias("od"),
+                 "o_orderkey")
+        .withColumn("prev_od", F.lag("od").over(
+            Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")))
+        .where(F.col("prev_od").isNotNull())
+        .select("o_custkey", F.datediff("od", "prev_od").alias("gap_days"))
+    )
+    return (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.expr("percentile(gap_days, 0.5)").alias("p50_gap_days"),
+            F.expr("percentile(gap_days, 0.9)").alias("p90_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )
+
+
 def p13_unpivot_melt(spark, sf_dir):
     """UNPIVOT / melt (the inverse of A1's pivot): wide per-line
     measure columns become (metric, value) rows via the native
@@ -1831,6 +1860,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal
         GROUP BY GROUPING SETS ((day), (week), (month))
     """,
+    "segment_reorder_cadence": """
+        WITH gaps AS (
+            SELECT o_custkey,
+                   CAST(o_orderdate AS DATE)
+                       - lag(CAST(o_orderdate AS DATE)) OVER w AS gap_days
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_gaps,
+               quantile_cont(gap_days, 0.5) AS p50_gap_days,
+               quantile_cont(gap_days, 0.9) AS p90_gap_days,
+               CAST(max(gap_days) AS INT) AS max_gap_days
+        FROM gaps JOIN customer ON o_custkey = c_custkey
+        WHERE gap_days IS NOT NULL
+        GROUP BY c_mktsegment
+    """,
     "p13_unpivot_melt": """
         WITH melted AS (
             SELECT metric, value FROM (
@@ -2391,6 +2438,7 @@ QUERIES = {
     "part_abc_classification": part_abc_classification,
     "orders_monthly_growth": orders_monthly_growth,
     "p13_unpivot_melt": p13_unpivot_melt,
+    "segment_reorder_cadence": segment_reorder_cadence,
     "part_brand_type_pmi": part_brand_type_pmi,
     "events_user_gini": events_user_gini,
     "w1_running_total": w1_running_total,
