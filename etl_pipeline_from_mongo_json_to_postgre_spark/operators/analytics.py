@@ -840,7 +840,11 @@ def part_abc_classification(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     rev = l.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
-    )
+    # part-cardinality; materialized once so the grand total and the
+    # rank/cumsum branch share ONE lineitem scan (without the barrier
+    # Catalyst plans the fact-table scan twice — pinned in
+    # test_plans.py::test_abc_single_fact_scan)
+    ).localCheckpoint(eager=True)
     w_rank = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     total = rev.agg(F.sum("rev").alias("total"))

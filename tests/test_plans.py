@@ -325,3 +325,18 @@ def test_session_paths_single_user_shuffle(spark, sf_dir):
     plan = physical_plan(session_top_paths(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_abc_single_fact_scan(spark, sf_dir):
+    """ABC classification: the per-part revenue aggregate is
+    checkpointed so the grand-total branch and the rank/cumsum branch
+    share one lineitem scan — the returned plan reads only the
+    materialized part-cardinality RDD."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        part_abc_classification,
+    )
+
+    plan = physical_plan(part_abc_classification(spark, sf_dir))
+    assert "FileScan" not in plan
+    assert "ExistingRDD" in plan
+    assert "Python" not in plan
