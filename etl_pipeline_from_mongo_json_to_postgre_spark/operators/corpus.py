@@ -336,10 +336,18 @@ def text_tfidf_topk(spark, sf_dir):
     terms = d.where(F.size(w) > 0).select(
         "doc_id", F.explode(w).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf is consumed three ways (the ranked join, the df marginal, the
+    # corpus size); materialize it once so the TEXT column is scanned
+    # and tokenized exactly once — without the barrier Catalyst clones
+    # the explode pipeline per consumer (3x corpus text reads at scale)
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    ndocs = d.where(F.size(w) > 0).agg(
-        F.count("*").cast("double").alias("n_docs")
+    ndocs = tf.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs")
     )
     win = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")

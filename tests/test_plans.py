@@ -340,3 +340,17 @@ def test_abc_single_fact_scan(spark, sf_dir):
     assert "FileScan" not in plan
     assert "ExistingRDD" in plan
     assert "Python" not in plan
+
+
+def test_tfidf_single_text_scan(spark, sf_dir):
+    """TF-IDF: the (doc, term, tf) frame is checkpointed so its three
+    consumers (rank join, df marginal, corpus size) never re-tokenize
+    the text column — the returned plan reads only the materialized
+    RDD."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.corpus import (
+        text_tfidf_topk,
+    )
+
+    plan = physical_plan(text_tfidf_topk(spark, sf_dir))
+    assert "FileScan" not in plan
+    assert "ExistingRDD" in plan
