@@ -650,11 +650,18 @@ def text_sparse_cosine_pairs(spark, sf_dir):
         .select("doc_id", F.explode(w).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        # tf feeds the df marginal AND the kept join: barrier here makes
+        # the text explode run ONCE (measured: 8 FileScans of documents
+        # in the fully unbarriered plan; pinned in
+        # test_plans.py::test_sparse_cosine_single_text_scan)
+        .localCheckpoint(eager=True)
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # kept then feeds three subtrees (norms + both join sides) — second
+    # barrier so the df-cap join also executes once
     kept = tf.join(
         F.broadcast(df_.where(F.col("df") <= SPARSE_MAX_DF)), "term"
-    ).select("doc_id", "term", "tf")
+    ).select("doc_id", "term", "tf").localCheckpoint(eager=True)
     norms = kept.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
     )

@@ -354,3 +354,16 @@ def test_tfidf_single_text_scan(spark, sf_dir):
     plan = physical_plan(text_tfidf_topk(spark, sf_dir))
     assert "FileScan" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_sparse_cosine_single_text_scan(spark, sf_dir):
+    """Sparse cosine: tokenization runs once (tf checkpoint) and the
+    df-capped frame materializes once (kept checkpoint) — the returned
+    plan contains no file scans at all."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.corpus import (
+        text_sparse_cosine_pairs,
+    )
+
+    plan = physical_plan(text_sparse_cosine_pairs(spark, sf_dir))
+    assert "FileScan" not in plan
+    assert "ExistingRDD" in plan
