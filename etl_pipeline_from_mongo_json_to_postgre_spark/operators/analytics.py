@@ -895,7 +895,11 @@ def part_brand_type_pmi(spark, sf_dir):
     joint frame re-aggregates into each marginal, so the part table is
     read once); marginals broadcast back onto the cells."""
     p = _t(spark, sf_dir, "part")
-    joint = p.groupBy("p_brand", "p_type").agg(F.count("*").alias("n_bt"))
+    # cell-cardinality; both marginals + the total + the final join all
+    # derive from it — barrier = one part-table scan, not four
+    joint = p.groupBy("p_brand", "p_type").agg(
+        F.count("*").alias("n_bt")
+    ).localCheckpoint(eager=True)
     brand = joint.groupBy("p_brand").agg(F.sum("n_bt").alias("n_b"))
     ptype = joint.groupBy("p_type").agg(F.sum("n_bt").alias("n_t"))
     total = joint.agg(F.sum("n_bt").cast("double").alias("n"))

@@ -365,7 +365,9 @@ def user_acquisition_census(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    pairs = ev.distinct()
+    # pair-set-cardinality, read by first_seen AND the census join —
+    # barrier = one events scan
+    pairs = ev.distinct().localCheckpoint(eager=True)
     first_seen = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
     daily_events = ev.groupBy("day").agg(F.count("*").alias("n_events"))
     census = (

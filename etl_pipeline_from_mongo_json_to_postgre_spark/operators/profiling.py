@@ -334,7 +334,13 @@ def dq_mad_outliers(spark, sf_dir):
     approx_value_quantiles), same plan otherwise."""
     tune_for_oracle(spark)
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    # med and mad are type-cardinality and each feeds a later pass over
+    # the fact table: the barriers hold the query to its inherent THREE
+    # event scans (median, median-of-deviations, fence count) instead
+    # of re-deriving each prior pass inside the next
+    med = ev.groupBy("event_type").agg(
+        F.median("value").alias("med")
+    ).localCheckpoint(eager=True)
     dev = (
         ev.join(F.broadcast(med), "event_type")
         .select(
@@ -345,7 +351,7 @@ def dq_mad_outliers(spark, sf_dir):
     mad = dev.groupBy("event_type").agg(
         F.first("med").alias("med"),
         F.median("adev").alias("mad"),
-    )
+    ).localCheckpoint(eager=True)
     return (
         dev.select("event_type", "value")
         .join(F.broadcast(mad), "event_type")

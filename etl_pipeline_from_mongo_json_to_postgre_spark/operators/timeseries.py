@@ -100,15 +100,22 @@ def ts_funnel_stages(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         "user_id", "event_type", F.unix_micros("ts").alias("t_us")
     )
+    # each stage frame is user-cardinality and feeds BOTH the next
+    # stage's join and the final assembly: the checkpoints stop
+    # Catalyst from cloning every upstream stage into every consumer
+    # (unbarriered: 6 event-table scans; barriered: 3, one per stage,
+    # each with its event_type filter pushed down)
     s1 = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id").agg(F.min("t_us").alias("t_view_us"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
         .join(s1, "user_id")
         .where(F.col("t_us") > F.col("t_view_us"))
         .groupBy("user_id").agg(F.min("t_us").alias("t_click_us"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -137,7 +144,9 @@ def ts_cohort_retention(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
     )
-    active = ev.distinct()
+    # pair-set-cardinality; cohort + the join both read it — barrier =
+    # one events scan instead of one per consumer
+    active = ev.distinct().localCheckpoint(eager=True)
     cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
         active.join(cohort, "user_id")
@@ -190,9 +199,12 @@ def ts_active_users(spark, sf_dir):
     HLL unions, cf. approx_distinct_rollup — trades exactness for a
     fixed-size shuffle.)"""
     ev = _events(spark, sf_dir)
+    # pair-set-cardinality, feeding dau AND the window-contribution
+    # explode — barrier = one events scan
     pairs = (
         ev.select("user_id", F.to_date("ts").alias("day"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
     contrib = pairs.select(
@@ -243,6 +255,9 @@ def sessions_concurrency_daily(spark, sf_dir):
         .withColumn("sess_no", F.sum(new_sess).over(w_cum))
         .groupBy("user_id", "sess_no")
         .agg(F.min("t_us").alias("start_us"), F.max("t_us").alias("end_us"))
+        # session-cardinality; boundaries is consumed by BOTH the local
+        # sweep and the day totals — barrier = one events scan, not four
+        .localCheckpoint(eager=True)
     )
     boundaries = sessions.select(
         F.col("start_us").alias("t_us"), F.lit(1).alias("delta")
