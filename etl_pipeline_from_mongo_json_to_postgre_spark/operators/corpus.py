@@ -441,6 +441,34 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
+PREFIX_TOKENS = 12
+
+
+def text_boilerplate_prefixes(spark, sf_dir):
+    """Boilerplate/template detection: groups of documents sharing
+    their first PREFIX_TOKENS tokens (shared openings = injected
+    headers, scraper templates, license banners). One map-side prefix
+    projection, one count aggregate keyed on the prefix HASH (the
+    16-byte shuffle-key discipline of dedup_exact — document text
+    never crosses the exchange); only multi-document groups survive.
+    Oracle groups on the prefix string itself: identical absent 2^-64
+    hash collisions."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    prefix = F.array_join(F.slice(w, 1, PREFIX_TOKENS), " ")
+    return (
+        d.where(F.size(w) >= PREFIX_TOKENS)
+        .select(F.xxhash64(prefix).alias("_ph"), "doc_id")
+        .groupBy("_ph")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select("first_doc_id", "n_docs")
+    )
+
+
 def doc_source_entropy(spark, sf_dir):
     """Per-source language diversity: Shannon entropy (nats) of each
     source's language mix plus its language count — the census that
@@ -787,6 +815,18 @@ ORACLE_SQL = {
         FROM cums
         WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
     """,
+    "text_boilerplate_prefixes": f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   array_to_string({_DUCK_WORDS}[1:{PREFIX_TOKENS}], ' ')
+                       AS prefix
+            FROM documents
+            WHERE len({_DUCK_WORDS}) >= {PREFIX_TOKENS}
+        )
+        SELECT min(doc_id) AS first_doc_id, count(*) AS n_docs
+        FROM staged GROUP BY prefix
+        HAVING count(*) >= 2
+    """,
     "doc_source_entropy": """
         WITH cells AS (
             SELECT source, lang, count(*) AS cnt FROM documents
@@ -968,6 +1008,7 @@ QUERIES = {
     "text_zipf_fit": text_zipf_fit,
     "text_vocab_growth": text_vocab_growth,
     "doc_source_entropy": doc_source_entropy,
+    "text_boilerplate_prefixes": text_boilerplate_prefixes,
     "text_sparse_cosine_pairs": text_sparse_cosine_pairs,
     "text_tfidf_topk": text_tfidf_topk,
     "corpus_best_per_source": corpus_best_per_source,

@@ -316,6 +316,36 @@ def approx_heavy_users(spark, sf_dir):
     )
 
 
+ECDF_GRID = tuple(range(0, 501, 50))  # value grid for the ECDF fingerprint
+
+
+def dq_value_ecdf(spark, sf_dir):
+    """Distribution fingerprint: the empirical CDF of event value
+    evaluated at a fixed grid, per event type — the compact shape
+    summary two dataset versions can be diffed on (drift detection
+    without shipping raw distributions). One pass: every grid point is
+    an independent conditional count in the same aggregate, so the
+    shuffle carries |types| x |grid| integers. Shares are exact
+    integer ratios rounded for display."""
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("value") <= g, 1)).alias(f"le_{g}")
+        for g in ECDF_GRID
+    ]
+    wide = ev.groupBy("event_type").agg(F.count("*").alias("n"), *aggs)
+    # unpivot the grid columns into (grid_value, cum_share) rows
+    stack_args = ", ".join(f"{g}, le_{g}" for g in ECDF_GRID)
+    return wide.selectExpr(
+        "event_type", "n",
+        f"stack({len(ECDF_GRID)}, {stack_args}) AS (grid_value, n_le)",
+    ).select(
+        "event_type",
+        F.col("grid_value").cast("int").alias("grid_value"),
+        F.round(F.col("n_le") / F.col("n"), 6).alias("cum_share"),
+    )
+
+
 MAD_K = 3.0  # outlier fence: |x - median| > K * MAD
 
 
@@ -410,6 +440,22 @@ def dq_referential_violations(spark, sf_dir):
     return out
 
 
+_ecdf_cells = ", ".join(
+    f"struct_pack(g := {g}, c := count(*) FILTER (WHERE value <= {g}))"
+    for g in ECDF_GRID
+)
+ORACLE_SQL["dq_value_ecdf"] = f"""
+    WITH wide AS (
+        SELECT event_type, count(*) AS n,
+               unnest([{_ecdf_cells}]) AS cell
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(cell.g AS INT) AS grid_value,
+           round(CAST(cell.c AS DOUBLE) / n, 6) AS cum_share
+    FROM wide
+"""
+
 ORACLE_SQL["dq_mad_outliers"] = f"""
     WITH med AS (
         SELECT event_type, median(value) AS med FROM events GROUP BY 1
@@ -500,4 +546,5 @@ QUERIES = {
     "dq_referential_violations": dq_referential_violations,
     "dq_mad_outliers": dq_mad_outliers,
     "approx_heavy_users": approx_heavy_users,
+    "dq_value_ecdf": dq_value_ecdf,
 }
