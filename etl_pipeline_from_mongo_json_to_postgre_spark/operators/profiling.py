@@ -316,6 +316,41 @@ def approx_heavy_users(spark, sf_dir):
     )
 
 
+def dq_five_number_summary(spark, sf_dir):
+    """Boxplot (five-number) summary of document length per language:
+    min / Q1 / median / Q3 / max plus the Tukey IQR outlier count —
+    the per-group distribution snapshot every profiling report opens
+    with. One exact-percentile aggregate keyed by language (the
+    percentile array computes all three quartiles in one pass), then
+    the fence count reuses the same key partitioning."""
+    tune_for_oracle(spark)
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("q"),
+        F.max("n_chars").alias("max_chars"),
+    ).select(
+        "lang", "n_docs", "min_chars",
+        F.col("q")[0].alias("q1"),
+        F.col("q")[1].alias("median"),
+        F.col("q")[2].alias("q3"),
+        "max_chars",
+    ).localCheckpoint(eager=True)  # lang-cardinality; fence pass re-reads it
+    fences = d.select("lang", "n_chars").join(F.broadcast(stats), "lang")
+    outliers = fences.where(
+        (F.col("n_chars") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+        | (F.col("n_chars") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+    ).groupBy("lang").agg(F.count("*").alias("n_outliers"))
+    return (
+        stats.join(outliers, "lang", "left")
+        .select(
+            "lang", "n_docs", "min_chars", "q1", "median", "q3", "max_chars",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+    )
+
+
 ECDF_GRID = tuple(range(0, 501, 50))  # value grid for the ECDF fingerprint
 
 
@@ -440,6 +475,27 @@ def dq_referential_violations(spark, sf_dir):
     return out
 
 
+ORACLE_SQL_FIVE_NUM = """
+    WITH stats AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               quantile_cont(n_chars, 0.25) AS q1,
+               quantile_cont(n_chars, 0.5) AS median,
+               quantile_cont(n_chars, 0.75) AS q3,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang
+    ), outliers AS (
+        SELECT d.lang, count(*) AS n_outliers
+        FROM documents d JOIN stats s USING (lang)
+        WHERE d.n_chars < s.q1 - 1.5 * (s.q3 - s.q1)
+           OR d.n_chars > s.q3 + 1.5 * (s.q3 - s.q1)
+        GROUP BY d.lang
+    )
+    SELECT lang, n_docs, min_chars, q1, median, q3, max_chars,
+           COALESCE(n_outliers, 0) AS n_outliers
+    FROM stats LEFT JOIN outliers USING (lang)
+"""
+
 _ecdf_cells = ", ".join(
     f"struct_pack(g := {g}, c := count(*) FILTER (WHERE value <= {g}))"
     for g in ECDF_GRID
@@ -547,4 +603,6 @@ QUERIES = {
     "dq_mad_outliers": dq_mad_outliers,
     "approx_heavy_users": approx_heavy_users,
     "dq_value_ecdf": dq_value_ecdf,
+    "dq_five_number_summary": dq_five_number_summary,
 }
+ORACLE_SQL["dq_five_number_summary"] = ORACLE_SQL_FIVE_NUM
