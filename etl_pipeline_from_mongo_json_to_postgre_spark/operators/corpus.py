@@ -441,6 +441,34 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
+def text_token_length_dist(spark, sf_dir):
+    """Token-length distribution across the corpus (how long are the
+    words, with each length's share) — the tokenizer-design census
+    (subword vocab sizing starts here). Explode emits integer lengths
+    only; the census is map-side-combined and bounded by max word
+    length; the total is a 1-row broadcast."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    lengths = d.select(
+        F.explode(F.transform(w, lambda x: F.length(x))).alias("token_len")
+    )
+    # length-cardinality census; the total derives FROM the census
+    # (sum of its counts), so the corpus explode runs once with no
+    # barrier needed — prefer re-aggregating a small frame over a
+    # second fact scan whenever the quantity is derivable
+    counts = lengths.groupBy("token_len").agg(
+        F.count("*").alias("n_tokens")
+    ).localCheckpoint(eager=True)
+    total = counts.agg(F.sum("n_tokens").cast("double").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "token_len", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
 PREFIX_TOKENS = 12
 
 
@@ -815,6 +843,21 @@ ORACLE_SQL = {
         FROM cums
         WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
     """,
+    "text_token_length_dist": f"""
+        WITH lengths AS (
+            SELECT unnest(list_transform({_DUCK_WORDS}, x -> len(x)))
+                AS token_len
+            FROM documents
+        ), counts AS (
+            SELECT token_len, count(*) AS n_tokens FROM lengths
+            GROUP BY token_len
+        ), total AS (
+            SELECT CAST(count(*) AS DOUBLE) AS total FROM lengths
+        )
+        SELECT CAST(token_len AS INT) AS token_len, n_tokens,
+               round(n_tokens / total, 6) AS share
+        FROM counts CROSS JOIN total
+    """,
     "text_boilerplate_prefixes": f"""
         WITH staged AS (
             SELECT doc_id,
@@ -1009,6 +1052,7 @@ QUERIES = {
     "text_vocab_growth": text_vocab_growth,
     "doc_source_entropy": doc_source_entropy,
     "text_boilerplate_prefixes": text_boilerplate_prefixes,
+    "text_token_length_dist": text_token_length_dist,
     "text_sparse_cosine_pairs": text_sparse_cosine_pairs,
     "text_tfidf_topk": text_tfidf_topk,
     "corpus_best_per_source": corpus_best_per_source,
