@@ -104,6 +104,7 @@ _PRIORITY = [
     "part_abc_classification", "orders_monthly_growth", "p13_unpivot_melt",
     "segment_reorder_cadence", "text_boilerplate_prefixes", "dq_value_ecdf",
     "dq_five_number_summary", "text_token_length_dist",
+    "supplier_region_mix",
     # -- 3: round-1 reds fixed in round 2 — stability confirmation ---------
     "f3_numeric_funcs", "f4_array_funcs", "f5_json_extract",
     "approx_distinct_users", "approx_value_quantiles",

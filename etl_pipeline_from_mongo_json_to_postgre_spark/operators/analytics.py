@@ -746,6 +746,43 @@ def a14_time_rollup(spark, sf_dir):
     )
 
 
+def supplier_region_mix(spark, sf_dir):
+    """Full-star geographic rollup: supplier count, lineitem revenue,
+    and revenue share per region (q5's shape without its region
+    filter — every region in one pass). The fact aggregate collapses
+    to supplier cardinality before touching any dimension; supplier →
+    nation → region are broadcast chained; the share derives from the
+    5-row region rollup itself (no second fact scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    regional = (
+        per_supp.join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("rev").alias("rev"),
+        )
+        .localCheckpoint(eager=True)  # 5 rows; share derives from it
+    )
+    total = regional.agg(F.sum("rev").alias("total"))
+    return (
+        regional.crossJoin(F.broadcast(total))
+        .select(
+            "r_name", "n_suppliers",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(F.col("rev") / F.col("total"), 6)
+            .cast("double").alias("revenue_share"),
+        )
+    )
+
+
 def segment_reorder_cadence(spark, sf_dir):
     """Repeat-purchase cadence per market segment: the distribution of
     gaps between a customer's consecutive orders (median / p90 days),
@@ -1868,6 +1905,25 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal
         GROUP BY GROUPING SETS ((day), (week), (month))
     """,
+    "supplier_region_mix": """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+            FROM lineitem GROUP BY l_suppkey
+        ), regional AS (
+            SELECT r_name, count(*) AS n_suppliers, sum(rev) AS rev
+            FROM per_supp
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        )
+        SELECT r_name, n_suppliers,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(round(rev / sum(rev) OVER (), 6) AS DOUBLE)
+                   AS revenue_share
+        FROM regional
+    """,
     "segment_reorder_cadence": """
         WITH gaps AS (
             SELECT o_custkey,
@@ -2447,6 +2503,7 @@ QUERIES = {
     "orders_monthly_growth": orders_monthly_growth,
     "p13_unpivot_melt": p13_unpivot_melt,
     "segment_reorder_cadence": segment_reorder_cadence,
+    "supplier_region_mix": supplier_region_mix,
     "part_brand_type_pmi": part_brand_type_pmi,
     "events_user_gini": events_user_gini,
     "w1_running_total": w1_running_total,
