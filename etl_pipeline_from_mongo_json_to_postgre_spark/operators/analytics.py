@@ -2156,7 +2156,8 @@ ORACLE_SQL: dict[str, str] = {
             FROM placed p FULL OUTER JOIN completed c ON p.day = c.day
         )
         SELECT day, placed, completed,
-               sum(placed) OVER w - sum(completed) OVER w AS open_backlog
+               CAST(sum(placed) OVER w - sum(completed) OVER w AS BIGINT)
+                   AS open_backlog
         FROM merged
         WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
                      AND CURRENT ROW)
@@ -2236,7 +2237,7 @@ ORACLE_SQL: dict[str, str] = {
             SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
             WHERE event_type = 'view'
         ), flagged AS (
-            SELECT user_id, ts_us,
+            SELECT user_id, event_id, ts_us,
                    CASE WHEN lag(ts_us) OVER w IS NULL
                           OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
                         THEN 1 ELSE 0 END AS new_sess
@@ -2245,7 +2246,7 @@ ORACLE_SQL: dict[str, str] = {
         ), numbered AS (
             SELECT user_id, ts_us,
                    sum(new_sess) OVER (
-                       PARTITION BY user_id ORDER BY ts_us
+                       PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS UNBOUNDED PRECEDING) AS sess_no
             FROM flagged
         ), sessions AS (

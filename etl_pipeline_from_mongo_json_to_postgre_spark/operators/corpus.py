@@ -915,8 +915,8 @@ ORACLE_SQL = {
             FROM first_seen GROUP BY checkpoint
         )
         SELECT checkpoint, new_terms,
-               sum(new_terms) OVER (ORDER BY checkpoint
-                   ROWS UNBOUNDED PRECEDING) AS vocab_size
+               CAST(sum(new_terms) OVER (ORDER BY checkpoint
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
         FROM per_bucket
     """,
     "sample_weighted_topk": f"""
@@ -959,7 +959,7 @@ ORACLE_SQL = {
             SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY doc_id
         ), dots AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   sum(a.tf * b.tf) AS dot
+                   CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
             FROM kept a JOIN kept b
               ON a.term = b.term AND a.doc_id < b.doc_id
             GROUP BY 1, 2

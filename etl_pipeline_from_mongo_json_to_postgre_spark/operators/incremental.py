@@ -497,9 +497,9 @@ ORACLE_SQL = {
                          ORDER BY o_orderdate, o_orderkey)
         ), islands AS (
             SELECT o_custkey, o_orderstatus, o_orderdate,
-                   sum(chg) OVER (PARTITION BY o_custkey
+                   CAST(sum(chg) OVER (PARTITION BY o_custkey
                                   ORDER BY o_orderdate, o_orderkey
-                                  ROWS UNBOUNDED PRECEDING) AS island
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
             FROM flagged
         ), grouped AS (
             SELECT o_custkey, island,

@@ -80,6 +80,12 @@ class RunResult:
     unmapped_collections: set[str] = field(default_factory=set)
     missing_tables_input: set[str] = field(default_factory=set)
     missing_tables_db: set[str] = field(default_factory=set)
+    # collection -> {original_column: renamed_column}, only when the
+    # caller opted into on_duplicate="rename" and a collision actually
+    # fired — the UI editor shows these renames to the user
+    # (reference ui/mapping_editor.py:527-554); the backend run report
+    # carries them so non-interactive callers see where data landed.
+    rename_maps: dict[str, dict[str, str]] = field(default_factory=dict)
 
     def missing_collections_report(self, spark: SparkSession) -> DataFrame:
         """(ingestion_date, object_name, object_status) — reference
@@ -144,6 +150,7 @@ class RunResult:
             "missing_tables_db": sorted(self.missing_tables_db),
             "object_statuses": dict(sorted(self.object_statuses.items())),
             "per_collection": per_collection,
+            "rename_maps": {c: dict(m) for c, m in sorted(self.rename_maps.items())},
         }
 
 
@@ -164,6 +171,7 @@ def run(
     app_config: str | Mapping | None = None,
     existing_tables: set[str] | None = None,
     ingestion_date: str | None = None,
+    on_duplicate: str = "error",
 ) -> RunResult:
     """Plan a full pipeline run; returns lazy frames + metadata.
 
@@ -175,7 +183,10 @@ def run(
     from .config.defaults import default_app_config
 
     app = _resolve_config(app_config, validate_app_config, default_app_config())
-    mapping = _resolve_config(mapping_config, validate_mapping_config)
+    mapping = _resolve_config(
+        mapping_config,
+        lambda cfg: validate_mapping_config(cfg, on_duplicate=on_duplicate),
+    )
     runtime = app["runtime"]
     audit_cfg = app["audit"]
 
@@ -282,6 +293,10 @@ def run(
         unmapped_collections=unmapped,
         missing_tables_input={table_lookup.get(t, t) for t in missing_input_tables},
         missing_tables_db=missing_tables_db,
+        rename_maps={
+            c: spec["rename_map"] for c, spec in collections_cfg.items()
+            if spec.get("rename_map")
+        },
     )
 
 

@@ -45,6 +45,12 @@ OBJECT_ID_BITS = 96  # 12-byte ObjectId keyspace
 
 SCHEMA = "collection string, object_id string, doc_json string"
 
+# Hard ceiling on driver-side export-fixture staging (harness path of
+# s3_mongo_datasource_scan): ~2M rows of short docs stays well under a
+# GiB streamed one partition at a time; anything bigger must use live
+# mode. Raising, not truncating, keeps the oracle comparison honest.
+MAX_EXPORT_FIXTURE_ROWS = 2_000_000
+
 
 def plan_object_id_ranges(
     min_hex: str, max_hex: str, n_partitions: int
@@ -234,18 +240,32 @@ def s3_mongo_datasource_scan(spark, sf_dir):
     tune_for_oracle(spark)
     register(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    # stage the export fixture (driver-side, metadata-free JSON dump —
-    # harness only; see docstring)
-    staged = {
-        "documents": [
-            {"_id": f"{int(r['doc_id']):024x}", "doc_id": int(r["doc_id"]),
-             "lang": r["lang"], "text": r["text"]}
-            for r in docs.toPandas().to_dict("records")
-        ]
-    }
+    # Stage the export fixture. Harness-only (at scale the data is
+    # already IN Mongo and mode=live partition-scans it), but still a
+    # registered query's execution path, so it must not be able to OOM
+    # the driver: stream via toLocalIterator (one partition resident at
+    # a time, never a whole-table driver collect) under a hard row cap that
+    # raises instead of silently truncating — the oracle compares the
+    # full table, so truncation would be a wrong answer, and an sf bump
+    # past the cap should fail loudly with the live-mode pointer.
     out = os.path.join(tempfile.mkdtemp(prefix="mongo_export_"), "documents.json")
+    n = 0
     with open(out, "w", encoding="utf-8") as fh:
-        json.dump(staged, fh)
+        fh.write('{"documents": [')
+        for r in docs.toLocalIterator(prefetchPartitions=True):
+            n += 1
+            if n > MAX_EXPORT_FIXTURE_ROWS:
+                raise RuntimeError(
+                    f"s3_mongo_datasource_scan: export fixture exceeds "
+                    f"{MAX_EXPORT_FIXTURE_ROWS} rows; staging a driver-side "
+                    "JSON dump at this scale is wrong — point the "
+                    "mongodb_py DataSource at a live server (mode=live) "
+                    "instead.")
+            rec = {"_id": f"{int(r['doc_id']):024x}",
+                   "doc_id": int(r["doc_id"]),
+                   "lang": r["lang"], "text": r["text"]}
+            fh.write(("," if n > 1 else "") + json.dumps(rec))
+        fh.write("]}")
     scanned = (
         spark.read.format("mongodb_py")
         .option("path", out)

@@ -124,7 +124,14 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     execution of everything above it.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target // 2:
+    try:
+        # JVM-side partition count: builds the physical RDD lineage but
+        # skips the Python-RDD (pickle-conversion) plan that `df.rdd`
+        # would construct per call.
+        n_parts = df._jdf.rdd().getNumPartitions()
+    except Exception:  # private-API drift — fall back to the public path
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target // 2:
         return df.repartition(target)
     return df
 

@@ -302,9 +302,14 @@ def write_training_shards(
     - shard membership is a pure function of ``key`` (scrambled-key mod,
       the same function the manifest operators use) — task retries,
       re-runs, and incremental appends place a row in the same shard;
-    - one task per shard (repartition on the shard column, which hash-
-      distributes the K shard ids across K tasks) so each shard
-      directory is written by exactly one writer — no tiny-file spray;
+    - single-writer-per-shard: all rows of a shard land in one task, so
+      each shard directory is written by exactly one writer — no
+      tiny-file spray. Range-partitioning the K distinct shard ids into
+      K partitions also gives ~one shard per task (hash-partitioning
+      here would collide shard ids into shared tasks, leaving some
+      tasks with multiple shards and others idle — the balance is
+      best-effort via range sampling, the single-writer property is
+      what is guaranteed);
     - ``maxRecordsPerFile`` caps file size for loader parallelism while
       sortWithinPartitions keeps every file internally ordered.
 
@@ -318,7 +323,7 @@ def write_training_shards(
 
     staged = (
         df.withColumn("shard", scrambled_key(F.col(key), n_shards))
-        .repartition(n_shards, "shard")
+        .repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", *(sort_keys or [key]))
     )
     writer = staged.write.mode("overwrite")

@@ -525,7 +525,7 @@ ORACLE_SQL = {
     """,
     "stream_sessionize": f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                              > {SESSION_GAP_MIN * 60 * 1_000_000}
@@ -535,7 +535,7 @@ ORACLE_SQL = {
         ), numbered AS (
             SELECT user_id, ts, value,
                    sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_no
             FROM flagged

@@ -210,3 +210,33 @@ def test_write_with_metrics_single_pass(spark, tmp_path):
     assert got["n_errors"] == len([i for i in range(1000) if i % 7 == 0])
     assert got["max_id"] == 999
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_rename_map_reaches_run_report(spark):
+    """VERDICT r3 task 7: with on_duplicate='rename' opted in, the
+    applied renames are surfaced through RunResult.rename_maps and the
+    summary report instead of being silently discarded (the reference's
+    UI editor shows them to the user — ui/mapping_editor.py:527-554)."""
+    mapping = {
+        "collections": {
+            "widgets": {
+                "target_table": "public.widgets",
+                "object_id_attribute": "a",
+                "mappings": {
+                    # 'raw_json' collides with the reserved audit column
+                    "a": {"column": "raw_json", "type": "text"},
+                    "b": {"column": "b", "type": "text"},
+                },
+            }
+        }
+    }
+    input_data = {"widgets": [{"a": "x", "b": "y"}]}
+
+    with pytest.raises(ConfigError):
+        pipeline.run(spark, input_data, mapping, ingestion_date="2024-06-01")
+
+    res = pipeline.run(spark, input_data, mapping,
+                       ingestion_date="2024-06-01", on_duplicate="rename")
+    assert res.rename_maps == {"widgets": {"raw_json": "raw_json1"}}
+    assert res.summary()["rename_maps"] == {"widgets": {"raw_json": "raw_json1"}}
+    assert "raw_json1" in res.data_frames["widgets"].columns
