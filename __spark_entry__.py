@@ -98,11 +98,16 @@ _PRIORITY = [
     "tumbling_window_agg", "sliding_window_agg",
     "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue",
     "scalar_subquery_above_avg",
-    # -- 4b: rows-only entries (no SQL oracle; invariant tests + derived
-    #        boolean-oracle companions carry their evidence) --------------
-    "approx_distinct_users_sketch", "approx_distinct_rollup_sketch",
+    # -- 4b: converted to DERIVED oracles in round 4 (kmeans_train,
+    #        emb_pca_project, graph_pagerank_parts, approx_heavy_users —
+    #        invariant rows / verified candidate sets the driver can
+    #        hash-check) and the 3 justified rows-only remainders (see
+    #        COVERAGE.md). All zero-evidence → round-5 window with
+    #        supplier_region_mix above. ---------------------------------
     "kmeans_train", "emb_pca_project", "graph_pagerank_parts",
-    "dedup_minhash_pairs_fast", "approx_heavy_users",
+    "approx_heavy_users",
+    "approx_distinct_users_sketch", "approx_distinct_rollup_sketch",
+    "dedup_minhash_pairs_fast",
     # -- 5: remainder keeps module order -----------------------------------
 ]
 

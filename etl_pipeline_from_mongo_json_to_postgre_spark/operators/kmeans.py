@@ -161,12 +161,12 @@ def train(
     return centroids, history
 
 
-def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: train K=16 / 3 Lloyd iterations on the
-    embeddings table and emit the final per-cluster census
-    (cluster size + within-cluster SSE, rounded for stable canon).
-    Rows-only driver check — iterative FP algorithm; the semantic
-    invariants live in tests/test_kmeans.py."""
+def kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train K=16 / 3 Lloyd iterations on the embeddings table and emit
+    the final per-cluster census (cluster size + within-cluster SSE,
+    rounded for stable canon). Census values are engine-specific
+    (centroid-dependent), so this form is test-pinned, not
+    oracle-checked; the registry entry is kmeans_train below."""
     vecs = _vectors(spark, sf_dir).select("vec_id", "v")
     centroids, _ = train(vecs, compute_history=False)
     assigned = _assign(vecs, centroids)
@@ -181,7 +181,50 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SQL: dict[str, str] = {}
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query with a DERIVED DuckDB oracle (VERDICT r3 task 5):
+    an iterative fixed-point fit has no SQL-expressible result, but its
+    Lloyd invariants do — emit them as one hash-checkable row:
+
+    - n_assigned: every input vector is assigned exactly once
+      (distributed count through the real assignment pipeline; the
+      oracle recomputes it as count(*) FROM embeddings),
+    - k_within_bound: the census has at most K non-empty clusters and
+      every cluster is non-empty-positive,
+    - sse_monotone: the per-iteration SSE history is non-increasing
+      (Lloyd's guarantee; history collects are K*DIM metadata-scale),
+    - sse_final_le_first: training improved on the first update's SSE.
+
+    The full per-cluster census stays available as kmeans_census and is
+    value-pinned in tests/test_kmeans.py (monotone SSE, exact-argmin
+    assignment vs numpy, determinism across runs)."""
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    centroids, history = train(vecs, compute_history=True)
+    assigned = _assign(vecs, centroids)
+    mono = all(b <= a + 1e-9 for a, b in zip(history, history[1:]))
+    improved = history[-1] <= history[0] + 1e-9
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vecs"))
+        .agg(
+            F.sum("n_vecs").cast("bigint").alias("n_assigned"),
+            ((F.count("*") <= F.lit(K)) & (F.min("n_vecs") > 0)).alias(
+                "k_within_bound"),
+            F.lit(bool(mono)).alias("sse_monotone"),
+            F.lit(bool(improved)).alias("sse_final_le_first"),
+        )
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "kmeans_train": """
+        SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+               TRUE AS k_within_bound,
+               TRUE AS sse_monotone,
+               TRUE AS sse_final_le_first
+        FROM embeddings
+    """,
+}
 
 QUERIES = {
     "kmeans_train": kmeans_train,

@@ -89,12 +89,12 @@ def project(vecs: DataFrame, mean, components) -> DataFrame:
     )
 
 
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: fit PCA on the embeddings corpus and emit every
-    vector's top-8 principal coordinates. Rows-only driver check; the
-    math contract (orthonormal components, descending explained
-    variance matching the projected coordinates' variance, residual
-    energy = trace - retained) is pinned in tests/test_pca.py."""
+def pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit PCA on the embeddings corpus and emit every vector's top-8
+    principal coordinates — the per-row projection consumers use.
+    Coordinates are eigenbasis-specific (sign/order conventions), so
+    this form is test-pinned, not oracle-checked; the registry entry is
+    emb_pca_project below."""
     vecs = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(
         eager=True  # fit runs two aggregations + project reads it again
     )
@@ -102,7 +102,58 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project(vecs, mean, components)
 
 
-ORACLE_SQL: dict[str, str] = {}
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query with a DERIVED DuckDB oracle (VERDICT r3 task 5):
+    eigendecomposition is not SQL-expressible, but the spectral
+    contract is — one hash-checkable row:
+
+    - n_projected: every corpus vector gets a coordinate row
+      (distributed count through the real projection pipeline; the
+      oracle recomputes count(*) FROM embeddings),
+    - components_orthonormal: |C C^T - I|_max < 1e-8 (driver-side d x d
+      check on the fitted basis — metadata-scale),
+    - variance_descending: explained eigenvalues arrive sorted,
+    - projected_var_matches: the DISTRIBUTED population variance of
+      each projected coordinate equals its eigenvalue within 1% — the
+      one invariant that ties the executor-side projection expression
+      to the driver-side fit.
+
+    The per-vector coordinate frame stays available as pca_coords and
+    is value-pinned in tests/test_pca.py."""
+    import numpy as np
+
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(
+        eager=True
+    )
+    mean, components, explained = fit(vecs)
+    C = np.array(components)
+    ortho = bool(np.abs(C @ C.T - np.eye(len(components))).max() < 1e-8)
+    desc = all(a >= b - 1e-12 for a, b in zip(explained, explained[1:]))
+    proj = project(vecs, mean, components)
+    var_ok = None
+    for i, lam in enumerate(explained):
+        ok_i = (
+            F.abs(F.var_pop(f"pc{i + 1}") - F.lit(lam))
+            <= F.lit(0.01 * abs(lam) + 1e-9)
+        )
+        var_ok = ok_i if var_ok is None else (var_ok & ok_i)
+    return proj.agg(
+        F.count("*").cast("bigint").alias("n_projected"),
+        F.lit(ortho).alias("components_orthonormal"),
+        F.lit(desc).alias("variance_descending"),
+        var_ok.alias("projected_var_matches"),
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "emb_pca_project": """
+        SELECT CAST(count(*) AS BIGINT) AS n_projected,
+               TRUE AS components_orthonormal,
+               TRUE AS variance_descending,
+               TRUE AS projected_var_matches
+        FROM embeddings
+    """,
+}
 
 QUERIES = {
     "emb_pca_project": emb_pca_project,

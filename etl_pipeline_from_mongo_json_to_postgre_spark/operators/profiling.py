@@ -295,23 +295,48 @@ def dq_key_skew(spark, sf_dir):
 FREQ_SUPPORT = 0.02
 
 
-def approx_heavy_users(spark, sf_dir):
+def heavy_user_candidates(spark, sf_dir):
     """Single-pass approximate heavy hitters via ``freqItems``
     (Karp/Shenker/Papadimitriou counter sketch): every user whose event
     share exceeds FREQ_SUPPORT is GUARANTEED to be returned (possible
-    false positives, no false negatives — the superset contract is
-    pinned against exact counts in test_approx.py). The sketch carries
-    a fixed 1/support-sized counter map per partition and merges — no
-    per-key shuffle at all, vs the exact heavy-hitter query's
-    (type, user) aggregate (events_heavy_hitters). Rows-only driver
-    check: candidate sets are sketch-internal-order dependent across
-    engines, so no SQL oracle; the guarantee, not the candidate list,
-    is the contract."""
+    false positives, no false negatives). The sketch carries a fixed
+    1/support-sized counter map per partition and merges — no per-key
+    shuffle at all, vs the exact heavy-hitter query's (type, user)
+    aggregate (events_heavy_hitters). Candidate sets are
+    sketch-internal-order dependent across engines, so this raw form
+    has no SQL oracle; the registry entry is approx_heavy_users
+    below."""
     tune_for_oracle(spark)
     ev = load_table(spark, sf_dir, "events")
     res = ev.stat.freqItems(["user_id"], support=FREQ_SUPPORT)
     return (
         res.select(F.explode("user_id_freqItems").alias("user_id"))
+        .orderBy("user_id")
+    )
+
+
+def approx_heavy_users(spark, sf_dir):
+    """Registry query with a DERIVED DuckDB oracle (VERDICT r3 task 5):
+    the sketch's candidate LIST is engine-specific, but its no-false-
+    negative GUARANTEE is exactly SQL-checkable. Emit every user whose
+    exact share exceeds FREQ_SUPPORT *that the sketch also surfaced*
+    (inner join of exact heavies against the broadcast candidate set):
+    if freqItems ever missed a true heavy hitter, that row disappears
+    and the driver's row-count/hash check goes red against the oracle's
+    purely-exact heavy list. The sketch pass runs for real in-plan; the
+    exact side is the verification harness."""
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()  # scalar, one job — threshold literal
+    exact_heavy = (
+        ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        .where(F.col("n_events") > FREQ_SUPPORT * total)
+    )
+    cand = heavy_user_candidates(spark, sf_dir)
+    return (
+        exact_heavy.join(F.broadcast(cand), "user_id", "inner")
+        .select("user_id", "n_events",
+                F.lit(True).alias("in_sketch_candidates"))
         .orderBy("user_id")
     )
 
@@ -562,6 +587,15 @@ ORACLE_SQL["dq_histogram"] = f"""
            END AS bucket,
            count(*) AS cnt
     FROM events GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["approx_heavy_users"] = f"""
+    SELECT user_id, count(*) AS n_events,
+           TRUE AS in_sketch_candidates
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > {FREQ_SUPPORT} * (SELECT count(*) FROM events)
 """
 
 _depth_probs_sql = "[" + ", ".join(str(p) for p in DEPTH_PROBS) + "]"

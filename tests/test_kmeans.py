@@ -57,8 +57,18 @@ def test_trained_centroids_beat_random_init(spark, vecs):
 
 
 def test_census_shape_and_totals(spark, sf_dir):
-    out = kmeans.kmeans_train(spark, sf_dir).collect()
+    out = kmeans.kmeans_census(spark, sf_dir).collect()
     n_total = _vectors(spark, sf_dir).count()
     assert sum(r["n_vecs"] for r in out) == n_total
     assert all(r["n_vecs"] > 0 for r in out)  # no empty clusters on this data
     assert all(r["sse"] >= 0 and math.isfinite(r["sse"]) for r in out)
+
+
+def test_train_invariant_row_is_all_green(spark, sf_dir):
+    """The registry entry's derived-oracle booleans must actually hold
+    (they are literal/aggregate expressions — this pins them TRUE on
+    real data, not just against the oracle's TRUE constants)."""
+    row = kmeans.kmeans_train(spark, sf_dir).collect()[0]
+    assert row["n_assigned"] == _vectors(spark, sf_dir).count()
+    assert row["k_within_bound"] and row["sse_monotone"]
+    assert row["sse_final_le_first"]
