@@ -35,6 +35,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     similarity,
     skew,
     text_queries,
+    tpch_suite,
     transform_queries,
 )
 from etl_pipeline_from_mongo_json_to_postgre_spark.sources import mongo_datasource
@@ -43,7 +44,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as st
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
             profiling, corpus, incremental, kmeans, timeseries, pca,
-            association, graph)
+            association, graph, tpch_suite)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-4 ordering rule (VERDICT r3 task 2): the window is
@@ -86,6 +87,13 @@ _PRIORITY = [
     #       previously-green rows grouped by evidence staleness. ----------
     "supplier_region_mix",
     # round-4 additions:
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_parts",
+    "tpch_q12_late_priority", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_promotion_suppliers",
+    "tpch_q22_dormant_customers",
     # -- 4: r1-only evidence (code unchanged; local parity covers) --------
     "a1_pivot_status_count", "a5_max_date", "a6_kpis",
     "a9_rollup_counts", "a10_cube_counts", "a11_grouping_sets",
