@@ -23,6 +23,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     analytics,
     association,
     corpus,
+    curation_ext,
     dedup,
     graph,
     incremental,
@@ -44,7 +45,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as st
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
             profiling, corpus, incremental, kmeans, timeseries, pca,
-            association, graph, tpch_suite)
+            association, graph, tpch_suite, curation_ext)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-4 ordering rule (VERDICT r3 task 2): the window is
@@ -94,6 +95,10 @@ _PRIORITY = [
     "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue", "tpch_q20_promotion_suppliers",
     "tpch_q22_dormant_customers",
+    "train_split_assign", "corpus_decontaminate", "events_anomaly_zscore",
+    "orders_pareto_frontier", "text_winnowing_fingerprint",
+    "dedup_containment_pairs", "ann_recall_eval", "emb_dim_stats",
+    "graph_triangle_count",
     # -- 4: r1-only evidence (code unchanged; local parity covers) --------
     "a1_pivot_status_count", "a5_max_date", "a6_kpis",
     "a9_rollup_counts", "a10_cube_counts", "a11_grouping_sets",

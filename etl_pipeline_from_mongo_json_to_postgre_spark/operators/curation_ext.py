@@ -1,0 +1,394 @@
+"""Round-4 corpus-curation extensions: split assignment, benchmark
+decontamination, anomaly scan, skyline selection, winnowing
+fingerprints.
+
+Each operator is a first-class registry entry with a DuckDB oracle.
+Determinism: no rand() anywhere — splits and orderings come from the
+shared Knuth scramble (functions/sampling.py); fingerprints from the
+portable polynomial hashes (functions/text.py); every fp aggregate
+routes through exact integer/DECIMAL sums with one final double op in
+identical operand order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.sampling import scrambled_key, scrambled_key_sql
+from ..functions.text import (
+    MOD,
+    duck_shingle_hashes,
+    duck_word_hashes,
+    shingle_hashes,
+    word_hashes,
+)
+from ..session import tune_for_oracle
+from ..sources.parquet import fan_out, load_table
+
+SPLIT_BUCKETS = 100
+TRAIN_BELOW = 80          # buckets [0,80) -> train
+VAL_BELOW = 90            # [80,90) -> val, [90,100) -> test
+BENCH_SOURCE = "src0"     # documents.source treated as the eval suite
+DECON_K = 3               # shingle width for decontamination
+WINNOW_K = 3              # k-gram width for winnowing
+WINNOW_W = 4              # winnowing window
+PRICE_BUCKET = 1000.0     # pareto pre-prune bucket width (o_totalprice)
+Z_FENCE = 2.5
+
+
+def _docs(spark, sf_dir):
+    tune_for_oracle(spark)
+    return fan_out(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _t(spark, sf_dir, name):
+    tune_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+def train_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment census: every document
+    lands in a split by scrambled doc_id mod 100 (80/10/10), identically
+    on every rerun and task retry (no rand()). The census groups by
+    (split, lang) — a map-side expression plus one tiny aggregate; the
+    assignment itself is a zero-shuffle projection any downstream writer
+    reuses as a partition column."""
+    d = _docs(spark, sf_dir)
+    bucket = scrambled_key(F.col("doc_id"), SPLIT_BUCKETS)
+    split = (
+        F.when(bucket < TRAIN_BELOW, "train")
+        .when(bucket < VAL_BELOW, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            "n_chars",
+            F.size(_words(F.col("text"))).alias("n_toks"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum("n_toks").cast("long").alias("tokens_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (filter form of contamination_ngram_overlap)
+# ---------------------------------------------------------------------------
+
+def corpus_decontaminate(spark, sf_dir):
+    """Decontaminated-corpus census: drop every non-benchmark document
+    sharing ANY distinct 3-word shingle with the benchmark slice
+    (documents.source == 'src0'), then report per-source totals /
+    kept / dropped.
+
+    Scale shape: both sides reduce to (doc_id, shingle-hash) longs
+    before the semi-join — the benchmark side (an eval suite) is tiny
+    and broadcasts; document text never crosses a shuffle. The kept set
+    comes from ONE left-anti join against the contaminated-id list.
+    Portable polynomial shingle hashes -> the oracle reproduces the
+    exact hash values (not just equivalent grams)."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    shingled = (
+        d.select("doc_id", "source", word_hashes(w).alias("wh"))
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(shingle_hashes(F.col("wh"), k=DECON_K)).alias("sh"),
+        )
+        .localCheckpoint(eager=True)  # feeds bench + candidate branches once
+    )
+    bench = (
+        shingled.where(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corpus = shingled.where(F.col("source") != BENCH_SOURCE)
+    contaminated = (
+        corpus.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = corpus.join(contaminated, "doc_id", "left_anti")
+    totals = corpus.groupBy("source").agg(F.count("*").alias("total_docs"))
+    kept_counts = kept.groupBy("source").agg(F.count("*").alias("kept_docs"))
+    return (
+        totals.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "total_docs",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            (F.col("total_docs") - F.coalesce("kept_docs", F.lit(0))).alias(
+                "dropped_docs"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily anomaly z-scores
+# ---------------------------------------------------------------------------
+
+def events_anomaly_zscore(spark, sf_dir):
+    """Daily event-count anomaly scan: z-score of each day's volume
+    against the all-days mean/stddev, with |z| > 2.5 flagged.
+
+    Scale shape: one count aggregate (day-cardinality output), then the
+    global moments come from exact INTEGER sums (n, sum, sum-of-squares)
+    over that aggregate — broadcast back as a one-row crossJoin. The
+    z arithmetic is double but every operand derives from exact integer
+    sums in identical order on both engines, so results are
+    bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds moments + output rows once
+    )
+    stats = daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / (
+        F.col("n_days") - F.lit(1)
+    )
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            "cnt",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(F.round(z, 6)) > Z_FENCE).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+def orders_pareto_frontier(spark, sf_dir):
+    """Skyline of orders maximizing (o_totalprice, o_orderdate): an
+    order survives iff no other order is >= on both dimensions and
+    strictly greater on at least one.
+
+    Scale shape — the naive spec is a quadratic self-join, so this runs
+    the classic two-phase skyline: (1) bucket prune: group prices into
+    fixed-width buckets, compute each bucket's max date, and take the
+    running max over STRICTLY HIGHER buckets (a window over the
+    bucket-cardinality aggregate only — never the fact); any row whose
+    date <= that threshold is dominated by some strictly-higher-priced
+    row and is discarded with one broadcast join. (2) exact verify: the
+    surviving candidate set is frontier-sized, so the exact dominance
+    anti-join runs broadcast over candidates only. Result is exact and
+    deterministic; only phase-1's pruning ratio depends on the bucket
+    width."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.to_date("o_orderdate").alias("order_day")
+    )
+    pb = F.floor(F.col("o_totalprice") / F.lit(PRICE_BUCKET)).alias("pb")
+    bucket_max = (
+        o.select(pb, "order_day")
+        .groupBy("pb")
+        .agg(F.max("order_day").alias("bmax"))
+    )
+    w = (
+        Window.orderBy(F.desc("pb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thr = bucket_max.select(
+        "pb", F.max("bmax").over(w).alias("thr")
+    )
+    cand = (
+        o.withColumn("pb", pb)
+        .join(F.broadcast(thr), "pb")
+        .where(F.col("thr").isNull() | (F.col("order_day") > F.col("thr")))
+        .select("o_orderkey", "o_totalprice", "order_day")
+        .localCheckpoint(eager=True)  # candidate set: both sides of the verify
+    )
+    dom = cand.select(
+        F.col("o_totalprice").alias("d_price"), F.col("order_day").alias("d_day")
+    )
+    return cand.join(
+        F.broadcast(dom),
+        (F.col("d_price") >= F.col("o_totalprice"))
+        & (F.col("d_day") >= F.col("order_day"))
+        & (
+            (F.col("d_price") > F.col("o_totalprice"))
+            | (F.col("d_day") > F.col("order_day"))
+        ),
+        "left_anti",
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def text_winnowing_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    local fingerprinting, the MOSS algorithm): hash every 3-word k-gram,
+    slide a window of 4 consecutive k-gram hashes, keep each window's
+    minimum; the distinct selected hashes are the fingerprint. Guarantees
+    any shared run of WINNOW_W+K-1 words between two documents shares a
+    fingerprint hash — the detection floor exact-dedup misses.
+
+    Scale shape: pure per-row array expressions (zero shuffle); the
+    summary (count/min/max/sum of the fingerprint set) keeps the output
+    scalar-only for the driver hash. Portable polynomial hashes ->
+    bit-reproducible in the oracle."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    staged = (
+        d.where(F.size(w) >= WINNOW_K)
+        .select("doc_id", word_hashes(w).alias("wh"))
+        .select("doc_id", shingle_hashes(F.col("wh"), k=WINNOW_K).alias("kh"))
+    )
+    kh = F.col("kh")
+    n_windows = F.greatest(F.size(kh) - (WINNOW_W - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(kh, i, WINNOW_W)),
+    )
+    fp = F.array_distinct(wins)
+    return staged.select(
+        "doc_id",
+        F.size(kh).alias("n_grams"),
+        F.size(fp).alias("n_fp"),
+        F.array_min(fp).alias("fp_min"),
+        F.array_max(fp).alias("fp_max"),
+        F.aggregate(fp, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "fp_sum"
+        ),
+    )
+
+
+_SPLIT_SQL = (
+    f"CASE WHEN {scrambled_key_sql('doc_id', SPLIT_BUCKETS)} < {TRAIN_BELOW} "
+    f"THEN 'train' WHEN {scrambled_key_sql('doc_id', SPLIT_BUCKETS)} < {VAL_BELOW} "
+    f"THEN 'val' ELSE 'test' END"
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "train_split_assign": f"""
+        SELECT {_SPLIT_SQL} AS split, lang,
+               count(*) AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total,
+               CAST(sum(len({_DUCK_WORDS})) AS BIGINT) AS tokens_total
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    "corpus_decontaminate": f"""
+        WITH shingled AS (
+            SELECT doc_id, source,
+                   list_distinct({duck_shingle_hashes(DECON_K)}) AS sh
+            FROM (
+                SELECT doc_id, source,
+                       {duck_word_hashes(_DUCK_WORDS)} AS wh
+                FROM documents
+            )
+        ), bench AS (
+            SELECT DISTINCT unnest(sh) AS s FROM shingled
+            WHERE source = '{BENCH_SOURCE}'
+        ), corpus AS (
+            SELECT * FROM shingled WHERE source <> '{BENCH_SOURCE}'
+        ), contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(sh) AS s FROM corpus) c
+            JOIN bench USING (s)
+        ), kept AS (
+            SELECT source, count(*) AS kept_docs FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            GROUP BY source
+        ), totals AS (
+            SELECT source, count(*) AS total_docs FROM corpus GROUP BY source
+        )
+        SELECT t.source, t.total_docs,
+               COALESCE(k.kept_docs, 0) AS kept_docs,
+               t.total_docs - COALESCE(k.kept_docs, 0) AS dropped_docs
+        FROM totals t LEFT JOIN kept k ON t.source = k.source
+    """,
+    "events_anomaly_zscore": f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+            FROM events GROUP BY 1
+        ), stats AS (
+            SELECT count(*) AS n_days,
+                   CAST(sum(cnt) AS BIGINT) AS s,
+                   CAST(sum(cnt * cnt) AS BIGINT) AS ss
+            FROM daily
+        )
+        SELECT day, cnt,
+               round((cnt - CAST(s AS DOUBLE) / n_days)
+                     / sqrt((CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n_days))
+                            / (n_days - 1)), 6) AS zscore,
+               abs(round((cnt - CAST(s AS DOUBLE) / n_days)
+                     / sqrt((CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n_days))
+                            / (n_days - 1)), 6)) > {Z_FENCE} AS is_anomaly
+        FROM daily, stats
+    """,
+    "orders_pareto_frontier": """
+        SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_day
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders d
+            WHERE d.o_totalprice >= o.o_totalprice
+              AND CAST(d.o_orderdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+              AND (d.o_totalprice > o.o_totalprice
+                   OR CAST(d.o_orderdate AS DATE) > CAST(o.o_orderdate AS DATE))
+        )
+    """,
+    "text_winnowing_fingerprint": f"""
+        WITH hashed AS (
+            SELECT doc_id, {duck_word_hashes(_DUCK_WORDS)} AS wh
+            FROM documents
+            WHERE len({_DUCK_WORDS}) >= {WINNOW_K}
+        ), grams AS (
+            SELECT doc_id, {duck_shingle_hashes(WINNOW_K)} AS kh FROM hashed
+        ), fps AS (
+            SELECT doc_id, kh,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(kh) - {WINNOW_W - 1}, 1) + 1),
+                       i -> list_min(kh[i:i+{WINNOW_W - 1}]))) AS fp
+            FROM grams
+        )
+        SELECT doc_id,
+               len(kh) AS n_grams,
+               len(fp) AS n_fp,
+               list_min(fp) AS fp_min,
+               list_max(fp) AS fp_max,
+               CAST(list_sum(fp) AS BIGINT) AS fp_sum
+        FROM fps
+    """,
+}
+
+QUERIES = {
+    "train_split_assign": train_split_assign,
+    "corpus_decontaminate": corpus_decontaminate,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "orders_pareto_frontier": orders_pareto_frontier,
+    "text_winnowing_fingerprint": text_winnowing_fingerprint,
+}

@@ -485,6 +485,64 @@ def dedup_jaccard_prefix(spark, sf_dir):
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment pairs: |S_a ∩ S_b| / |S_a| (and /|S_b|)
+    over distinct 3-word-shingle sets, lang-blocked — the near-dup
+    signal Jaccard misses when a short document is wholly embedded in a
+    long one (quote extraction, boilerplate wrapping, chunk reuse).
+    Pairs where EITHER direction >= 0.6 survive.
+
+    Scale shape: identical inverted-index plan to dedup_ngram_jaccard —
+    shingle-hash equi-join within blocking keys carrying counts only;
+    the direction ratios are per-pair arithmetic after the count join,
+    so asymmetry costs nothing extra."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    docs = (
+        d.select("doc_id", "lang", word_hashes(w).alias("wh"))
+        .select(
+            "doc_id", "lang",
+            F.array_distinct(shingle_hashes(F.col("wh"), k=3)).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=True)  # sizes + both join sides, built once
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = docs.select("doc_id", "lang", F.explode("sh").alias("s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont_a = F.round(F.col("common").cast("double") / F.col("na"), 6)
+    cont_b = F.round(F.col("common").cast("double") / F.col("nb"), 6)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "common",
+            cont_a.alias("containment_a"), cont_b.alias("containment_b"),
+        )
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
 def _duck_sig_cte() -> str:
     """CTE producing doc_id + shingle-hash list 'sh' per document."""
     return f"""
@@ -668,6 +726,29 @@ ORACLE_SQL = {
 
 ORACLE_SQL["dedup_jaccard_prefix"] = ORACLE_SQL["dedup_ngram_jaccard"]
 
+ORACLE_SQL["dedup_containment_pairs"] = _duck_sig_cte() + f"""
+    , sets AS (
+        SELECT doc_id, lang, list_distinct(sh) AS sh FROM shingled
+        WHERE len(list_distinct(sh)) > 0
+    ), exploded AS (
+        SELECT doc_id, lang, unnest(sh) AS s FROM sets
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM exploded a JOIN exploded b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           round(CAST(common AS DOUBLE) / sa.n, 6) AS containment_a,
+           round(CAST(common AS DOUBLE) / sb.n, 6) AS containment_b
+    FROM common
+    JOIN (SELECT doc_id, len(sh) AS n FROM sets) sa ON sa.doc_id = doc_a
+    JOIN (SELECT doc_id, len(sh) AS n FROM sets) sb ON sb.doc_id = doc_b
+    WHERE greatest(round(CAST(common AS DOUBLE) / sa.n, 6),
+                   round(CAST(common AS DOUBLE) / sb.n, 6))
+          >= {CONTAINMENT_THRESHOLD}
+"""
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "dedup_exact": dedup_exact,
@@ -677,5 +758,6 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
+    "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_minhash_pairs_fast": dedup_minhash_pairs_fast,  # rows-only (xxhash64)
 }

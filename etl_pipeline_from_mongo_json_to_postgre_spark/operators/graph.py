@@ -108,7 +108,94 @@ def graph_pagerank_parts(spark, sf_dir):
     )
 
 
+def graph_triangle_count(spark, sf_dir):
+    """Global triangle census over the co-purchase graph: edge count,
+    wedge (open-triple) count, triangle count, and the global clustering
+    coefficient 3T/W.
+
+    Scale shape: edges are canonically oriented low-id -> high-id, so
+    every triangle a<b<c is generated EXACTLY once by joining
+    (a,b)⋈(b,c) on the middle vertex and closing with a semi-join on
+    (a,c) — two node-keyed equi-join shuffles of id pairs, never an
+    unoriented 6x-duplicated join. At 100 TB the orientation is flipped
+    to degree-ordering (low-degree -> high-degree), which bounds the
+    wedge fan-out per vertex by sqrt(|E|) on skewed graphs (the
+    arboricity argument of Chiba-Nishizeki); id-ordering keeps the
+    oracle exactly replicable here and counts identically. Wedges come
+    from the degree aggregate (sum d*(d-1)/2), not a join."""
+    from .association import copurchase_pairs
+
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        copurchase_pairs(li, min_count=1)
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .localCheckpoint(eager=True)  # read by degree agg + 3 join roles
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(
+            F.floor(F.col("d") * (F.col("d") - 1) / 2).cast("long")
+        ).alias("n_wedges")
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    e2 = edges.select(F.col("u").alias("w_mid"), F.col("v").alias("w_end"))
+    closed = (
+        edges.join(e2, edges.v == e2.w_mid)
+        .select(F.col("u"), F.col("w_end").alias("v2"))
+        .join(
+            edges.select(F.col("u").alias("cu"), F.col("v").alias("cv")),
+            (F.col("u") == F.col("cu")) & (F.col("v2") == F.col("cv")),
+            "left_semi",
+        )
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges", "n_wedges", "n_triangles",
+            (
+                (F.col("n_triangles") * 3).cast("double") / F.col("n_wedges")
+            ).alias("clustering"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "graph_triangle_count": """
+        WITH parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM parts a JOIN parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ), deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM edges
+                UNION ALL SELECT v FROM edges
+            ) GROUP BY node
+        ), tri AS (
+            SELECT count(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            WHERE EXISTS (SELECT 1 FROM edges e3
+                          WHERE e3.u = e1.u AND e3.v = e2.v)
+        )
+        SELECT (SELECT count(*) FROM edges) AS n_edges,
+               (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+                   AS n_wedges,
+               (SELECT n_triangles FROM tri) AS n_triangles,
+               CAST((SELECT n_triangles FROM tri) * 3 AS DOUBLE)
+                   / (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+                   AS clustering
+    """,
     # node set = parts sharing an order with >= 1 other distinct part
     # (min_count=1 edges, symmetrized — mirrors copurchase_pairs;
     # conservation booleans are invariants the engine must satisfy)
@@ -128,4 +215,5 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "graph_pagerank_parts": graph_pagerank_parts,
+    "graph_triangle_count": graph_triangle_count,
 }

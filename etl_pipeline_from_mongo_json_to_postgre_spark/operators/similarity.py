@@ -794,6 +794,111 @@ ORACLE_SQL["semantic_search_topk"] = f"""
     FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id
 """
 
+def ann_recall_eval(spark, sf_dir):
+    """ANN index-quality evaluation: recall@5 of the IVF probe path
+    against the exact brute-force baseline, per query — the metric that
+    tells you whether nlist/nprobe are tuned before committing a 100 TB
+    index build.
+
+    Scale shape: both result sets are queries x k rows (tiny); the
+    overlap join and per-query count happen on those frames, never the
+    corpus. A production run samples queries the same way this uses the
+    vec_id < N_QUERIES slice."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hitcnt = (
+        ivf.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(hitcnt, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0).cast("bigint")).alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0).cast("bigint")).cast("double")
+                / F.lit(float(TOPK))
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLE_SQL["ann_recall_eval"] = f"""
+    WITH exact_hits AS ({ORACLE_SQL["ann_cosine_topk"]}),
+    ivf_hits AS ({ORACLE_SQL["ann_ivf_topk"]}),
+    hitcnt AS (
+        SELECT i.query_id, count(*) AS hits
+        FROM ivf_hits i JOIN exact_hits e
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY 1
+    )
+    SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(CAST(COALESCE(h.hits, 0) AS BIGINT) AS DOUBLE) / {float(TOPK)}
+               AS recall
+    FROM (SELECT DISTINCT query_id FROM exact_hits) q
+    LEFT JOIN hitcnt h USING (query_id)
+"""
+
+# Power-of-two quantization scale: double multiplication by 2^20 is
+# EXACT (no rounding at all), so floor() is unambiguous on both engines.
+_MEAN_Q_SCALE = 1 << 20
+
+
+def emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding distribution census (n/min/max/mean):
+    the pre-flight check before PCA, quantization, or ANN index builds
+    (dead dims, scale outliers, mean offsets).
+
+    Scale shape: posexplode fans each vector into (dim, value) rows
+    map-side, then ONE partial-aggregated groupBy on the 64 dim keys —
+    the shuffle carries 64 partial rows per task regardless of corpus
+    size. Mean goes through an exact integer sum of floor(x * 2^20)
+    (exact double scaling), divided once in identical operand order on
+    both engines."""
+    tune_for_oracle(spark)
+    e = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    vals = e.select(
+        F.posexplode(_emb_d(F.col("embedding"))).alias("pos", "x")
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "x")
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.min("x").alias("min_val"),
+            F.max("x").alias("max_val"),
+            F.sum(
+                F.floor(F.col("x") * F.lit(float(_MEAN_Q_SCALE))).cast("bigint")
+            ).alias("q_sum"),
+        )
+        .select(
+            "dim", "n_vals", "min_val", "max_val",
+            (
+                F.col("q_sum").cast("double")
+                / F.col("n_vals")
+                / F.lit(float(_MEAN_Q_SCALE))
+            ).alias("mean_q"),
+        )
+    )
+
+
+ORACLE_SQL["emb_dim_stats"] = f"""
+    WITH vals AS (
+        SELECT idx.i AS dim, CAST(embedding[idx.i] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(range(1, {DIM} + 1)) AS i) idx
+    ), agg AS (
+        SELECT dim, count(*) AS n_vals, min(x) AS min_val, max(x) AS max_val,
+               CAST(sum(CAST(floor(x * {float(_MEAN_Q_SCALE)}) AS BIGINT))
+                    AS BIGINT) AS q_sum
+        FROM vals GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n_vals, min_val, max_val,
+           CAST(q_sum AS DOUBLE) / n_vals / {float(_MEAN_Q_SCALE)} AS mean_q
+    FROM agg
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -805,4 +910,6 @@ QUERIES = {
     "dedup_components_bigstar": dedup_components_bigstar,
     "dedup_cluster_census": dedup_cluster_census,
     "emb_quantize_int8": emb_quantize_int8,
+    "ann_recall_eval": ann_recall_eval,
+    "emb_dim_stats": emb_dim_stats,
 }
