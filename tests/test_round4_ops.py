@@ -1,0 +1,267 @@
+"""Behavior tests for the round-4 operator batch (beyond oracle parity):
+known-answer fixtures, structural invariants, and the guarantees each
+algorithm advertises (winnowing detection floor, skyline dominance,
+containment vs jaccard ordering, triangle closure, split determinism,
+recall bounds).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+    curation_ext,
+    dedup,
+    graph,
+    similarity,
+    tpch_suite,
+)
+
+
+# ---------------------------------------------------------------------------
+# skyline
+# ---------------------------------------------------------------------------
+
+def test_pareto_frontier_known_answer(spark, sf_dir):
+    """Frontier rows are mutually non-dominated and dominate every
+    non-frontier row; verified against a brute-force recompute."""
+    out = curation_ext.orders_pareto_frontier(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "frontier must be non-empty"
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", F.to_date("o_orderdate").alias("d"))
+        .collect()
+    )
+    frontier = {(r.o_totalprice, r.order_day) for r in rows}
+    # no frontier point dominates another frontier point
+    for p1 in frontier:
+        for p2 in frontier:
+            if p1 != p2:
+                assert not (
+                    p1[0] >= p2[0] and p1[1] >= p2[1]
+                    and (p1[0] > p2[0] or p1[1] > p2[1])
+                )
+    # every base row is dominated-or-equal by some frontier point
+    for r in base:
+        assert any(
+            f[0] >= r.o_totalprice and f[1] >= r.d for f in frontier
+        ), f"row {r} escapes the frontier"
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+def test_winnowing_guarantee_shared_run(spark, sf_dir, tmp_path):
+    """Two documents sharing a run of >= W+K-1 words must share at least
+    one fingerprint hash (the winnowing detection floor)."""
+    import pandas as pd
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = W+K-1
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [f"one two {shared} three four",
+                     f"{shared} nine ten eleven twelve"],
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+    docs = spark.createDataFrame(pdf)
+    # route through the operator by pointing a temp sf_dir at the fixture
+    out = curation_ext.text_winnowing_fingerprint(spark, str(tmp_path))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # recompute the fingerprint sets directly to check intersection
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    from etl_pipeline_from_mongo_json_to_postgre_spark.functions.text import (
+        shingle_hashes,
+        word_hashes,
+    )
+
+    kh = shingle_hashes(word_hashes(w), k=curation_ext.WINNOW_K)
+    n_windows = F.greatest(
+        F.size(kh) - (curation_ext.WINNOW_W - 1), F.lit(1)
+    )
+    fps = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(kh, i, curation_ext.WINNOW_W)),
+            )
+        ).alias("fp"),
+    ).collect()
+    sets = {r.doc_id: set(r.fp) for r in fps}
+    assert sets[1] & sets[2], "shared 6-word run must share a fingerprint"
+    # and the registered summary agrees with the recompute
+    for did, s in sets.items():
+        assert rows[did].n_fp == len(s)
+        assert rows[did].fp_min == min(s)
+        assert rows[did].fp_sum == sum(s)
+
+
+# ---------------------------------------------------------------------------
+# containment vs jaccard
+# ---------------------------------------------------------------------------
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For any pair, max containment >= jaccard (set algebra), and the
+    containment op finds every jaccard-threshold pair when thresholds
+    align."""
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): (r.containment_a, r.containment_b)
+        for r in dedup.dedup_containment_pairs(spark, sf_dir).collect()
+    }
+    for pair, j in jac.items():
+        if j >= dedup.CONTAINMENT_THRESHOLD:
+            assert pair in cont, f"jaccard {j} pair {pair} missing"
+    for pair, (ca, cb) in cont.items():
+        if pair in jac:
+            assert max(ca, cb) >= jac[pair] - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant vertex: 4 triangles, 6+1 edges, wedges check."""
+    # baskets: each edge of K4 realized by >= 1 shared order
+    rows = []
+    oid = 0
+    for a, b in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]:
+        rows += [Row(l_orderkey=oid, l_partkey=a), Row(l_orderkey=oid, l_partkey=b)]
+        oid += 1
+    items = spark.createDataFrame(rows)
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.association import (
+        copurchase_pairs,
+    )
+
+    edges = copurchase_pairs(items, min_count=1).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    got = {(r.u, r.v) for r in edges.collect()}
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)}
+    # K4 has 4 triangles; degree seq (3,3,3,4,1) -> wedges = 3+3+3+6+0 = 15
+    e2 = edges.select(F.col("u").alias("w_mid"), F.col("v").alias("w_end"))
+    closed = (
+        edges.join(e2, edges.v == e2.w_mid)
+        .select("u", F.col("w_end").alias("v2"))
+        .join(
+            edges.select(F.col("u").alias("cu"), F.col("v").alias("cv")),
+            (F.col("u") == F.col("cu")) & (F.col("v2") == F.col("cv")),
+            "left_semi",
+        )
+    )
+    assert closed.count() == 4
+
+
+def test_triangle_registry_consistency(spark, sf_dir):
+    row = graph.graph_triangle_count(spark, sf_dir).collect()[0]
+    assert row.n_triangles >= 0
+    assert row.n_wedges >= row.n_triangles * 3
+    assert row.clustering == pytest.approx(
+        3.0 * row.n_triangles / row.n_wedges
+    )
+
+
+# ---------------------------------------------------------------------------
+# split assignment
+# ---------------------------------------------------------------------------
+
+def test_split_assignment_deterministic_and_partitioned(spark, sf_dir):
+    out1 = curation_ext.train_split_assign(spark, sf_dir).collect()
+    out2 = curation_ext.train_split_assign(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    per_split = {}
+    for r in out1:
+        per_split[r.split] = per_split.get(r.split, 0) + r.docs
+    total = sum(per_split.values())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == docs  # every document in exactly one split
+    assert set(per_split) <= {"train", "val", "test"}
+    # 80/10/10 within multinomial slack on a small corpus
+    assert per_split["train"] / total > 0.6
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_drops_planted_copy(spark, tmp_path):
+    """A document copying a benchmark doc's text must be dropped; an
+    unrelated document survives."""
+    import pandas as pd
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                bench_text,
+                "prefix " + bench_text + " suffix",
+                "completely different words entirely here",
+            ],
+            "lang": ["en", "en", "en"],
+            "source": [curation_ext.BENCH_SOURCE, "srcX", "srcX"],
+            "n_chars": [len(bench_text), 10, 10],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in curation_ext.corpus_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert out["srcX"].total_docs == 2
+    assert out["srcX"].kept_docs == 1
+    assert out["srcX"].dropped_docs == 1
+
+
+# ---------------------------------------------------------------------------
+# anomaly z-scores
+# ---------------------------------------------------------------------------
+
+def test_anomaly_zscores_standardized(spark, sf_dir):
+    rows = curation_ext.events_anomaly_zscore(spark, sf_dir).collect()
+    n = len(rows)
+    mean_z = sum(r.zscore for r in rows) / n
+    assert abs(mean_z) < 1e-3  # standardized scores center on zero
+    for r in rows:
+        assert r.is_anomaly == (abs(r.zscore) > curation_ext.Z_FENCE)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall eval
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_bounds_and_coverage(spark, sf_dir):
+    rows = similarity.ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == similarity.N_QUERIES
+    for r in rows:
+        assert 0 <= r.hits <= similarity.TOPK
+        assert r.recall == pytest.approx(r.hits / similarity.TOPK)
+    # IVF with 4/16 probes on clustered data should beat random chance
+    assert sum(r.hits for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# TPC-H suite structural checks
+# ---------------------------------------------------------------------------
+
+def test_q15_ties_kept_and_max(spark, sf_dir):
+    rows = tpch_suite.tpch_q15_top_supplier(spark, sf_dir).collect()
+    assert rows
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1  # all returned rows share the max revenue
+
+
+def test_q13_distribution_accounts_every_customer(spark, sf_dir):
+    rows = tpch_suite.tpch_q13_customer_distribution(spark, sf_dir).collect()
+    total = sum(r.custdist for r in rows)
+    custs = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert total == custs
