@@ -284,13 +284,282 @@ def text_winnowing_fingerprint(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["hash", "join"]),
+    (2, ["stream", "window"]),
+    (3, ["vector", "scan", "merge"]),
+]
+_BM25_SCALE = 1_000_000.0
+
+
+def text_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval: top-10 documents per query for a fixed
+    query batch (Robertson/Sparck-Jones Okapi BM25, k1=1.2, b=0.75) —
+    the sparse half of a hybrid retrieval stack next to
+    semantic_search_topk's dense half.
+
+    Scale shape: the corpus-wide work is ONE (doc, term) count
+    aggregate filtered to query terms BEFORE the shuffle (the query
+    vocabulary prunes everything else at the scan), plus corpus stats
+    (N, avgdl) as a broadcast one-row frame; df comes from the same
+    pruned frame. Per-term scores are summed in a quantized integer
+    domain (floor(score * 1e6)) so the 2-3-term additions are
+    order-independent and bit-identical on both engines; ranking uses
+    the exact integer."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    doclen = d.select("doc_id", F.size(w).alias("dl")).localCheckpoint(
+        eager=True
+    )  # corpus stats + per-doc join read it
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(w).alias("term"))
+        .where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(term_score * F.lit(_BM25_SCALE)).cast("bigint").alias("sq"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("sq").alias("score_q"))
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            (F.col("score_q").cast("double") / F.lit(_BM25_SCALE)).alias(
+                "score"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profiling
+# ---------------------------------------------------------------------------
+
+def dq_benford_firstdigit(spark, sf_dir):
+    """Benford's-law first-digit census over o_totalprice: observed
+    share per leading digit vs the log10(1 + 1/d) expectation — the
+    classic fabricated-data / unit-mixing smoke test for a money
+    column. One aggregate; the digit extraction is a map-side
+    expression (floor(p / 10^floor(log10 p)))."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # total + output rows
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "observed_share"
+            ),
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6
+            ).alias("benford_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.5
+EWMA_TAPS = 5
+
+
+def ts_ewma(spark, sf_dir):
+    """Per-user exponentially weighted moving average of event values
+    over the last 5 observations (decay 0.5/tap, weights renormalized
+    over the taps actually present at a series head).
+
+    Scale shape: a bounded-tap EWMA is 4 lag() calls sharing ONE
+    user-partitioned Window (one Exchange + sort) — the unbounded
+    recursive form would need a sequential scan per user; truncating at
+    5 taps (weight < 7% beyond) makes it a fixed-width window
+    expression with identical double arithmetic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    lags = [F.col("value")] + [
+        F.lag("value", i).over(w) for i in range(1, EWMA_TAPS)
+    ]
+    weights = [EWMA_ALPHA ** i for i in range(EWMA_TAPS)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for wt, lg in zip(weights, lags):
+        num = num + F.when(lg.isNull(), F.lit(0.0)).otherwise(F.lit(wt) * lg)
+        den = den + F.when(lg.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
 _SPLIT_SQL = (
     f"CASE WHEN {scrambled_key_sql('doc_id', SPLIT_BUCKETS)} < {TRAIN_BELOW} "
     f"THEN 'train' WHEN {scrambled_key_sql('doc_id', SPLIT_BUCKETS)} < {VAL_BELOW} "
     f"THEN 'val' ELSE 'test' END"
 )
 
+_BM25_TERMS_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+)
+_BM25_ALL_TERMS = ", ".join(
+    f"'{t}'" for t in sorted({t for _, ts in BM25_QUERIES for t in ts})
+)
+_BM25_TS = (
+    f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    f" * (tf * {BM25_K1 + 1.0!r})"
+    f" / (tf + {BM25_K1!r} * ({1.0 - BM25_B!r}"
+    f" + {BM25_B!r} * (dl / avgdl)))"
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "text_bm25_topk": f"""
+        WITH doclen AS (
+            SELECT doc_id, len({_DUCK_WORDS}) AS dl FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM doclen
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
+            ) WHERE term IN ({_BM25_ALL_TERMS})
+            GROUP BY 1, 2
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), qterms(query_id, term) AS (
+            VALUES {_BM25_TERMS_SQL}
+        ), scored AS (
+            SELECT q.query_id, t.doc_id,
+                   CAST(sum(CAST(floor(({_BM25_TS}) * {_BM25_SCALE!r})
+                                 AS BIGINT)) AS BIGINT) AS score_q
+            FROM tf t
+            JOIN df USING (term)
+            JOIN doclen USING (doc_id)
+            CROSS JOIN stats
+            JOIN qterms q USING (term)
+            GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, rank,
+               CAST(score_q AS DOUBLE) / {_BM25_SCALE!r} AS score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+            FROM scored
+        ) WHERE rank <= {BM25_TOPK}
+    """,
+    "dq_benford_firstdigit": """
+        WITH counts AS (
+            SELECT CAST(floor(o_totalprice
+                        / power(10.0, floor(log10(o_totalprice)))) AS INT)
+                       AS digit,
+                   count(*) AS cnt
+            FROM orders WHERE o_totalprice > 0
+            GROUP BY 1
+        )
+        SELECT digit, cnt,
+               round(CAST(cnt AS DOUBLE)
+                     / (SELECT CAST(sum(cnt) AS BIGINT) FROM counts), 6)
+                   AS observed_share,
+               round(log10(1.0 + 1.0 / digit), 6) AS benford_share
+        FROM counts
+    """,
+    "ts_ewma": f"""
+        WITH lagged AS (
+            SELECT event_id, user_id, ts, value,
+                   lag(value, 1) OVER w AS l1,
+                   lag(value, 2) OVER w AS l2,
+                   lag(value, 3) OVER w AS l3,
+                   lag(value, 4) OVER w AS l4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, ts, value,
+               round(
+                 (0.0 + CASE WHEN value IS NULL THEN 0.0
+                             ELSE {1.0!r} * value END
+                      + CASE WHEN l1 IS NULL THEN 0.0
+                             ELSE {EWMA_ALPHA ** 1!r} * l1 END
+                      + CASE WHEN l2 IS NULL THEN 0.0
+                             ELSE {EWMA_ALPHA ** 2!r} * l2 END
+                      + CASE WHEN l3 IS NULL THEN 0.0
+                             ELSE {EWMA_ALPHA ** 3!r} * l3 END
+                      + CASE WHEN l4 IS NULL THEN 0.0
+                             ELSE {EWMA_ALPHA ** 4!r} * l4 END)
+                 / (0.0 + CASE WHEN value IS NULL THEN 0.0 ELSE {1.0!r} END
+                      + CASE WHEN l1 IS NULL THEN 0.0
+                             ELSE {EWMA_ALPHA ** 1!r} END
+                      + CASE WHEN l2 IS NULL THEN 0.0
+                             ELSE {EWMA_ALPHA ** 2!r} END
+                      + CASE WHEN l3 IS NULL THEN 0.0
+                             ELSE {EWMA_ALPHA ** 3!r} END
+                      + CASE WHEN l4 IS NULL THEN 0.0
+                             ELSE {EWMA_ALPHA ** 4!r} END), 6) AS ewma
+        FROM lagged
+    """,
     "train_split_assign": f"""
         SELECT {_SPLIT_SQL} AS split, lang,
                count(*) AS docs,
@@ -391,4 +660,7 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "orders_pareto_frontier": orders_pareto_frontier,
     "text_winnowing_fingerprint": text_winnowing_fingerprint,
+    "text_bm25_topk": text_bm25_topk,
+    "dq_benford_firstdigit": dq_benford_firstdigit,
+    "ts_ewma": ts_ewma,
 }

@@ -899,6 +899,88 @@ ORACLE_SQL["emb_dim_stats"] = f"""
 """
 
 
+# Product-quantization codebooks: 4 subspaces x 16 dims x 8 codes,
+# fixed seeded literals (at 100 TB these come from kmeans_train per
+# subspace, broadcast exactly like this). Drawn AFTER the hyperplane /
+# centroid draws above so existing literals are unchanged.
+PQ_SUBSPACES = 4
+PQ_SUBDIM = DIM // PQ_SUBSPACES
+PQ_CODES_PER_SUB = 8
+PQ_CODEBOOKS: list[list[list[float]]] = [
+    [[float(x) for x in _rng.randn(PQ_SUBDIM)] for _ in range(PQ_CODES_PER_SUB)]
+    for _ in range(PQ_SUBSPACES)
+]
+
+
+def emb_pq_census(spark, sf_dir):
+    """Product-quantization code assignment census: each vector splits
+    into 4 subvectors of 16 dims; each subvector maps to its nearest
+    (L2) code from an 8-entry per-subspace codebook; the census counts
+    (subspace, code) occupancy — the balance check before committing a
+    PQ-compressed ANN index (empty or overloaded cells mean the
+    codebooks need retraining).
+
+    Scale shape: assignment is a pure map-side expression against
+    broadcast codebook literals (zero shuffle), then one partial-
+    aggregated groupBy on at most 32 keys. Distance folds run in a
+    fixed order, so both engines produce bit-identical argmins."""
+    vecs = _vectors(spark, sf_dir)
+
+    # closure factory, not a default-arg lambda: pyspark counts default
+    # args as extra higher-order-function parameters (see dedup._perm_fn)
+    def _dist_fn(sub):
+        return lambda c: _fold_sum(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y))
+        )
+
+    sub_codes = []
+    for s in range(PQ_SUBSPACES):
+        sub = F.slice(F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        codebook = F.array(*[_plane_lit(c) for c in PQ_CODEBOOKS[s]])
+        dists = F.transform(codebook, _dist_fn(sub))
+        sub_codes.append(
+            F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+    return (
+        vecs.select(
+            F.posexplode(F.array(*sub_codes)).alias("pos", "code")
+        )
+        .select((F.col("pos") + 1).alias("subspace"), "code")
+        .groupBy("subspace", "code")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _duck_pq_dist(sub_off: int, code: list[float]) -> str:
+    terms = f"list_transform(range(1, {PQ_SUBDIM} + 1), " \
+            f"i -> (v[{sub_off} + i] - ({_duck_list(code)})[i])" \
+            f" * (v[{sub_off} + i] - ({_duck_list(code)})[i]))"
+    return _duck_fold_sum(terms)
+
+
+ORACLE_SQL["emb_pq_census"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, idx.s AS subspace,
+               CAST(list_position(dists[idx.s], list_min(dists[idx.s]))
+                    AS INT) AS code
+        FROM (
+            SELECT vec_id, [{", ".join(
+                "[" + ", ".join(
+                    _duck_pq_dist(s * PQ_SUBDIM, PQ_CODEBOOKS[s][c])
+                    for c in range(PQ_CODES_PER_SUB)
+                ) + "]"
+                for s in range(PQ_SUBSPACES)
+            )}] AS dists
+            FROM vecs
+        ), (SELECT unnest(range(1, {PQ_SUBSPACES} + 1)) AS s) idx
+    )
+    SELECT subspace, code, count(*) AS cnt
+    FROM assigned GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -912,4 +994,5 @@ QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
     "ann_recall_eval": ann_recall_eval,
     "emb_dim_stats": emb_dim_stats,
+    "emb_pq_census": emb_pq_census,
 }

@@ -265,3 +265,56 @@ def test_q13_distribution_accounts_every_customer(spark, sf_dir):
     total = sum(r.custdist for r in rows)
     custs = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert total == custs
+
+
+# ---------------------------------------------------------------------------
+# BM25 / Benford / EWMA / PQ (round-4 second batch)
+# ---------------------------------------------------------------------------
+
+def test_bm25_ranks_descend_and_bound(spark, sf_dir):
+    rows = curation_ext.text_bm25_topk(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {q for q, _ in curation_ext.BM25_QUERIES}
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= curation_ext.BM25_TOPK
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = curation_ext.dq_benford_firstdigit(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert sum(r.observed_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ewma_first_event_equals_value(spark, sf_dir):
+    out = curation_ext.ts_ewma(spark, sf_dir)
+    first = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.asc("ts"), F.asc("event_id"))
+            ),
+        )
+        .where((F.col("rn") == 1) & F.col("value").isNotNull())
+        .collect()
+    )
+    for r in first:
+        assert r.ewma == pytest.approx(round(r.value, 6))
+
+
+def test_pq_census_accounts_all_vectors(spark, sf_dir):
+    rows = similarity.emb_pq_census(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    per_sub = {}
+    for r in rows:
+        assert 1 <= r.code <= similarity.PQ_CODES_PER_SUB
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.cnt
+    assert set(per_sub) == set(range(1, similarity.PQ_SUBSPACES + 1))
+    assert all(v == n_vecs for v in per_sub.values())
