@@ -422,3 +422,124 @@ def test_multi_consumer_entries_scan_each_fact_once(name, spark, sf_dir):
     assert not dup, (
         f"{name}: table(s) scanned more than once in the final plan "
         f"(checkpoint barrier not holding): {dup}\n{plan[:2000]}")
+
+
+# ---------------------------------------------------------------------------
+# round-4 operator plan shapes
+# ---------------------------------------------------------------------------
+
+def test_q6_scan_only_pushdown_no_join(spark, sf_dir):
+    """Q6 is a pure scan-filter-aggregate: the shipdate/quantity
+    predicates must reach the parquet scan and NO join may appear."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.tpch_suite import (
+        tpch_q6_forecast_revenue,
+    )
+
+    plan = physical_plan(tpch_q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema  # pruned
+
+
+def test_q19_single_join_disjunction_as_residual(spark, sf_dir):
+    """Q19's three OR'd bands share the partkey equi-join: the plan must
+    contain exactly ONE join (never a union of three scans), with the
+    disjunction as a residual filter."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.tpch_suite import (
+        tpch_q19_disjunctive_revenue,
+    )
+
+    plan = physical_plan(tpch_q19_disjunctive_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") == 1
+    assert plan.count("Scan parquet") == 2  # lineitem + part, once each
+
+
+def test_q11_and_q15_single_fact_scan(spark, sf_dir):
+    """The HAVING-vs-global-scalar queries materialize the grouped frame
+    once: the big fact table must be scanned at most once in the final
+    plan (the checkpoint barrier replaces the second consumer)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.tpch_suite import (
+        tpch_q11_important_parts,
+        tpch_q15_top_supplier,
+    )
+
+    for build in (tpch_q11_important_parts, tpch_q15_top_supplier):
+        plan = physical_plan(build(spark, sf_dir))
+        assert plan.count("Scan parquet") <= 1, build.__name__
+
+
+def test_pareto_frontier_no_quadratic_fact_join(spark, sf_dir):
+    """The skyline must NOT self-join the orders fact: the exact
+    dominance pass runs on the pruned candidate set (checkpointed RDD),
+    via broadcast — no SortMergeJoin and no CartesianProduct over the
+    fact, and the fact parquet is scanned at most twice (bucket stats +
+    candidate filter)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.curation_ext import (
+        orders_pareto_frontier,
+    )
+
+    plan = physical_plan(orders_pareto_frontier(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the candidate verify only
+
+
+def test_bm25_term_filter_before_aggregation(spark, sf_dir):
+    """BM25 prunes to the query vocabulary map-side: the IN-filter must
+    sit under the first aggregation Exchange, and the hot path stays
+    JVM-side."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.curation_ext import (
+        text_bm25_topk,
+    )
+
+    plan = physical_plan(text_bm25_topk(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # term IN (...) appears as a Filter, not as a post-shuffle predicate:
+    # every Exchange hashpartitioning on (doc_id, term) happens above a
+    # filtered Generate (explode) — check the filter exists at all
+    assert "term" in plan and "Filter" in plan
+
+
+def test_emb_census_single_exchange_partial_agg(spark, sf_dir):
+    """Per-dimension stats and the PQ census both partial-aggregate:
+    ONE Exchange carrying |dims|/|cells| rows."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        emb_dim_stats,
+        emb_pq_census,
+    )
+
+    for build in (emb_dim_stats, emb_pq_census):
+        df = build(spark, sf_dir)
+        df.collect()
+        plan = physical_plan(df).split("== Initial Plan ==")[0]
+        # exactly one hash-partitioned exchange (the agg); the RoundRobin
+        # exchange is fan_out's deliberate single-row-group scan split
+        assert plan.count("Exchange hashpartitioning") == 1, build.__name__
+        assert plan.count("HashAggregate") >= 2, build.__name__
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Triangle closure is equi-join + semi-join on ids — any
+    CartesianProduct means the orientation trick regressed."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.graph import (
+        graph_triangle_count,
+    )
+
+    plan = physical_plan(graph_triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_shuffles_hashes_not_text(spark, sf_dir):
+    """Decontamination joins on shingle-hash longs: no exchange may
+    carry the raw text column."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.curation_ext import (
+        corpus_decontaminate,
+    )
+
+    plan = physical_plan(corpus_decontaminate(spark, sf_dir))
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        head = chunk.splitlines()[0]
+        assert "text" not in head
