@@ -100,6 +100,7 @@ _PRIORITY = [
     "dedup_containment_pairs", "ann_recall_eval", "emb_dim_stats",
     "graph_triangle_count",
     "text_bm25_topk", "dq_benford_firstdigit", "ts_ewma", "emb_pq_census",
+    "inc_dedup_merge", "mm_payload_dedup",
     # -- 4: r1-only evidence (code unchanged; local parity covers) --------
     "a1_pivot_status_count", "a5_max_date", "a6_kpis",
     "a9_rollup_counts", "a10_cube_counts", "a11_grouping_sets",

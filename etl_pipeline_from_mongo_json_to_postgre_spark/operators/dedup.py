@@ -486,6 +486,74 @@ def dedup_jaccard_prefix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 CONTAINMENT_THRESHOLD = 0.6
+INC_BATCH_MOD = 10  # scrambled doc_id % 10 == 0 -> the "new batch" slice
+
+
+def inc_dedup_merge(spark, sf_dir):
+    """Incremental dedup: match a NEW document batch against the
+    existing corpus index without re-deduplicating the index — the
+    production shape for a continuously-ingesting 100 TB pipeline,
+    where full-corpus re-dedup per batch is unaffordable.
+
+    The batch is the deterministic scrambled-id 10% slice; everything
+    else is the index. LSH band keys join BATCH x INDEX only (never
+    index x index — the join's left side is batch-sized, so per-batch
+    cost scales with the batch, not the corpus; at 100 TB the index's
+    banded signatures are a pre-built bucketed table and this is a
+    bucket-pruned probe). Candidates verify by estimated Jaccard >= 0.5
+    over the 16 portable minhash components, then each batch doc gets
+    its verdict: is_dup + canonical index id (min match), or itself.
+    Batch docs too short for a signature are trivially unique."""
+    from ..functions.sampling import scrambled_key
+
+    sigs = dedup_minhash_signature(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        *[F.col(f"mh{j}") for j in range(16)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"mh{b * 4 + r}") for r in range(4)])
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    ).localCheckpoint(eager=True)  # batch + index slices read it once
+    is_batch = scrambled_key(F.col("doc_id"), INC_BATCH_MOD) == 0
+    batch_b = bands.where(is_batch).alias("a")
+    index_b = bands.where(~is_batch).alias("b")
+    cand = (
+        batch_b.join(
+            index_b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("idx_id"),
+            *[F.col(f"a.mh{j}").alias(f"amh{j}") for j in range(16)],
+            *[F.col(f"b.mh{j}").alias(f"bmh{j}") for j in range(16)],
+        )
+        .dropDuplicates(["doc_id", "idx_id"])
+    )
+    est = sum(
+        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0)
+        for j in range(16)
+    ) / F.lit(16.0)
+    matches = (
+        cand.where(est >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(F.min("idx_id").alias("min_idx"))
+    )
+    batch_ids = _docs(spark, sf_dir).select("doc_id").where(is_batch)
+    return (
+        batch_ids.join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("min_idx").isNotNull().alias("is_dup"),
+            F.coalesce("min_idx", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
 
 
 def dedup_containment_pairs(spark, sf_dir):
@@ -726,6 +794,45 @@ ORACLE_SQL = {
 
 ORACLE_SQL["dedup_jaccard_prefix"] = ORACLE_SQL["dedup_ngram_jaccard"]
 
+def _inc_dedup_merge_sql() -> str:
+    from ..functions.sampling import scrambled_key_sql
+
+    in_batch = f"{scrambled_key_sql('doc_id', INC_BATCH_MOD)} = 0"
+    return _duck_sig_cte() + f"""
+        , sigs AS (
+            SELECT doc_id, {_MH_SELECT}
+            FROM shingled WHERE len(sh) > 0
+        ), bands AS (
+            SELECT s.*, b.band,
+                   CASE b.band
+                       WHEN 0 THEN [mh0, mh1, mh2, mh3]
+                       WHEN 1 THEN [mh4, mh5, mh6, mh7]
+                       WHEN 2 THEN [mh8, mh9, mh10, mh11]
+                       ELSE [mh12, mh13, mh14, mh15]
+                   END AS bkey
+            FROM sigs s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS did, b.doc_id AS idx_id,
+                   {", ".join(f"a.mh{j} AS amh{j}" for j in range(16))},
+                   {", ".join(f"b.mh{j} AS bmh{j}" for j in range(16))}
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey
+            WHERE ({in_batch.replace('doc_id', 'a.doc_id')})
+              AND NOT ({in_batch.replace('doc_id', 'b.doc_id')})
+        ), matches AS (
+            SELECT did, min(idx_id) AS min_idx FROM cand
+            WHERE ({_EST_JACCARD_TERMS}) / 16.0 >= {JACCARD_THRESHOLD}
+            GROUP BY did
+        )
+        SELECT d.doc_id, m.min_idx IS NOT NULL AS is_dup,
+               COALESCE(m.min_idx, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN matches m ON m.did = d.doc_id
+        WHERE {in_batch.replace('doc_id', 'd.doc_id')}
+    """
+
+
+ORACLE_SQL["inc_dedup_merge"] = _inc_dedup_merge_sql()
+
 ORACLE_SQL["dedup_containment_pairs"] = _duck_sig_cte() + f"""
     , sets AS (
         SELECT doc_id, lang, list_distinct(sh) AS sh FROM shingled
@@ -759,5 +866,6 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "inc_dedup_merge": inc_dedup_merge,
     "dedup_minhash_pairs_fast": dedup_minhash_pairs_fast,  # rows-only (xxhash64)
 }

@@ -206,7 +206,41 @@ def mm_binary_stats(spark, sf_dir):
     )
 
 
+def mm_payload_dedup(spark, sf_dir):
+    """Exact binary dedup: canonical (lowest) media_id per identical
+    payload + duplicate count — the first pass of any multimodal
+    training-data pipeline (identical images/clips re-crawled under
+    different ids).
+
+    Scale shape: the shuffle key is (sha2-256(payload), n_bytes) — a
+    40-byte digest per row instead of the payload itself; at 100 TB the
+    media bytes never cross an exchange. The oracle groups on raw
+    payload equality, so any digest collision would surface as a
+    driver hash-mismatch (2^-128 odds)."""
+    media = documents_as_media(spark, sf_dir)
+    return (
+        media.select(
+            F.sha2("payload", 256).alias("_digest"),
+            "n_bytes",
+            "media_id",
+        )
+        .groupBy("_digest", "n_bytes")
+        .agg(
+            F.min("media_id").alias("media_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("media_id", "n_bytes", "dup_count")
+    )
+
+
 ORACLE_SQL = {
+    "mm_payload_dedup": """
+        SELECT min(doc_id) AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               count(*) AS dup_count
+        FROM documents
+        GROUP BY text
+    """,
     "mm_binary_stats": """
         SELECT 'text/plain' AS mime,
                count(*) AS n_items,
@@ -241,6 +275,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "mm_payload_dedup": mm_payload_dedup,
     "mm_binary_stats": mm_binary_stats,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample_counts": mm_frame_sample_counts,

@@ -318,3 +318,46 @@ def test_pq_census_accounts_all_vectors(spark, sf_dir):
         per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.cnt
     assert set(per_sub) == set(range(1, similarity.PQ_SUBSPACES + 1))
     assert all(v == n_vecs for v in per_sub.values())
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup merge / payload dedup
+# ---------------------------------------------------------------------------
+
+def test_inc_dedup_merge_batch_semantics(spark, sf_dir):
+    from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
+        KNUTH_MULT,
+    )
+
+    rows = dedup.inc_dedup_merge(spark, sf_dir).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))  # one verdict per batch doc
+    batch = {
+        i for i in ids if (i * KNUTH_MULT) % dedup.INC_BATCH_MOD == 0
+    }
+    assert set(ids) == batch  # output is exactly the batch slice
+    for r in rows:
+        assert r.is_dup == (r.canonical_id != r.doc_id)
+        if r.is_dup:
+            # canonical must point INTO the index, never at another batch doc
+            assert (r.canonical_id * KNUTH_MULT) % dedup.INC_BATCH_MOD != 0
+
+
+def test_mm_payload_dedup_planted_duplicate(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": ["same payload", "same payload", "other payload"],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        mm_payload_dedup,
+    )
+
+    rows = {r.media_id: r for r in mm_payload_dedup(spark, str(tmp_path)).collect()}
+    assert set(rows) == {10, 12}
+    assert rows[10].dup_count == 2
+    assert rows[12].dup_count == 1
+    assert sum(r.dup_count for r in rows.values()) == 3
