@@ -39,13 +39,16 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     tpch_suite,
     transform_queries,
 )
-from etl_pipeline_from_mongo_json_to_postgre_spark.sources import mongo_datasource
+from etl_pipeline_from_mongo_json_to_postgre_spark.sources import (
+    csv_source,
+    mongo_datasource,
+)
 from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as streaming_events
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
             profiling, corpus, incremental, kmeans, timeseries, pca,
-            association, graph, tpch_suite, curation_ext)
+            association, graph, tpch_suite, curation_ext, csv_source)
 
 # The driver evaluates registry entries in dict order and caps at the first
 # 50 per round. Round-4 ordering rule (VERDICT r3 task 2): the window is
@@ -100,7 +103,7 @@ _PRIORITY = [
     "dedup_containment_pairs", "ann_recall_eval", "emb_dim_stats",
     "graph_triangle_count",
     "text_bm25_topk", "dq_benford_firstdigit", "ts_ewma", "emb_pq_census",
-    "inc_dedup_merge", "mm_payload_dedup",
+    "inc_dedup_merge", "mm_payload_dedup", "s10_csv_roundtrip",
     # -- 4: r1-only evidence (code unchanged; local parity covers) --------
     "a1_pivot_status_count", "a5_max_date", "a6_kpis",
     "a9_rollup_counts", "a10_cube_counts", "a11_grouping_sets",

@@ -1,0 +1,117 @@
+"""CSV source: schema-enforced scan with malformed-row auditing.
+
+Source-family completion (SURVEY.md §2.1): the reference ingests JSON
+collections; real pipelines also receive CSV drops. Same contract as
+the JSONL scan (sources/json_source.read_collection_jsonl): explicit
+schema, PERMISSIVE parse, malformed lines preserved in a corrupt-record
+column and AUDITED, never silently dropped.
+
+Scale notes: `spark.read.csv` is a distributed line-splittable scan
+(one task per split, no driver-side materialization); the staging
+helper writes through executors (`df.write.csv`), capped so a
+mis-pointed sf_dir cannot silently stage an unbounded table — the same
+guard discipline as sources/mongo_datasource.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import tune_for_oracle
+from .parquet import load_table
+
+CACHE_ROOT = "/tmp/spark_graft_csv_stage"
+# Hard cap on staged rows: staging is a harness convenience (real CSV
+# drops arrive from outside); a cap failure is a loud error, not an OOM.
+MAX_STAGE_ROWS = 1_000_000
+
+CORRUPT_COL = "_corrupt_record"
+
+DOCUMENTS_CSV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+        StructField(CORRUPT_COL, StringType(), True),
+    ]
+)
+
+
+def stage_documents_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table as a header'd CSV directory (idempotent
+    per sf_dir; executor-side write, no driver collect)."""
+    out = os.path.join(
+        CACHE_ROOT, sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    d = load_table(spark, sf_dir, "documents")
+    n = d.limit(MAX_STAGE_ROWS + 1).count()
+    if n > MAX_STAGE_ROWS:
+        raise ValueError(
+            f"stage_documents_csv: refusing to stage >{MAX_STAGE_ROWS} "
+            f"rows from {sf_dir} (got at least {n}); staging is a "
+            "bounded harness path, point real CSV scans at their drop "
+            "location instead"
+        )
+    (
+        d.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(out)
+    )
+    return out
+
+
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-enforced PERMISSIVE scan: rows that fail the schema land
+    with their raw line in the corrupt-record column for auditing."""
+    return (
+        spark.read.schema(DOCUMENTS_CSV_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def s10_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: stage documents → CSV → schema-enforced read →
+    per-lang census (docs, chars, malformed count). A value drift or a
+    silently-dropped/corrupted row breaks parity with the parquet-direct
+    oracle."""
+    tune_for_oracle(spark)
+    path = stage_documents_csv(spark, sf_dir)
+    df = read_documents_csv(spark, path)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.count(F.col(CORRUPT_COL)).alias("malformed"),
+    )
+
+
+ORACLE_SQL = {
+    "s10_csv_roundtrip": """
+        SELECT lang, count(*) AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total,
+               CAST(0 AS BIGINT) AS malformed
+        FROM documents GROUP BY lang
+    """,
+}
+
+QUERIES = {
+    "s10_csv_roundtrip": s10_csv_roundtrip,
+}
