@@ -794,6 +794,79 @@ ORACLE_SQL = {
 
 ORACLE_SQL["dedup_jaccard_prefix"] = ORACLE_SQL["dedup_ngram_jaccard"]
 
+def dedup_lsh_eval(spark, sf_dir):
+    """LSH quality evaluation: precision/recall of the MinHash-LSH
+    near-dup detector (dedup_minhash_pairs, est-Jaccard >= 0.5) against
+    the exact shingle-Jaccard truth (dedup_ngram_jaccard, J >= 0.5) —
+    the measure-don't-guess check before trusting a banding config on a
+    100 TB corpus. The exact side is computable at eval scale (a
+    sampled slice in production); the detector is the scale path.
+
+    Scale shape: both inputs are pair-lists (near-dups only, tiny
+    relative to the corpus); the confusion counts are two semi/anti
+    joins on pair keys."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pred = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    tp = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
+    fp = pred.join(truth, ["doc_a", "doc_b"], "left_anti")
+    fn = truth.join(pred, ["doc_a", "doc_b"], "left_anti")
+    counts = (
+        tp.agg(F.count("*").alias("tp"))
+        .crossJoin(F.broadcast(fp.agg(F.count("*").alias("fp"))))
+        .crossJoin(F.broadcast(fn.agg(F.count("*").alias("fn"))))
+    )
+    return counts.select(
+        "tp", "fp", "fn",
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+        ).alias("recall"),
+    )
+
+
+# curation pipeline constants: minimum words to survive the quality gate
+CURATION_MIN_WORDS = 15
+
+
+def corpus_curation_pipeline(spark, sf_dir):
+    """End-to-end curation chain as ONE dataflow: quality gate (>= 15
+    words) -> exact dedup keep-first -> train/val/test split census per
+    language. The composition query: proves the gate, the dedup, and
+    the deterministic splitter run in a single DAG (one corpus scan
+    feeding everything) rather than as three jobs with intermediate
+    materializations.
+
+    Scale shape: the dedup shuffle carries (xxhash64, length) keys; the
+    survivor id set joins back to a metadata-only projection (doc_id,
+    lang) — document text never crosses an exchange after the hash."""
+    from ..functions.sampling import scrambled_key
+
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    gated = d.where(F.size(w) >= CURATION_MIN_WORDS).select(
+        "doc_id", "lang",
+        F.xxhash64("text").alias("_h"),
+        F.length("text").alias("_len"),
+    ).localCheckpoint(eager=True)  # survivors join back to the same frame
+    survivors = (
+        gated.groupBy("_h", "_len")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bucket = scrambled_key(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        gated.join(survivors, "doc_id", "left_semi")
+        .select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
 def _inc_dedup_merge_sql() -> str:
     from ..functions.sampling import scrambled_key_sql
 
@@ -833,6 +906,40 @@ def _inc_dedup_merge_sql() -> str:
 
 ORACLE_SQL["inc_dedup_merge"] = _inc_dedup_merge_sql()
 
+ORACLE_SQL["dedup_lsh_eval"] = f"""
+    WITH truth AS ({ORACLE_SQL["dedup_ngram_jaccard"]}),
+    pred AS ({ORACLE_SQL["dedup_minhash_pairs"]}),
+    tp AS (SELECT count(*) AS tp FROM pred p
+           WHERE EXISTS (SELECT 1 FROM truth t
+                         WHERE t.doc_a = p.doc_a AND t.doc_b = p.doc_b)),
+    fp AS (SELECT count(*) AS fp FROM pred p
+           WHERE NOT EXISTS (SELECT 1 FROM truth t
+                             WHERE t.doc_a = p.doc_a AND t.doc_b = p.doc_b)),
+    fn AS (SELECT count(*) AS fn FROM truth t
+           WHERE NOT EXISTS (SELECT 1 FROM pred p
+                             WHERE p.doc_a = t.doc_a AND p.doc_b = t.doc_b))
+    SELECT tp, fp, fn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall
+    FROM tp, fp, fn
+"""
+
+ORACLE_SQL["corpus_curation_pipeline"] = f"""
+    WITH gated AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE len({_DUCK_WORDS}) >= {CURATION_MIN_WORDS}
+    ), survivors AS (
+        SELECT min(doc_id) AS doc_id FROM gated GROUP BY text
+    )
+    SELECT CASE WHEN ((doc_id) * 2654435761) % 100 < 80 THEN 'train'
+                WHEN ((doc_id) * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS docs
+    FROM gated
+    WHERE doc_id IN (SELECT doc_id FROM survivors)
+    GROUP BY 1, 2
+"""
+
 ORACLE_SQL["dedup_containment_pairs"] = _duck_sig_cte() + f"""
     , sets AS (
         SELECT doc_id, lang, list_distinct(sh) AS sh FROM shingled
@@ -867,5 +974,7 @@ QUERIES = {
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_containment_pairs": dedup_containment_pairs,
     "inc_dedup_merge": inc_dedup_merge,
+    "dedup_lsh_eval": dedup_lsh_eval,
+    "corpus_curation_pipeline": corpus_curation_pipeline,
     "dedup_minhash_pairs_fast": dedup_minhash_pairs_fast,  # rows-only (xxhash64)
 }

@@ -361,3 +361,30 @@ def test_mm_payload_dedup_planted_duplicate(spark, tmp_path):
     assert rows[10].dup_count == 2
     assert rows[12].dup_count == 1
     assert sum(r.dup_count for r in rows.values()) == 3
+
+
+# ---------------------------------------------------------------------------
+# LSH evaluation / curation pipeline composition
+# ---------------------------------------------------------------------------
+
+def test_lsh_eval_confusion_identities(spark, sf_dir):
+    row = dedup.dedup_lsh_eval(spark, sf_dir).collect()[0]
+    n_truth = dedup.dedup_ngram_jaccard(spark, sf_dir).count()
+    n_pred = dedup.dedup_minhash_pairs(spark, sf_dir).count()
+    assert row.tp + row.fn == n_truth
+    assert row.tp + row.fp == n_pred
+    assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
+
+
+def test_curation_pipeline_counts_distinct_gated_texts(spark, sf_dir):
+    rows = dedup.corpus_curation_pipeline(spark, sf_dir).collect()
+    total = sum(r.docs for r in rows)
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    expected = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.size(w) >= dedup.CURATION_MIN_WORDS)
+        .select("text")
+        .distinct()
+        .count()
+    )
+    assert total == expected  # gate + keep-first dedup = distinct texts
