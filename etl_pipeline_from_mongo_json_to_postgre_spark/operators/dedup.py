@@ -805,8 +805,23 @@ def dedup_lsh_eval(spark, sf_dir):
     Scale shape: both inputs are pair-lists (near-dups only, tiny
     relative to the corpus); the confusion counts are two semi/anti
     joins on pair keys."""
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    pred = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # eager barriers: each pair list feeds three confusion branches;
+    # pinning keeps the signature/inverted-index pipelines at one
+    # execution each. The remaining cost IS the exact-Jaccard truth
+    # side (~few-s at the sf0.01 gate; ~1 min at sf0.1 on this
+    # pathologically dense 30-word synthetic vocabulary) — that is the
+    # point of the metric: exact truth at eval scale, LSH at corpus
+    # scale.
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    pred = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     tp = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
     fp = pred.join(truth, ["doc_a", "doc_b"], "left_anti")
     fn = truth.join(pred, ["doc_a", "doc_b"], "left_anti")
