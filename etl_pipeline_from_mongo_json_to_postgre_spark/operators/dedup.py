@@ -360,16 +360,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
     set arithmetic -> exact parity; pairs with J >= 0.5 survive."""
     d = _docs(spark, sf_dir)
     w = _words(F.col("text"))
+    # TWO barriers. (1) after wh: CollapseProject otherwise inlines the
+    # whole word-hash pipeline into every element_at inside the shingle
+    # lambda — ~150 re-evaluations of wh per doc (3 offsets x ~50
+    # shingles), measured 50s -> 0.5s at sf0.1 for this single
+    # materialization. (2) after sh: the frame is read 3x below (sizes
+    # + both join sides); left lazy, each branch re-evaluates the
+    # pipeline and Generate inlines it per exploded row (~25x measured
+    # at sf0.001). localCheckpoint over cache() so blocks are
+    # GC-reclaimed instead of leaking in the CacheManager.
+    staged = d.select(
+        "doc_id", "lang", word_hashes(w).alias("wh")
+    ).localCheckpoint(eager=True)
     docs = (
-        d.select("doc_id", "lang", word_hashes(w).alias("wh"))
+        staged
         .select("doc_id", "lang", F.array_distinct(shingle_hashes(F.col("wh"), k=3)).alias("sh"))
         .where(F.size("sh") > 0)
-        # Materialized NOW (eager localCheckpoint), read 3x below (sizes
-        # + both join sides): if left lazy, the three branches of one job
-        # each re-evaluate the shingle pipeline, and Spark's Generate
-        # inlines it per exploded row (~25x slowdown measured at
-        # sf0.001). localCheckpoint over cache() so the blocks are
-        # GC-reclaimed instead of leaking in the CacheManager.
         .localCheckpoint(eager=True)
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
@@ -425,8 +431,14 @@ def dedup_jaccard_prefix(spark, sf_dir):
     property worth pinning."""
     d = _docs(spark, sf_dir)
     w = _words(F.col("text"))
+    # wh barrier first: prevents CollapseProject from inlining the
+    # word-hash pipeline into every element_at of the shingle lambda
+    # (see dedup_ngram_jaccard — measured ~100x on this materialization)
+    staged = d.select(
+        "doc_id", "lang", word_hashes(w).alias("wh")
+    ).localCheckpoint(eager=True)
     docs = (
-        d.select("doc_id", "lang", word_hashes(w).alias("wh"))
+        staged
         .select(
             "doc_id", "lang",
             F.array_sort(
@@ -569,8 +581,14 @@ def dedup_containment_pairs(spark, sf_dir):
     so asymmetry costs nothing extra."""
     d = _docs(spark, sf_dir)
     w = _words(F.col("text"))
+    # wh barrier first: prevents CollapseProject from inlining the
+    # word-hash pipeline into every element_at of the shingle lambda
+    # (see dedup_ngram_jaccard — measured ~100x on this materialization)
+    staged = d.select(
+        "doc_id", "lang", word_hashes(w).alias("wh")
+    ).localCheckpoint(eager=True)
     docs = (
-        d.select("doc_id", "lang", word_hashes(w).alias("wh"))
+        staged
         .select(
             "doc_id", "lang",
             F.array_distinct(shingle_hashes(F.col("wh"), k=3)).alias("sh"),
