@@ -127,9 +127,14 @@ def dedup_minhash_signature(spark, sf_dir):
     the portable polynomial hashes."""
     d = _docs(spark, sf_dir)
     w = _words(F.col("text"))
-    # Materialize wh, then sh, as real columns between projections:
-    # inlining them would re-evaluate the whole array per element_at
-    # inside the HOF lambdas (O(words^2) interpreted work per row).
+    # Stage wh and sh as separate projections. NB the protection against
+    # CollapseProject inlining wh into the shingle element_at calls is
+    # NOT the staging itself but the REFERENCE COUNT: the final
+    # projection reads sh 16 times (one per minhash component), which
+    # blocks the collapse of the sh projection, and sh's lambda reads wh
+    # k+2 times, blocking the wh collapse. Single-reference consumers
+    # (the jaccard family) need an explicit localCheckpoint barrier —
+    # see dedup_ngram_jaccard (measured ~100x there).
     staged = (
         d.where(F.size(w) >= 3)
         .select("doc_id", word_hashes(w).alias("wh"))
