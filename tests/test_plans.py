@@ -543,3 +543,23 @@ def test_decontaminate_shuffles_hashes_not_text(spark, sf_dir):
     for chunk in plan.split("Exchange hashpartitioning")[1:]:
         head = chunk.splitlines()[0]
         assert "text" not in head
+
+
+def test_shingle_pipelines_checkpoint_before_consumption(spark, sf_dir):
+    """CollapseProject regression guard: the jaccard-family plans must
+    consume MATERIALIZED shingle arrays (checkpoint RDD scans), never
+    the inline word-hash expression — if `split(text` appears anywhere
+    in the final physical plan, the barrier was lost and the word-hash
+    pipeline is being re-evaluated per element_at (measured ~100x at
+    sf0.1)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.dedup import (
+        dedup_containment_pairs,
+        dedup_jaccard_prefix,
+        dedup_ngram_jaccard,
+    )
+
+    for build in (dedup_ngram_jaccard, dedup_jaccard_prefix,
+                  dedup_containment_pairs):
+        plan = physical_plan(build(spark, sf_dir))
+        assert "split(text" not in plan, build.__name__
+        assert "Scan ExistingRDD" in plan, build.__name__
