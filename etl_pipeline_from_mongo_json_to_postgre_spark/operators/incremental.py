@@ -194,6 +194,29 @@ def inc_scd2_intervals(spark, sf_dir):
     )
 
 
+AS_OF_TS = "1998-06-15 00:00:00"
+
+
+def inc_scd2_as_of(spark, sf_dir):
+    """Time-travel query over the SCD2 history: each customer's status
+    row AS OF a fixed timestamp — the query a dimension consumer runs
+    against the interval table ("what did this customer look like on
+    1998-06-15?"). Interval semantics: valid_from <= T < valid_to
+    (NULL valid_to = still current).
+
+    Scale shape: one partition-pruning filter over the interval frame
+    (at 100 TB the SCD2 table is stored partitioned/clustered on
+    valid_from, so the AS OF predicate prunes storage); at most one row
+    per customer survives by construction — no window, no dedup needed
+    on top."""
+    iv = inc_scd2_intervals(spark, sf_dir)
+    t = F.lit(AS_OF_TS).cast("timestamp")
+    return iv.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("o_custkey", "o_orderstatus", "valid_from", "valid_to")
+
+
 OPLOG_DEL_MOD = 11
 OPLOG_FIELD_MOD = 3
 
@@ -514,6 +537,41 @@ ORACLE_SQL = {
                n_orders
         FROM grouped
     """,
+    "inc_scd2_as_of": """
+        WITH intervals AS (
+        WITH flagged AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                   CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                             OR lag(o_orderstatus) OVER w <> o_orderstatus
+                        THEN 1 ELSE 0 END AS chg
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ), islands AS (
+            SELECT o_custkey, o_orderstatus, o_orderdate,
+                   CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+            FROM flagged
+        ), grouped AS (
+            SELECT o_custkey, island,
+                   min(o_orderstatus) AS o_orderstatus,
+                   min(o_orderdate) AS valid_from,
+                   count(*) AS n_orders
+            FROM islands GROUP BY o_custkey, island
+        )
+        SELECT o_custkey, island, o_orderstatus, valid_from,
+               lead(valid_from) OVER (
+                   PARTITION BY o_custkey ORDER BY island) AS valid_to,
+               n_orders
+        FROM grouped
+    )
+        SELECT o_custkey, o_orderstatus, valid_from, valid_to
+        FROM intervals
+        WHERE valid_from <= TIMESTAMP '1998-06-15 00:00:00'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-06-15 00:00:00')
+    """,
+
 }
 
 QUERIES = {
@@ -523,4 +581,5 @@ QUERIES = {
     "inc_upsert_latest": inc_upsert_latest,
     "inc_snapshot_diff": inc_snapshot_diff,
     "inc_scd2_intervals": inc_scd2_intervals,
+    "inc_scd2_as_of": inc_scd2_as_of,
 }

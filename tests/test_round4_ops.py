@@ -388,3 +388,19 @@ def test_curation_pipeline_counts_distinct_gated_texts(spark, sf_dir):
         .count()
     )
     assert total == expected  # gate + keep-first dedup = distinct texts
+
+
+def test_scd2_as_of_one_row_per_customer(spark, sf_dir):
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.incremental import (
+        AS_OF_TS,
+        inc_scd2_as_of,
+    )
+    import datetime
+
+    rows = inc_scd2_as_of(spark, sf_dir).collect()
+    t = datetime.datetime.fromisoformat(AS_OF_TS)
+    custs = [r.o_custkey for r in rows]
+    assert len(custs) == len(set(custs))  # at most one interval covers T
+    for r in rows:
+        assert r.valid_from <= t
+        assert r.valid_to is None or r.valid_to > t
