@@ -626,6 +626,47 @@ ORACLE_SQL["dq_key_skew"] = f"""
     WHERE rk <= {SKEW_TOP_K}
 """
 
+RECON_TOLERANCE_PCT = 5  # |stored - derived| <= 5% of derived counts as consistent
+
+
+def dq_order_reconciliation(spark, sf_dir):
+    """Cross-table reconciliation audit: compare each order's STORED
+    o_totalprice against the revenue DERIVED from its lineitems
+    (sum of extendedprice * (1 - discount), exact DECIMAL), and report
+    the corpus-level consistency census — the first financial-integrity
+    check on a new drop, and the query that catches partial loads,
+    double-loads, and silently dropped child rows.
+
+    Scale shape: one lineitem aggregate keyed on l_orderkey (map-side
+    combined), one equi-join back to orders on its key, one global
+    census aggregate. Orders without any lineitem surface as
+    orphan_orders (LEFT join, not dropped). The tolerance predicate is
+    exact decimal arithmetic scaled by 100 — no fp boundary flake."""
+    tune_for_oracle(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    derived = l.groupBy("l_orderkey").agg(
+        F.sum(rev).cast("decimal(18,4)").alias("derived_dec")
+    )
+    joined = o.join(derived, o.o_orderkey == derived.l_orderkey, "left")
+    stored = F.col("o_totalprice").cast("decimal(18,4)")
+    diff = F.abs(stored - F.col("derived_dec"))
+    consistent = (
+        diff * F.lit(100).cast("decimal(10,0)")
+        <= F.col("derived_dec") * F.lit(RECON_TOLERANCE_PCT).cast("decimal(10,0)")
+    )
+    return joined.agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("derived_dec").isNull(), 1)).alias("orphan_orders"),
+        F.count(F.when(consistent, 1)).alias("consistent_orders"),
+        F.count(F.when(~consistent, 1)).alias("inconsistent_orders"),
+        F.max(diff).cast("double").alias("max_abs_diff"),
+    )
+
+
 QUERIES = {
     "dq_column_profile": dq_column_profile,
     "dq_null_violations": dq_null_violations,
@@ -638,5 +679,36 @@ QUERIES = {
     "approx_heavy_users": approx_heavy_users,
     "dq_value_ecdf": dq_value_ecdf,
     "dq_five_number_summary": dq_five_number_summary,
+    "dq_order_reconciliation": dq_order_reconciliation,
 }
 ORACLE_SQL["dq_five_number_summary"] = ORACLE_SQL_FIVE_NUM
+
+ORACLE_SQL["dq_order_reconciliation"] = f"""
+    WITH derived AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(4,2))
+                           - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(18,4)) AS derived_dec
+        FROM lineitem GROUP BY l_orderkey
+    ), joined AS (
+        SELECT CAST(o.o_totalprice AS DECIMAL(18,4)) AS stored,
+               d.derived_dec
+        FROM orders o LEFT JOIN derived d ON o.o_orderkey = d.l_orderkey
+    )
+    SELECT count(*) AS n_orders,
+           count(*) FILTER (WHERE derived_dec IS NULL) AS orphan_orders,
+           count(*) FILTER (WHERE abs(stored - derived_dec)
+                                  * CAST(100 AS DECIMAL(10,0))
+                              <= derived_dec * CAST({RECON_TOLERANCE_PCT}
+                                                    AS DECIMAL(10,0)))
+               AS consistent_orders,
+           count(*) FILTER (WHERE NOT (abs(stored - derived_dec)
+                                  * CAST(100 AS DECIMAL(10,0))
+                              <= derived_dec * CAST({RECON_TOLERANCE_PCT}
+                                                    AS DECIMAL(10,0))))
+               AS inconsistent_orders,
+           CAST(max(abs(stored - derived_dec)) AS DOUBLE) AS max_abs_diff
+    FROM joined
+"""
+

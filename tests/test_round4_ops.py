@@ -404,3 +404,28 @@ def test_scd2_as_of_one_row_per_customer(spark, sf_dir):
     for r in rows:
         assert r.valid_from <= t
         assert r.valid_to is None or r.valid_to > t
+
+
+def test_order_reconciliation_accounts_every_order(spark, sf_dir):
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.profiling import (
+        dq_order_reconciliation,
+    )
+
+    r = dq_order_reconciliation(spark, sf_dir).collect()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert r.n_orders == orders
+    assert r.orphan_orders + r.consistent_orders + r.inconsistent_orders == orders
+    assert r.max_abs_diff >= 0.0
+
+
+def test_audience_overlap_jaccard_bounds(spark, sf_dir):
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.association import (
+        events_audience_overlap,
+    )
+
+    rows = events_audience_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 < r.common_users <= min(r.users_a, r.users_b)
+        assert 0.0 < r.jaccard <= 1.0
