@@ -355,6 +355,61 @@ def dedup_simhash(spark, sf_dir):
     return staged2.select("doc_id", simhash.alias("simhash"))
 
 
+SIMHASH_BANDS = 3            # 3 bands x 10 bits over the 30-bit simhash
+SIMHASH_BAND_BITS = 10
+SIMHASH_HAMMING_MAX = 2      # pigeonhole: <= 2 flipped bits leave >= 1 band intact
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: candidates from 10-bit band blocking over
+    the 30-bit signatures, verified by exact Hamming distance <= 2.
+
+    Completeness is EXACT by pigeonhole: a pair within Hamming 2 differs
+    in at most 2 of the 3 bands, so at least one band key matches and
+    the pair is generated. Complements the MinHash path: simhash
+    catches small absolute edits on long documents (a few flipped
+    bits), where shingle-Jaccard needs a much lower threshold.
+
+    Scale shape: signatures are zero-shuffle projections; the band
+    self-join shuffles (band, 10-bit key, doc_id, simhash) — fixed
+    ~20 bytes/row x 3 bands, never text; Hamming verification is two
+    JVM bit ops (xor + bit_count) on the candidate rows."""
+    sims = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    banded = sims.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                for b in range(SIMHASH_BANDS)
+            ])
+        ).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram jaccard
 # ---------------------------------------------------------------------------
@@ -817,6 +872,26 @@ ORACLE_SQL = {
 
 ORACLE_SQL["dedup_jaccard_prefix"] = ORACLE_SQL["dedup_ngram_jaccard"]
 
+ORACLE_SQL["dedup_simhash_pairs"] = f"""
+    WITH sims AS ({ORACLE_SQL["dedup_simhash"]}),
+    banded AS (
+        SELECT doc_id, simhash, b.band,
+               (simhash >> (b.band * {SIMHASH_BAND_BITS}))
+                   & {(1 << SIMHASH_BAND_BITS) - 1} AS band_key
+        FROM sims CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_HAMMING_MAX}
+"""
+
 def dedup_lsh_eval(spark, sf_dir):
     """LSH quality evaluation: precision/recall of the MinHash-LSH
     near-dup detector (dedup_minhash_pairs, est-Jaccard >= 0.5) against
@@ -1008,6 +1083,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_canonical": dedup_minhash_canonical,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_containment_pairs": dedup_containment_pairs,

@@ -429,3 +429,21 @@ def test_audience_overlap_jaccard_bounds(spark, sf_dir):
         assert r.type_a < r.type_b
         assert 0 < r.common_users <= min(r.users_a, r.users_b)
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness: the banded candidate generation must
+    find EVERY pair within Hamming <= 2 of the signature set (verified
+    against the quadratic recompute on the small test corpus)."""
+    sims = {r.doc_id: r.simhash
+            for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+    expect = set()
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= dedup.SIMHASH_HAMMING_MAX:
+                expect.add((a, b, h))
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in dedup.dedup_simhash_pairs(spark, sf_dir).collect()}
+    assert got == expect
