@@ -456,6 +456,113 @@ def ts_ewma(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# change-point detection
+# ---------------------------------------------------------------------------
+
+def ts_changepoint_split(spark, sf_dir):
+    """Change-point detection on the daily event-count series: the
+    split day maximizing the absolute difference between the mean
+    before and the mean after (exhaustive scan over every candidate
+    split — the exact two-segment solution).
+
+    Scale shape: the fact collapses to a day-cardinality aggregate
+    first; cumulative sums over that tiny frame (one window over ~365
+    rows per year) give every split's left/right means in one pass, so
+    the "exhaustive" scan is O(days), not O(days x rows). The argmax
+    is a deterministic top-1 with day tie-break. Means are
+    double(exact-integer sums)/counts in identical operand order."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # totals + cumulative both read it
+    )
+    totals = daily.agg(
+        F.count("*").alias("n_days"), F.sum("cnt").alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day", "cnt",
+        F.sum("cnt").over(w).alias("cum_sum"),
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(totals))
+        .where(F.col("k") < F.col("n_days"))  # split must leave a right side
+        .select(
+            "day",
+            "k",
+            (
+                F.abs(
+                    F.col("cum_sum").cast("double") / F.col("k")
+                    - (F.col("total") - F.col("cum_sum")).cast("double")
+                    / (F.col("n_days") - F.col("k"))
+                )
+            ).alias("mean_gap"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("mean_gap"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            "k",
+            F.round("mean_gap", 6).alias("mean_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty
+# ---------------------------------------------------------------------------
+
+def corpus_ngram_novelty(spark, sf_dir):
+    """Novelty scoring: per document, the fraction of its distinct
+    3-word shingles never seen in any LOWER-id document — the freshness
+    signal a streaming curation pipeline uses to down-weight recycled
+    content (novelty 1.0 = all-new, 0.0 = fully recycled).
+
+    Scale shape: one aggregate finds each shingle's first-owner
+    (min doc_id) — counts-only shuffle on shingle hashes; each doc's
+    novel count is a second count-sized aggregate; no pairwise
+    comparisons anywhere. Portable hashes -> bit-exact oracle."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    staged = d.select(
+        "doc_id", word_hashes(w).alias("wh")
+    ).localCheckpoint(eager=True)  # CollapseProject barrier (see dedup.py)
+    shingled = (
+        staged.select(
+            "doc_id",
+            F.array_distinct(shingle_hashes(F.col("wh"), k=3)).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=True)  # sizes + exploded both read it
+    )
+    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    first_owner = exploded.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = (
+        exploded.join(first_owner, "s")
+        .where(F.col("doc_id") == F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("novel_sh"))
+    )
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    return (
+        sizes.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("novel_sh", F.lit(0)).cast("long").alias("novel_sh"),
+            F.round(
+                F.coalesce("novel_sh", F.lit(0)).cast("double") / F.col("n_sh"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
 _SPLIT_SQL = (
     f"CASE WHEN {scrambled_key_sql('doc_id', SPLIT_BUCKETS)} < {TRAIN_BELOW} "
     f"THEN 'train' WHEN {scrambled_key_sql('doc_id', SPLIT_BUCKETS)} < {VAL_BELOW} "
@@ -476,6 +583,55 @@ _BM25_TS = (
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "ts_changepoint_split": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+            FROM events GROUP BY 1
+        ), totals AS (
+            SELECT count(*) AS n_days, CAST(sum(cnt) AS BIGINT) AS total
+            FROM daily
+        ), cum AS (
+            SELECT day, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sum,
+                   row_number() OVER (ORDER BY day) AS k
+            FROM daily
+        ), scored AS (
+            SELECT day, k,
+                   abs(CAST(cum_sum AS DOUBLE) / k
+                       - CAST(total - cum_sum AS DOUBLE) / (n_days - k))
+                       AS mean_gap
+            FROM cum, totals WHERE k < n_days
+        )
+        SELECT day AS split_day, CAST(k AS BIGINT) AS k,
+               round(mean_gap, 6) AS mean_gap
+        FROM scored ORDER BY mean_gap DESC, day LIMIT 1
+    """,
+    "corpus_ngram_novelty": f"""
+        WITH hashed AS (
+            SELECT doc_id, {duck_word_hashes(_DUCK_WORDS)} AS wh FROM documents
+        ), shingled AS (
+            SELECT doc_id, list_distinct({duck_shingle_hashes(3)}) AS sh
+            FROM hashed
+        ), sets AS (
+            SELECT doc_id, sh FROM shingled WHERE len(sh) > 0
+        ), exploded AS (
+            SELECT doc_id, unnest(sh) AS s FROM sets
+        ), first_owner AS (
+            SELECT s, min(doc_id) AS first_doc FROM exploded GROUP BY s
+        ), novel AS (
+            SELECT e.doc_id, count(*) AS novel_sh
+            FROM exploded e JOIN first_owner f
+              ON e.s = f.s AND e.doc_id = f.first_doc
+            GROUP BY e.doc_id
+        )
+        SELECT t.doc_id, len(t.sh) AS n_sh,
+               CAST(COALESCE(n.novel_sh, 0) AS BIGINT) AS novel_sh,
+               round(CAST(COALESCE(n.novel_sh, 0) AS DOUBLE) / len(t.sh), 6)
+                   AS novelty
+        FROM sets t LEFT JOIN novel n ON t.doc_id = n.doc_id
+    """,
+
     "text_bm25_topk": f"""
         WITH doclen AS (
             SELECT doc_id, len({_DUCK_WORDS}) AS dl FROM documents
@@ -663,4 +819,6 @@ QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "dq_benford_firstdigit": dq_benford_firstdigit,
     "ts_ewma": ts_ewma,
+    "ts_changepoint_split": ts_changepoint_split,
+    "corpus_ngram_novelty": corpus_ngram_novelty,
 }

@@ -447,3 +447,38 @@ def test_simhash_pairs_complete_vs_bruteforce(spark, sf_dir):
     got = {(r.doc_a, r.doc_b, r.hamming)
            for r in dedup.dedup_simhash_pairs(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_changepoint_split_is_argmax(spark, sf_dir):
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.curation_ext import (
+        ts_changepoint_split,
+    )
+
+    row = ts_changepoint_split(spark, sf_dir).collect()[0]
+    daily = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day")).count().collect(),
+        key=lambda r: r.day,
+    )
+    cnts = [r["count"] for r in daily]
+    total = sum(cnts)
+    best = max(
+        (
+            abs(sum(cnts[:k]) / k - (total - sum(cnts[:k])) / (len(cnts) - k))
+            for k in range(1, len(cnts))
+        )
+    )
+    assert row.mean_gap == pytest.approx(best, abs=1e-5)
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.curation_ext import (
+        corpus_ngram_novelty,
+    )
+
+    rows = sorted(corpus_ngram_novelty(spark, sf_dir).collect(),
+                  key=lambda r: r.doc_id)
+    assert rows[0].novelty == 1.0  # the lowest-id doc owns all its shingles
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.novel_sh <= r.n_sh
