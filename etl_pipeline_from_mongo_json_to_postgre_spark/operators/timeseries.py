@@ -355,7 +355,96 @@ def ts_markov_transitions(spark, sf_dir):
     )
 
 
+COVERAGE_WINDOW_MIN = 30  # each event opens a 30-minute activity interval
+
+
+def ts_active_time_coverage(spark, sf_dir):
+    """Interval-union coverage per user: each event opens a 30-minute
+    activity interval; overlapping intervals merge, and the output is
+    each user's merged-interval (visit) count and total covered
+    minutes — the "time actually active" metric raw event counts
+    overstate (100 events in one burst is 30 minutes, not 50 hours).
+
+    Scale shape: the classic sweep — one (user) window ordered by time
+    computes the running max of interval ends; a new visit starts
+    exactly where the event's start exceeds every prior end. Visit ids
+    come from a cumulative sum of the start flags on the SAME window
+    partitioning (one shuffle total), and per-visit extents aggregate
+    with map-side combine. Integer epoch-minute arithmetic end to end —
+    no fp, exact parity."""
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") / 60).cast("bigint").alias("start_min"),
+        ((F.unix_timestamp("ts") / 60).cast("bigint")
+         + COVERAGE_WINDOW_MIN).alias("end_min"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("start_min", "event_id")
+    prior_max_end = F.max("end_min").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn(
+        "new_visit",
+        F.when(
+            prior_max_end.isNull() | (F.col("start_min") > prior_max_end), 1
+        ).otherwise(0),
+    )
+    visits = flagged.withColumn(
+        "visit_id",
+        F.sum("new_visit").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_visit = visits.groupBy("user_id", "visit_id").agg(
+        F.min("start_min").alias("v_start"),
+        F.max("end_min").alias("v_end"),
+    )
+    return per_visit.groupBy("user_id").agg(
+        F.count("*").alias("n_visits"),
+        F.sum(F.col("v_end") - F.col("v_start")).cast("bigint")
+        .alias("covered_minutes"),
+    )
+
+
 ORACLE_SQL = {
+    "ts_active_time_coverage": f"""
+        WITH pts AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 60 AS start_min,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 60
+                       + {COVERAGE_WINDOW_MIN} AS end_min,
+                   event_id
+            FROM events
+        ), flagged AS (
+            SELECT user_id, start_min, end_min, event_id,
+                   CASE WHEN max(end_min) OVER (
+                            PARTITION BY user_id
+                            ORDER BY start_min, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                         OR start_min > max(end_min) OVER (
+                            PARTITION BY user_id
+                            ORDER BY start_min, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_visit
+            FROM pts
+        ), visits AS (
+            SELECT user_id, start_min, end_min,
+                   CAST(sum(new_visit) OVER (
+                       PARTITION BY user_id ORDER BY start_min, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS visit_id
+            FROM flagged
+        ), per_visit AS (
+            SELECT user_id, visit_id,
+                   min(start_min) AS v_start, max(end_min) AS v_end
+            FROM visits GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_visits,
+               CAST(sum(v_end - v_start) AS BIGINT) AS covered_minutes
+        FROM per_visit GROUP BY user_id
+    """,
+
     "ts_markov_transitions": """
         WITH pairs AS (
             SELECT event_type AS from_type,
@@ -518,6 +607,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "ts_active_time_coverage": ts_active_time_coverage,
     "ts_rolling_stats": ts_rolling_stats,
     "ts_user_cadence": ts_user_cadence,
     "ts_funnel_stages": ts_funnel_stages,

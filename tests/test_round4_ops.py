@@ -482,3 +482,23 @@ def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.novelty <= 1.0
         assert 0 <= r.novel_sh <= r.n_sh
+
+
+def test_coverage_bounds_vs_event_counts(spark, sf_dir):
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        COVERAGE_WINDOW_MIN,
+        ts_active_time_coverage,
+    )
+
+    rows = ts_active_time_coverage(spark, sf_dir).collect()
+    counts = {
+        r.user_id: r["count"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id").count().collect()
+    }
+    assert {r.user_id for r in rows} == set(counts)
+    for r in rows:
+        n = counts[r.user_id]
+        assert 1 <= r.n_visits <= n
+        # union length: at least one window, at most n disjoint windows
+        assert COVERAGE_WINDOW_MIN <= r.covered_minutes <= n * COVERAGE_WINDOW_MIN
