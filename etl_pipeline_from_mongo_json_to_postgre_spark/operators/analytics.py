@@ -1728,7 +1728,66 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
 # DuckDB oracle SQL (same keys; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
+def w4_windowed_distinct_count(spark, sf_dir):
+    """Running DISTINCT-user count per event type by day — the window
+    aggregate Spark cannot express directly (COUNT(DISTINCT) OVER is
+    unsupported), re-expressed scale-first: each user contributes on
+    exactly their FIRST active day (one (type,user) aggregate), daily
+    new-user counts cumulative-sum over the day-cardinality frame, and
+    the running total is read off per active day. The oracle is
+    DuckDB's NATIVE windowed distinct count — an independent engine
+    executing the direct spec, so the decomposition is verified against
+    the semantics, not against itself.
+
+    Scale shape: the distinct work collapses map-side into the
+    (type,user) aggregate; the window runs over |types| x |days| rows
+    only. The naive alternative (collect_set over a window) ships every
+    user id through every frame — O(days x users) state."""
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    firsts = (
+        ev.select("event_type", "user_id", day)
+        .groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    new_per_day = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    active_days = ev.select("event_type", day).distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        active_days.join(new_per_day, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            "event_type", "day",
+            F.sum("new_users").over(w).cast("long")
+            .alias("distinct_users_to_date"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "w4_windowed_distinct_count": """
+        WITH daily AS (
+            SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+            FROM events
+        )
+        SELECT DISTINCT event_type, day,
+               CAST(count(DISTINCT user_id) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS distinct_users_to_date
+        FROM daily
+    """,
+
     "approx_distinct_users": """
         SELECT event_type,
                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -2510,6 +2569,7 @@ QUERIES = {
     "w1_running_total": w1_running_total,
     "w2_offset_rank_funcs": w2_offset_rank_funcs,
     "w3_distribution_funcs": w3_distribution_funcs,
+    "w4_windowed_distinct_count": w4_windowed_distinct_count,
     "u5_except_all": u5_except_all,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,

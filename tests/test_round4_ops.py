@@ -502,3 +502,31 @@ def test_coverage_bounds_vs_event_counts(spark, sf_dir):
         assert 1 <= r.n_visits <= n
         # union length: at least one window, at most n disjoint windows
         assert COVERAGE_WINDOW_MIN <= r.covered_minutes <= n * COVERAGE_WINDOW_MIN
+
+
+def test_windowed_distinct_final_equals_total(spark, sf_dir):
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        w4_windowed_distinct_count,
+    )
+
+    rows = w4_windowed_distinct_count(spark, sf_dir).collect()
+    last = {}
+    for r in rows:
+        cur = last.get(r.event_type)
+        if cur is None or r.day > cur[0]:
+            last[r.event_type] = (r.day, r.distinct_users_to_date)
+    totals = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, (_, final) in last.items():
+        assert final == totals[t]  # the running count lands on the exact total
+    # monotone non-decreasing per type
+    per_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        prev = per_type.get(r.event_type, 0)
+        assert r.distinct_users_to_date >= prev
+        per_type[r.event_type] = r.distinct_users_to_date
