@@ -111,6 +111,7 @@ _PRIORITY = [
     "dq_order_reconciliation", "events_audience_overlap",
     "dedup_simhash_pairs", "ts_changepoint_split", "corpus_ngram_novelty",
     "ts_active_time_coverage", "w4_windowed_distinct_count",
+    "stream_windowed_distinct_users",
     # -- 4: r1-only evidence (code unchanged; local parity covers) --------
     "a1_pivot_status_count", "a5_max_date", "a6_kpis",
     "a9_rollup_counts", "a10_cube_counts", "a11_grouping_sets",

@@ -486,7 +486,54 @@ def stream_oplog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators.incremental import ORACLE_SQL as _INC_ORACLE
 
+def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour through the REAL streaming
+    engine, under bounded state: two chained stateful operators —
+    dropDuplicatesWithinWatermark on (hour, user_id) holds each key
+    only for the watermark delay, and the downstream windowed count
+    then counts the surviving one-row-per-user-hour stream. This is the
+    streaming twin of w4_windowed_distinct_count's problem: exact
+    DISTINCT aggregation that neither buffers every user id per window
+    (the naive approach) nor degrades to approx sketches.
+
+    Spark 4 supports this stateful-operator chain with aligned
+    watermarks; which physical row of a duplicate group survives is
+    arrival-order-dependent, but the per-window COUNT is exactly the
+    distinct-user count — deterministic, so the batch oracle
+    hash-matches."""
+    from ..session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    name = "stream_windowed_distinct_tbl"
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["hour", "user_id"])
+    )
+    agg = deduped.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("distinct_users")
+    )
+    q = (
+        agg.select(F.col("w.start").alias("window_start"), "distinct_users")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 ORACLE_SQL = {
+    "stream_windowed_distinct_users": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events GROUP BY 1
+    """,
+
     "stream_oplog_apply": _INC_ORACLE["inc_oplog_apply"],
     "stream_stream_click_purchase": """
         SELECT p.event_id AS purchase_id,
@@ -550,6 +597,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "stream_windowed_distinct_users": stream_windowed_distinct_users,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_oplog_apply": stream_oplog_apply,
