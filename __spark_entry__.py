@@ -87,10 +87,10 @@ _PRIORITY = [
     "segment_reorder_cadence", "text_boilerplate_prefixes", "dq_value_ecdf",
     "dq_five_number_summary", "text_token_length_dist",
     # -- 3: position 51+: the one deferred never-checked entry, then the
-    #       39 round-4 additions, then previously-green rows grouped by
-    #       evidence staleness. Round-5 window plan: positions 51-90
-    #       (supplier_region_mix + the 39 round-4 additions) plus the 7
-    #       derived/rows-only conversions in group 4b + 3 of the r1-only
+    #       40 round-4 additions, then previously-green rows grouped by
+    #       evidence staleness. Round-5 window plan: positions 51-91
+    #       (supplier_region_mix + the 40 round-4 additions) plus the 7
+    #       derived/rows-only conversions in group 4b + 2 of the r1-only
     #       rows fill the next 50-slot cap exactly. --------------------
     "supplier_region_mix",
     # round-4 additions:
