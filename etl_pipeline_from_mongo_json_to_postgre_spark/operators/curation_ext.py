@@ -169,17 +169,24 @@ def events_anomaly_zscore(spark, sf_dir):
         F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n_days")
-    var = (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / (
-        F.col("n_days") - F.lit(1)
+    # Degenerate-series guards (ADVICE r4): a single active day makes
+    # the sample variance 0/0, and a constant series makes it 0 — both
+    # yield NULL (no anomaly verdict) instead of ANSI divide errors /
+    # Inf. CaseWhen branches evaluate lazily, so the guarded division
+    # never executes on degenerate rows; the oracle carries CASE twins.
+    var = F.when(
+        F.col("n_days") > 1,
+        (F.col("ss").cast("double") - F.col("s").cast("double") * mean)
+        / (F.col("n_days") - F.lit(1)),
     )
-    z = (F.col("cnt") - mean) / F.sqrt(var)
+    z = F.when(var > 0, F.round((F.col("cnt") - mean) / F.sqrt(var), 6))
     return (
         daily.crossJoin(F.broadcast(stats))
         .select(
             "day",
             "cnt",
-            F.round(z, 6).alias("zscore"),
-            (F.abs(F.round(z, 6)) > Z_FENCE).alias("is_anomaly"),
+            z.alias("zscore"),
+            (F.abs(z) > Z_FENCE).alias("is_anomaly"),
         )
     )
 
@@ -447,12 +454,15 @@ def ts_ewma(spark, sf_dir):
     for wt, lg in zip(weights, lags):
         num = num + F.when(lg.isNull(), F.lit(0.0)).otherwise(F.lit(wt) * lg)
         den = den + F.when(lg.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    # den == 0.0 iff every tap (including the current value) is NULL —
+    # degenerate but legal input; yield NULL instead of 0/0 (ANSI-mode
+    # divide error / NaN, ADVICE r4). Oracle carries the CASE twin.
     return ev.select(
         "event_id",
         "user_id",
         "ts",
         "value",
-        F.round(num / den, 6).alias("ewma"),
+        F.when(den > F.lit(0.0), F.round(num / den, 6)).alias("ewma"),
     )
 
 
@@ -693,8 +703,8 @@ ORACLE_SQL: dict[str, str] = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
-        SELECT event_id, user_id, ts, value,
-               round(
+        , scored AS (
+            SELECT event_id, user_id, ts, value,
                  (0.0 + CASE WHEN value IS NULL THEN 0.0
                              ELSE {1.0!r} * value END
                       + CASE WHEN l1 IS NULL THEN 0.0
@@ -704,8 +714,8 @@ ORACLE_SQL: dict[str, str] = {
                       + CASE WHEN l3 IS NULL THEN 0.0
                              ELSE {EWMA_ALPHA ** 3!r} * l3 END
                       + CASE WHEN l4 IS NULL THEN 0.0
-                             ELSE {EWMA_ALPHA ** 4!r} * l4 END)
-                 / (0.0 + CASE WHEN value IS NULL THEN 0.0 ELSE {1.0!r} END
+                             ELSE {EWMA_ALPHA ** 4!r} * l4 END) AS num,
+                 (0.0 + CASE WHEN value IS NULL THEN 0.0 ELSE {1.0!r} END
                       + CASE WHEN l1 IS NULL THEN 0.0
                              ELSE {EWMA_ALPHA ** 1!r} END
                       + CASE WHEN l2 IS NULL THEN 0.0
@@ -713,8 +723,12 @@ ORACLE_SQL: dict[str, str] = {
                       + CASE WHEN l3 IS NULL THEN 0.0
                              ELSE {EWMA_ALPHA ** 3!r} END
                       + CASE WHEN l4 IS NULL THEN 0.0
-                             ELSE {EWMA_ALPHA ** 4!r} END), 6) AS ewma
-        FROM lagged
+                             ELSE {EWMA_ALPHA ** 4!r} END) AS den
+            FROM lagged
+        )
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN den > 0.0 THEN round(num / den, 6) END AS ewma
+        FROM scored
     """,
     "train_split_assign": f"""
         SELECT {_SPLIT_SQL} AS split, lang,
@@ -763,17 +777,23 @@ ORACLE_SQL: dict[str, str] = {
                    CAST(sum(cnt) AS BIGINT) AS s,
                    CAST(sum(cnt * cnt) AS BIGINT) AS ss
             FROM daily
+        ), m AS (
+            SELECT n_days,
+                   CAST(s AS DOUBLE) / n_days AS mean,
+                   CASE WHEN n_days > 1 THEN
+                       (CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n_days))
+                       / (n_days - 1)
+                   END AS var
+            FROM stats
         )
         SELECT day, cnt,
-               round((cnt - CAST(s AS DOUBLE) / n_days)
-                     / sqrt((CAST(ss AS DOUBLE)
-                             - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n_days))
-                            / (n_days - 1)), 6) AS zscore,
-               abs(round((cnt - CAST(s AS DOUBLE) / n_days)
-                     / sqrt((CAST(ss AS DOUBLE)
-                             - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n_days))
-                            / (n_days - 1)), 6)) > {Z_FENCE} AS is_anomaly
-        FROM daily, stats
+               CASE WHEN var > 0
+                    THEN round((cnt - mean) / sqrt(var), 6) END AS zscore,
+               abs(CASE WHEN var > 0
+                        THEN round((cnt - mean) / sqrt(var), 6) END)
+                   > {Z_FENCE} AS is_anomaly
+        FROM daily, m
     """,
     "orders_pareto_frontier": """
         SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_day

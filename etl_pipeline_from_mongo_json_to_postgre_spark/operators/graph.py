@@ -167,10 +167,15 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+from .association import capped_basket_sql as _capped
+
 ORACLE_SQL: dict[str, str] = {
-    "graph_triangle_count": """
+    # `parts` mirrors copurchase_pairs' per-basket cap (ADVICE r4), so
+    # edge/wedge/triangle counts agree with the engine even on baskets
+    # exceeding BASKET_CAP items.
+    "graph_triangle_count": f"""
         WITH parts AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            {_capped('lineitem', 'l_orderkey', 'l_partkey')}
         ), edges AS (
             SELECT a.l_partkey AS u, b.l_partkey AS v
             FROM parts a JOIN parts b
@@ -199,9 +204,9 @@ ORACLE_SQL: dict[str, str] = {
     # node set = parts sharing an order with >= 1 other distinct part
     # (min_count=1 edges, symmetrized — mirrors copurchase_pairs;
     # conservation booleans are invariants the engine must satisfy)
-    "graph_pagerank_parts": """
+    "graph_pagerank_parts": f"""
         WITH parts AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            {_capped('lineitem', 'l_orderkey', 'l_partkey')}
         ), multi AS (
             SELECT l_orderkey FROM parts
             GROUP BY l_orderkey HAVING count(*) >= 2

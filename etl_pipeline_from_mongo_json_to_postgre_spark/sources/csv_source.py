@@ -48,11 +48,30 @@ DOCUMENTS_CSV_SCHEMA = StructType(
 )
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the parquet source files (names,
+    sizes, mtimes) so a regenerated sf_dir invalidates the stage cache
+    instead of serving stale CSV (ADVICE r4)."""
+    import hashlib
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    paths = [root]
+    if os.path.isdir(root):
+        paths = [os.path.join(root, f) for f in sorted(os.listdir(root))]
+    h = hashlib.sha256()
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def stage_documents_csv(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents table as a header'd CSV directory (idempotent
-    per sf_dir; executor-side write, no driver collect)."""
+    per (sf_dir, source fingerprint); executor-side write, no driver
+    collect)."""
     out = os.path.join(
-        CACHE_ROOT, sf_dir.strip("/").replace("/", "_")
+        CACHE_ROOT,
+        sf_dir.strip("/").replace("/", "_") + "_" + _source_fingerprint(sf_dir),
     )
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -71,6 +90,9 @@ def stage_documents_csv(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .option("header", True)
         .option("quoteAll", True)
+        # RFC-4180 quote doubling ("" inside a quoted field) on BOTH
+        # sides of the round trip — paired with multiLine on the read.
+        .option("escape", '"')
         .csv(out)
     )
     return out
@@ -79,9 +101,16 @@ def stage_documents_csv(spark: SparkSession, sf_dir: str) -> str:
 def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
     """Schema-enforced PERMISSIVE scan: rows that fail the schema land
     with their raw line in the corrupt-record column for auditing."""
+    # multiLine: the stage write quotes all fields (quoteAll), so a text
+    # value containing embedded newlines round-trips as ONE quoted record;
+    # without it the read splits that record into corrupt rows (ADVICE
+    # r4). Costs line-splittability on the quoted file — correctness
+    # over split parallelism for document text.
     return (
         spark.read.schema(DOCUMENTS_CSV_SCHEMA)
         .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)

@@ -54,6 +54,16 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
         import pyarrow as pa
     except ImportError:  # pragma: no cover
         return ()
+    if os.path.isdir(path):
+        # Spark-written dataset directory: any one part file carries the
+        # (uniform) footer schema.
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return tuple(
         f.name

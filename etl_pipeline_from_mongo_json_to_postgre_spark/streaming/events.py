@@ -500,7 +500,20 @@ def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     watermarks; which physical row of a duplicate group survives is
     arrival-order-dependent, but the per-window COUNT is exactly the
     distinct-user count — deterministic, so the batch oracle
-    hash-matches."""
+    hash-matches.
+
+    Exactness bound (ADVICE r4): dropDuplicatesWithinWatermark holds a
+    (hour, user_id) key only until the watermark passes `ts + delay`,
+    so the count is exact iff every duplicate of a key arrives within
+    the 2h delay of the key's max seen event time. Here the testdata
+    lands as ONE file = one micro-batch, which satisfies the bound
+    trivially; a multi-file landing dir stays exact as long as
+    cross-file event-time disorder is <= the delay (pinned by
+    tests/test_streaming.py::test_windowed_distinct_multifile_within_
+    watermark). Deployments with larger disorder must raise the delay
+    to the max expected cross-file skew — the state cost scales with
+    (distinct keys per delay window), not with raised-delay duration
+    times traffic, because keys are dropped as the watermark passes."""
     from ..session import tune_for_oracle
 
     tune_for_oracle(spark)

@@ -21,6 +21,45 @@ def test_mega_basket_capped(spark):
     assert items == set(range(10))
 
 
+def test_mega_basket_oracle_parity(spark):
+    """The DuckDB oracle snippet (capped_basket_sql) must agree with the
+    engine on a basket EXCEEDING the cap — the ADVICE r4 gap: oracles
+    used to derive edges uncapped, so parity silently relied on TPC-H
+    baskets staying small."""
+    import duckdb
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.association import (
+        capped_basket_sql,
+    )
+
+    rows = [(1, p) for p in range(80)] + [(2, 3), (2, 99), (1, 7)]
+    df = spark.createDataFrame(rows, "l_orderkey int, l_partkey int")
+    got = sorted(
+        (r.part_a, r.part_b, r.n_orders)
+        for r in copurchase_pairs(df, min_count=1).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem(l_orderkey int, l_partkey int)")
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(f"""
+            WITH parts AS (
+                {capped_basket_sql('lineitem', 'l_orderkey', 'l_partkey')}
+            )
+            SELECT a.l_partkey, b.l_partkey, CAST(count(*) AS BIGINT)
+            FROM parts a JOIN parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        """).fetchall()
+    )
+    assert got == want
+    # basket 1 has 81 distinct items -> capped to its 50 smallest
+    assert max(x for a, b, _ in got if True for x in (a, b)) == 99
+    items_b1 = {x for a, b, n in got for x in (a, b)} - {99}
+    assert max(items_b1) == 49
+
+
 def test_pair_ordering_and_counts(spark):
     """Pairs are unordered (a < b) and counts accumulate across
     baskets; duplicate items within one basket count once."""

@@ -1,0 +1,63 @@
+"""Degenerate-input parity (ADVICE r4): events_anomaly_zscore on a
+single-active-day / constant series and ts_ewma on an all-NULL value
+window must yield NULL on BOTH engines — not ANSI divide errors, Inf,
+or NaN whose cross-engine encoding is untested."""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tests.oracle_compare import compare, duckdb_conn
+
+
+def _write_events(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _check(spark, sf_dir, names):
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    con = duckdb_conn(sf_dir)
+    for name in names:
+        ok, msg = compare(q[name](spark, sf_dir), con, o[name])
+        assert ok, f"{name}: {msg}"
+
+
+def test_single_day_and_all_null_values(spark, tmp_path):
+    t = datetime.datetime(2024, 3, 1, 10, 0)
+    rows = [
+        # user 1: every value NULL -> ewma den == 0 -> NULL
+        (1, t, 1, "click", None),
+        (2, t + datetime.timedelta(minutes=5), 1, "click", None),
+        (3, t + datetime.timedelta(minutes=9), 1, "click", None),
+        # user 2: normal values
+        (4, t + datetime.timedelta(minutes=2), 2, "view", 3.0),
+        (5, t + datetime.timedelta(minutes=7), 2, "view", 5.0),
+    ]  # all rows on ONE day -> n_days == 1 -> zscore NULL
+    sf = _write_events(tmp_path, rows)
+    _check(spark, sf, ["ts_ewma", "events_anomaly_zscore"])
+
+
+def test_constant_series_zero_variance(spark, tmp_path):
+    t = datetime.datetime(2024, 3, 1, 10, 0)
+    rows = [
+        (1, t, 1, "click", 1.0),
+        (2, t + datetime.timedelta(minutes=5), 1, "click", 2.0),
+        (3, t + datetime.timedelta(days=1), 2, "view", 3.0),
+        (4, t + datetime.timedelta(days=1, minutes=5), 2, "view", 4.0),
+    ]  # two days, two events each -> sample variance 0 -> zscore NULL
+    sf = _write_events(tmp_path, rows)
+    _check(spark, sf, ["events_anomaly_zscore"])

@@ -186,3 +186,76 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # event 4 (late beyond watermark) must not have been counted
     assert (1, 2) in finalized
     assert (1, 3) not in finalized
+
+
+def test_windowed_distinct_multifile_within_watermark(spark, tmp_path):
+    """ADVICE r4: stream_windowed_distinct_users' chained
+    dropDuplicatesWithinWatermark -> windowed-count plan must stay EXACT
+    on a multi-file landing dir (one micro-batch per file) as long as
+    cross-file event-time disorder stays within the 2h dedup delay —
+    returning users seen again in a later batch must not be re-counted."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = [f for f in os.listdir(str(tmp_path / name)) if f.endswith(".parquet")][0]
+        os.link(os.path.join(str(tmp_path / name), part), os.path.join(watch, name))
+
+    from datetime import datetime
+
+    t = lambda h, m=0: datetime(2024, 3, 1, h, m)
+    write_batch("b1.parquet", [
+        (1, t(1, 5), 1, "click", 1.0, "{}"),
+        (2, t(1, 10), 2, "click", 1.0, "{}"),
+        (3, t(2, 10), 1, "click", 1.0, "{}"),
+    ])
+    write_batch("b2.parquet", [
+        (4, t(1, 30), 1, "click", 1.0, "{}"),   # returning user, 40min disorder
+        (5, t(2, 20), 2, "click", 1.0, "{}"),
+        (6, t(3, 5), 3, "click", 1.0, "{}"),
+    ])
+    write_batch("b3.parquet", [
+        (7, t(2, 40), 1, "click", 1.0, "{}"),   # returning again, cross 2 files
+        (8, t(3, 10), 3, "click", 1.0, "{}"),   # dup within later batch
+        (9, t(3, 20), 4, "click", 1.0, "{}"),
+    ])
+
+    schema = spark.read.parquet(str(tmp_path / "b1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    deduped = (
+        stream.withColumn("hour", F.date_trunc("hour", "ts"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["hour", "user_id"])
+    )
+    agg = deduped.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("distinct_users")
+    )
+    q = (
+        agg.select(F.col("w.start").alias("window_start"), "distinct_users")
+        .writeStream.format("memory")
+        .queryName("multifile_distinct_check")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mfd_"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r.window_start.hour: r.distinct_users
+        for r in spark.table("multifile_distinct_check").collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
