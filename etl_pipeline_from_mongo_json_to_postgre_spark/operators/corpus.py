@@ -522,13 +522,31 @@ def doc_source_entropy(spark, sf_dir):
 GROWTH_CHECKPOINTS = 10
 
 
+# Sub-buckets per frequency class for the two-phase rank: the largest
+# partitioned-window partition is |biggest freq class| / ZIPF_RANK_BUCKETS
+# (the f=1 class holds ~half a Zipfian vocabulary; scale this with the
+# cluster).
+ZIPF_RANK_BUCKETS = 64
+
+
 def text_zipf_fit(spark, sf_dir):
     """Zipf's-law fit over the corpus term distribution: regression of
     ln(frequency) on ln(rank) — slope near -1 is the natural-language
-    signature; a flat slope flags synthetic/templated text. One
-    vocabulary-sized aggregate, a rank window over vocab rows (never
-    corpus rows), then the aggregate-only least-squares co-moments
-    (cf. ts_trend_slope). Single-row output."""
+    signature; a flat slope flags synthetic/templated text.
+
+    Two-phase exact rank, no vocab-sized single-partition window
+    (VERDICT r4 task 4): global rank decomposes into (a) an offset per
+    (freq, hash-bucket) group from a census window — the census is a
+    provably bounded aggregate: k distinct frequency values need
+    sum(f_i) >= k(k+1)/2 corpus tokens, so it has O(sqrt(corpus
+    tokens)) * ZIPF_RANK_BUCKETS rows (same discipline as
+    dq_histogram_equidepth) — broadcast back, plus (b) a row_number
+    PARTITIONED by (freq, bucket), whose largest partition is the
+    biggest frequency class over ZIPF_RANK_BUCKETS. Within a frequency
+    class ln(freq) is constant and the assigned rank SET {off+1..off+m}
+    is the same under any within-class order, so every regression
+    aggregate is identical to the single-window form — the oracle is
+    unchanged. Single-row output."""
     from pyspark.sql.window import Window
 
     d = _docs(spark, sf_dir)
@@ -538,9 +556,21 @@ def text_zipf_fit(spark, sf_dir):
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
-    ranked = counts.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term"))),
+    bucketed = counts.withColumn(
+        "b", F.pmod(F.xxhash64("term"), F.lit(ZIPF_RANK_BUCKETS))
+    )
+    census = bucketed.groupBy("freq", "b").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy(F.desc("freq"), F.asc("b")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = census.select(
+        "freq", "b",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_in = Window.partitionBy("freq", "b").orderBy(F.asc("term"))
+    ranked = (
+        bucketed.join(F.broadcast(offsets), ["freq", "b"])
+        .withColumn("rank", F.col("off") + F.row_number().over(w_in))
     )
     return ranked.agg(
         F.count("*").alias("vocab_size"),
@@ -677,12 +707,17 @@ def doc_chunk_spans(spark, sf_dir):
 # disagree between engines at the boundary.
 SPARSE_T2_NUM = 9604
 SPARSE_T2_DEN = 10_000
-# 100 TB cap: terms appearing in more than SPARSE_MAX_DF documents are
-# dropped from the inverted index before pairing (a stop-term emits
-# O(df^2) candidate pairs; its discriminative weight is ~0 anyway).
-# Inert at test scale — the synthetic vocabulary is small enough that
-# every term stays under the cap, keeping the oracle exact.
-SPARSE_MAX_DF = 1_000_000
+# 100 TB cap: terms appearing in more than max(floor, frac * n_docs)
+# documents are dropped from the inverted index before pairing (a
+# stop-term emits O(df^2) candidate pairs; its discriminative weight is
+# ~0 anyway). The cap is RELATIVE (VERDICT r4 task 3: an absolute
+# constant was inert on the synthetic corpus and the entry degenerated
+# to all-pairs at sf0.1): frac scales it with the corpus, the absolute
+# floor keeps the oracle non-empty and unchanged on tiny/synthetic
+# corpora (sf0.01 has 500 docs, max df 402 < 1000). n_docs is computed
+# in-plan (one-row aggregate, broadcast) — no driver round-trip.
+SPARSE_DF_FLOOR = 1_000
+SPARSE_DF_FRAC = 0.02
 
 
 def text_sparse_cosine_pairs(spark, sf_dir):
@@ -694,12 +729,18 @@ def text_sparse_cosine_pairs(spark, sf_dir):
 
     Scale shape: the shuffles carry (doc, term, tf) triples and
     (pair, partial-dot) counts — never document text; per-term fan-out
-    is bounded by the SPARSE_MAX_DF stop-term cap, which is what keeps
-    the candidate set near-linear on a Zipfian corpus. All similarity
-    math until the final display column is int64 (tf products, squared
-    norms), so the >= threshold predicate is exact in both engines.
+    is bounded by the relative stop-term cap max(SPARSE_DF_FLOOR,
+    SPARSE_DF_FRAC * n_docs), which is what keeps the candidate set
+    near-linear on a Zipfian corpus. All similarity math until the
+    final display column is int64 (tf products, squared norms), so the
+    >= threshold predicate is exact in both engines.
     """
-    d = _docs(spark, sf_dir)
+    return _sparse_cosine_pairs(
+        _docs(spark, sf_dir), SPARSE_DF_FLOOR, SPARSE_DF_FRAC
+    )
+
+
+def _sparse_cosine_pairs(d, df_floor, df_frac):
     w = _words(F.col("text"))
     tf = (
         d.where(F.size(w) > 0)
@@ -713,10 +754,22 @@ def text_sparse_cosine_pairs(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # relative cap: one-row corpus count broadcast onto the term-df
+    # marginal (both frames are metadata-scale)
+    nd = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    cap = F.greatest(
+        F.lit(df_floor).cast("bigint"),
+        F.floor(F.lit(df_frac) * F.col("n_docs")).cast("bigint"),
+    )
+    terms_kept = (
+        df_.crossJoin(F.broadcast(nd))
+        .where(F.col("df") <= cap)
+        .select("term")
+    )
     # kept then feeds three subtrees (norms + both join sides) — second
     # barrier so the df-cap join also executes once
     kept = tf.join(
-        F.broadcast(df_.where(F.col("df") <= SPARSE_MAX_DF)), "term"
+        F.broadcast(terms_kept), "term"
     ).select("doc_id", "term", "tf").localCheckpoint(eager=True)
     norms = kept.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
@@ -952,9 +1005,14 @@ ORACLE_SQL = {
             ) GROUP BY doc_id, term
         ), df AS (
             SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), nd AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM tf
         ), kept AS (
             SELECT tf.doc_id, tf.term, tf.tf
-            FROM tf JOIN df USING (term) WHERE df.df <= {SPARSE_MAX_DF}
+            FROM tf JOIN df USING (term), nd
+            WHERE df.df <= GREATEST(
+                CAST({SPARSE_DF_FLOOR} AS BIGINT),
+                CAST(floor({SPARSE_DF_FRAC!r} * nd.n_docs) AS BIGINT))
         ), norms AS (
             SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY doc_id
         ), dots AS (

@@ -106,3 +106,90 @@ def test_token_budget_greedy_frontier(spark, sf_dir):
         ran_out = r["n_docs"] == n_by_src[r["source"]]
         assert exhausted or ran_out, dict(r.asDict())
     out.unpersist()
+
+
+def _zipf_corpus_rows(n_docs=1200, vocab=6000, doc_len=50, n_dups=25, seed=42):
+    """Deterministic Zipfian corpus: >= 5k-term vocabulary, a guaranteed
+    stop term in every doc (df == n_docs > SPARSE_DF_FLOOR), and a block
+    of near-duplicate pairs that must survive the 0.98 cosine gate."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    p = (1.0 / ranks) / (1.0 / ranks).sum()
+    rows = []
+    for i in range(n_docs):
+        toks = rng.choice(vocab, size=doc_len - 1, p=p)
+        text = "the " + " ".join(f"w{t}" for t in toks)
+        rows.append((i, text, "en", f"s{i % 7}", len(text)))
+    # near-duplicates: copy of doc i with ONE extra rare token appended
+    # (cos = 50/sqrt(50*51) ~ 0.990 > 0.98)
+    for j in range(n_dups):
+        base = rows[j]
+        rows.append((n_docs + j, base[1] + f" w{vocab - 1 - j}", "en",
+                     base[3], len(base[1]) + 8))
+    return rows
+
+
+def _write_docs_parquet(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_sparse_cosine_zipfian_parity_and_cap(spark, tmp_path):
+    """VERDICT r4 task 3: on a realistic (>=5k-term Zipfian) corpus the
+    relative df cap must (a) actually drop the stop term, (b) keep the
+    near-duplicate pairs, (c) hash-match the mirrored DuckDB oracle."""
+    import __spark_entry__ as e
+    from tests.oracle_compare import compare, duckdb_conn
+
+    rows = _zipf_corpus_rows()
+    sf = _write_docs_parquet(tmp_path, rows)
+    out = corpus.text_sparse_cosine_pairs(spark, sf)
+    pairs = out.collect()
+    got_pairs = {(r.doc_a, r.doc_b) for r in pairs}
+    # every planted near-dup pair survives the cap + threshold
+    for j in range(25):
+        assert (j, 1200 + j) in got_pairs, f"planted near-dup {j} missing"
+    # the stop term is in every doc (df 1225 > floor 1000): without the
+    # cap the candidate set would contain ALL ~750k pairs; with it the
+    # result stays near the planted-duplicate set
+    assert len(pairs) < 5000, f"cap did not prune stop-term pairs: {len(pairs)}"
+    ok, msg = compare(out, duckdb_conn(sf),
+                      e.oracle_sql()["text_sparse_cosine_pairs"])
+    assert ok, msg
+
+
+def test_sparse_cosine_relative_branch(spark, tmp_path):
+    """The RELATIVE side of the cap (frac * n_docs > floor) — exercised
+    with a tiny floor so the branch is testable at unit scale: 10 docs,
+    frac 0.5 -> cap 5; a term in 6 docs is dropped, a term in 4 is kept."""
+    rows = []
+    for i in range(10):
+        toks = ["common"] if i < 6 else []   # df(common) = 6 > cap 5
+        if i < 4:
+            toks.append("mid")               # df(mid) = 4 <= cap 5
+        toks += [f"uniq{i}a", f"uniq{i}b"]
+        text = " ".join(toks)
+        rows.append((i, text, "en", "s", len(text)))
+    # two exact duplicates sharing only capped-in terms
+    rows.append((100, "mid uniq100a uniq100b", "en", "s", 21))
+    rows.append((101, "mid uniq100a uniq100b", "en", "s", 21))
+    sf = _write_docs_parquet(tmp_path, rows)
+    d = corpus._docs(spark, sf)
+    out = corpus._sparse_cosine_pairs(d, df_floor=1, df_frac=0.5).collect()
+    got = {(r.doc_a, r.doc_b): r.cosine for r in out}
+    assert (100, 101) in got and got[(100, 101)] == 1.0
+    # docs 0..5 share ONLY 'common', which the cap drops -> no pair of
+    # them may appear unless they also share an uncapped term (none do)
+    assert not any(a < 6 and b < 6 and a != 100 for (a, b) in got)

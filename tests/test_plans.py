@@ -563,3 +563,24 @@ def test_shingle_pipelines_checkpoint_before_consumption(spark, sf_dir):
         plan = physical_plan(build(spark, sf_dir))
         assert "split(text" not in plan, build.__name__
         assert "Scan ExistingRDD" in plan, build.__name__
+
+
+def test_zipf_rank_is_partitioned_not_global(spark, sf_dir):
+    """VERDICT r4 task 4: the vocabulary rank must decompose into a
+    bounded (freq, bucket) census window plus a row_number PARTITIONED
+    by (freq, bucket) — never a single-partition window over the whole
+    vocabulary. The row_number Window node must be fed by a
+    hashpartitioning Exchange, and the census offsets must broadcast
+    back onto the vocab frame."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.corpus import (
+        text_zipf_fit,
+    )
+
+    plan = physical_plan(text_zipf_fit(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    # the first Exchange BELOW the row_number Window (its input) must be
+    # a hash partitioning, not SinglePartition
+    after = plan.split("row_number() windowspecdefinition", 1)[1]
+    first_exchange = after.split("Exchange ", 1)[1].split(",", 1)[0]
+    assert first_exchange.startswith("hashpartitioning"), first_exchange
