@@ -1,32 +1,43 @@
 """Engine-side timing census: run EVERY registry entry (Spark only, no
-oracle) at a scale factor and report the slowest tail.
+oracle) at a scale factor, report the slowest tail, and optionally
+enforce per-entry time budgets.
 
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/engine_census.py
+    # CI budget gate (one command; budgets are checked in):
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/engine_census.py \
+        --budgets tools/census_budgets_sf001.json
+    # refresh budgets after adding entries (3x headroom, 3 s floor):
+    ... --write-budgets tools/census_budgets_sf001.json
 
 This is the sweep that found the round-4 CollapseProject inlining bug
-(four entries at 55-66 s that the 27-query bench never touches) — run
-it once per round after adding operators; anything that stands out by
-an order of magnitude deserves a .explain().
+(four entries at 55-66 s that the 27-query bench never touches). The
+budget gate exists so that class of plan regression fails a checked-in
+command instead of waiting for a manual run (VERDICT r4 task 6); the
+3x-headroom budgets absorb host noise while still catching the 7-45x
+blowups that plan bugs produce.
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+BUDGET_FLOOR_S = 3.0
+BUDGET_HEADROOM = 3.0
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+def run_census(sf_dir: str, cpus: int) -> dict[str, object]:
     from etl_pipeline_from_mongo_json_to_postgre_spark.session import get_spark
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="engine-census",
-                      cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    spark = get_spark(app_name="engine-census", cpus=cpus)
     times: dict[str, object] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
@@ -35,6 +46,34 @@ def main() -> int:
             times[name] = round(time.time() - t0, 2)
         except Exception as exc:  # noqa: BLE001 - census reports, not raises
             times[name] = f"ERR {str(exc)[:120]}"
+    return times
+
+
+def check_budgets(times: dict[str, object], budgets: dict[str, float]) -> list[str]:
+    """Breach list. Entries missing from the budget file breach too —
+    a new operator must ship with a budget, not dodge the gate."""
+    breaches = []
+    for name, t in times.items():
+        if not isinstance(t, float):
+            breaches.append(f"{name}: {t}")
+        elif name not in budgets:
+            breaches.append(f"{name}: {t}s but NO BUDGET (add to the budget file)")
+        elif t > budgets[name]:
+            breaches.append(f"{name}: {t}s > budget {budgets[name]}s")
+    return breaches
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budgets", help="budget JSON to enforce (rc=1 on breach)")
+    ap.add_argument("--write-budgets", help="write measured*3 (floor 3s) budgets here")
+    ap.add_argument("--json", help="dump raw per-entry seconds to this path")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    times = run_census(sf_dir, cpus)
+
     num = {k: v for k, v in times.items() if isinstance(v, float)}
     errs = {k: v for k, v in times.items() if not isinstance(v, float)}
     print("SLOWEST:")
@@ -42,6 +81,28 @@ def main() -> int:
         print(f"  {k}: {num[k]}s")
     print(f"ERRORS: {errs}")
     print(f"TOTAL: {round(sum(num.values()), 1)} s for {len(num)} queries")
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(times, fh, indent=1, sort_keys=True)
+    if args.write_budgets:
+        budgets = {
+            k: max(BUDGET_FLOOR_S, round(BUDGET_HEADROOM * v, 1))
+            for k, v in sorted(num.items())
+        }
+        with open(args.write_budgets, "w") as fh:
+            json.dump(budgets, fh, indent=1, sort_keys=True)
+        print(f"wrote {len(budgets)} budgets to {args.write_budgets}")
+    if args.budgets:
+        with open(args.budgets) as fh:
+            budgets = json.load(fh)
+        breaches = check_budgets(times, budgets)
+        if breaches:
+            print("BUDGET BREACHES:")
+            for b in breaches:
+                print(f"  {b}")
+            return 1
+        print(f"BUDGETS OK ({len(num)} entries)")
     return 1 if errs else 0
 
 
