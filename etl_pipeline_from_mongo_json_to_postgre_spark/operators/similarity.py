@@ -981,7 +981,81 @@ ORACLE_SQL["emb_pq_census"] = f"""
 """
 
 
+def search_hybrid_rerank(spark, sf_dir):
+    """Hybrid retrieval, the retrieve -> rerank shape every modern
+    search/RAG stack runs: BM25 lexical top-10 per query
+    (curation_ext.text_bm25_topk — the sparse stage) re-ranked by dense
+    cosine between the candidate document's embedding and the query's
+    embedding (vec_id == query_id stands in for the query encoder on
+    this fixture). Candidates without a vector are dropped — the
+    real-world "not yet embedded" gap — so the rerank is over the
+    embedded subset, mirrored exactly in the oracle.
+
+    Scale shape: the lexical stage prunes the corpus to queries x 10
+    rows BEFORE any dense work, so the embeddings table is probed by an
+    equi-join against a broadcast candidate list (bucket-prunable on
+    vec_id at 100 TB) — dense scoring cost is O(candidates), never
+    O(corpus). Rank by raw cosine (bit-identical across engines — same
+    double fold both sides), doc_id tie-break."""
+    from pyspark.sql.window import Window
+
+    from .curation_ext import BM25_QUERIES, text_bm25_topk
+
+    lex = text_bm25_topk(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
+    qids = [qid for qid, _ in BM25_QUERIES]
+    qv = vecs.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = (
+        F.broadcast(lex.withColumnRenamed("rank", "lex_rank"))
+        .join(vecs, lex.doc_id == vecs.vec_id)
+        .join(F.broadcast(qv), "query_id")
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        cand.select("query_id", "doc_id", "lex_rank", "score", cos.alias("cos"))
+        .withColumn("rerank", F.row_number().over(w))
+        .select(
+            "query_id", "doc_id", "lex_rank", "rerank",
+            F.round("score", 6).alias("bm25"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+def _hybrid_oracle() -> str:
+    from .curation_ext import ORACLE_SQL as _CUR_ORACLE
+
+    return f"""
+    WITH lex AS ({_CUR_ORACLE["text_bm25_topk"]}),
+    vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), cand AS (
+        SELECT l.query_id, l.doc_id, l.rank AS lex_rank, l.score,
+               {_duck_dot('dv.v', 'qv.v')} / (dv.nrm * qv.nrm) AS cos
+        FROM lex l
+        JOIN vecs dv ON dv.vec_id = l.doc_id
+        JOIN vecs qv ON qv.vec_id = l.query_id
+    )
+    SELECT query_id, doc_id, lex_rank, rerank,
+           round(score, 6) AS bm25, round(cos, 6) AS cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rerank
+        FROM cand
+    )
+"""
+
+
+ORACLE_SQL["search_hybrid_rerank"] = _hybrid_oracle()
+
+
 QUERIES = {
+    "search_hybrid_rerank": search_hybrid_rerank,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "semantic_search_topk": semantic_search_topk,

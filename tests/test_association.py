@@ -129,3 +129,36 @@ def test_funnel_matches_bruteforce(spark):
         for r in s1.join(s2, "user_id", "left").join(s3, "user_id", "left").collect()
     }
     assert got == expected
+
+
+def test_association_rules_math(spark):
+    """Hand-checked support/confidence/lift on a tiny basket set, plus
+    directionality: confidence(a->b) != confidence(b->a) when the
+    marginals differ."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import association
+
+    rows = [
+        (1, 3), (1, 5),
+        (2, 3), (2, 5),
+        (3, 3), (3, 5),
+        (4, 3),
+        (5, 9),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey int, l_partkey int")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(association, "load_table", return_value=df), \
+         mock.patch.object(association, "tune_for_oracle", lambda s: None):
+        out = {(r.antecedent, r.consequent): r
+               for r in association.basket_association_rules(spark, "x").collect()}
+    # pair (3,5) co-occurs 3x of 5 baskets; item 3 in 4, item 5 in 3
+    r = out[(3, 5)]
+    assert (r.n_orders, r.n_ante, r.n_cons) == (3, 4, 3)
+    assert r.support == round(3 / 5, 6)
+    assert r.confidence == round(3 / 4, 6)
+    assert r.lift == round((3 * 5) / (4 * 3), 6)
+    rb = out[(5, 3)]
+    assert rb.confidence == round(3 / 3, 6)  # direction matters
+    assert rb.lift == r.lift                 # lift is symmetric
+    assert (3, 9) not in out                 # below MIN_PAIR_COUNT

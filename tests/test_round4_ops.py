@@ -436,7 +436,7 @@ def test_simhash_pairs_complete_vs_bruteforce(spark, sf_dir):
     find EVERY pair within Hamming <= 2 of the signature set (verified
     against the quadratic recompute on the small test corpus)."""
     sims = {r.doc_id: r.simhash
-            for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+            for r in dedup.simhash60_signatures(spark, sf_dir).collect()}
     expect = set()
     ids = sorted(sims)
     for i, a in enumerate(ids):

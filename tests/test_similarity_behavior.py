@@ -143,3 +143,40 @@ def test_bigstar_components_on_pathological_graphs(spark):
 
     # empty edge set -> no labels
     assert labels_of([]) == {}
+
+
+def test_hybrid_rerank_properties(spark, sf_dir):
+    """The rerank stage may only PERMUTE the lexical candidate set that
+    has embeddings: per query, reranks are 1..m, ordered by cosine desc
+    (doc_id tie-break), and every row keeps its BM25 rank/score."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.curation_ext import (
+        text_bm25_topk,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        search_hybrid_rerank,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+
+    lex = {(r.query_id, r.doc_id): (r.rank, r.score)
+           for r in text_bm25_topk(spark, sf_dir).collect()}
+    have_vec = {r.vec_id for r in
+                load_table(spark, sf_dir, "embeddings").select("vec_id").collect()}
+    rows = search_hybrid_rerank(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert (r.query_id, r.doc_id) in lex, "rerank invented a candidate"
+        assert r.doc_id in have_vec
+        assert lex[(r.query_id, r.doc_id)][0] == r.lex_rank
+        assert abs(lex[(r.query_id, r.doc_id)][1] - r.bm25) < 1e-6
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        by_q.setdefault(r.query_id, []).append(r)
+    expected_m = {q: sum(1 for (qq, d) in lex if qq == q and d in have_vec)
+                  for q in by_q}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rerank)
+        assert [r.rerank for r in rs] == list(range(1, expected_m[q] + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
