@@ -766,21 +766,57 @@ def _sparse_cosine_pairs(d, df_floor, df_frac):
         .where(F.col("df") <= cap)
         .select("term")
     )
-    # kept then feeds three subtrees (norms + both join sides) — second
-    # barrier so the df-cap join also executes once
+    # kept then feeds four subtrees (norms, prefix, probe, verify) —
+    # second barrier so the df-cap join also executes once
     kept = tf.join(
-        F.broadcast(terms_kept), "term"
+        F.broadcast(terms_kept.select("term")), "term"
     ).select("doc_id", "term", "tf").localCheckpoint(eager=True)
     norms = kept.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
     )
-    a = kept.select(F.col("doc_id").alias("doc_a"), "term",
-                    F.col("tf").alias("tf_a"))
-    b = kept.select(F.col("doc_id").alias("doc_b"), "term",
-                    F.col("tf").alias("tf_b"))
+    # --- AllPairs/SSJoin prefix filter (Bayardo-Ma-Srikant, WWW'07) ---
+    # Exactness bound: with terms in a fixed global order (df asc, term
+    # asc — rarest first), if a pair shares NO term from doc x's prefix
+    # P(x), every shared term lies in x's suffix, so by Cauchy-Schwarz
+    # dot <= |suffix(x)| * |y| < t*|x|*|y|, i.e. cos < t. Hence every
+    # qualifying pair shares a term that is in the PREFIX of at least
+    # one side, and candidate generation only joins the prefix postings
+    # (1 + ~(1-t^2)*m terms per doc, and the rarest ones) against the
+    # full index — sum(prefix_df * df) candidates instead of sum(df^2).
+    # Row i is in the prefix iff its INCLUSIVE suffix norm^2 still
+    # satisfies S_i >= t^2 * n2 (S decreasing in i), checked in exact
+    # integer arithmetic like the final threshold.
+    kept_df = kept.join(F.broadcast(df_), "term")
+    w_suf = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.asc("df"), F.asc("term"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    suffix_sq = F.sum(F.col("tf") * F.col("tf")).over(w_suf)
+    prefix = (
+        kept_df.withColumn("s_i", suffix_sq)
+        .join(norms, "doc_id")
+        .where(F.col("s_i") * F.lit(SPARSE_T2_DEN)
+               >= F.lit(SPARSE_T2_NUM) * F.col("n2"))
+        .select("doc_id", "term")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_p"), "term")
+        .join(kept.select(F.col("doc_id").alias("doc_f"), "term"), "term")
+        .where(F.col("doc_p") != F.col("doc_f"))
+        .select(
+            F.least("doc_p", "doc_f").alias("doc_a"),
+            F.greatest("doc_p", "doc_f").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ka = kept.select(F.col("doc_id").alias("doc_a"), "term",
+                     F.col("tf").alias("tf_a"))
+    kb = kept.select(F.col("doc_id").alias("doc_b"), "term",
+                     F.col("tf").alias("tf_b"))
     dots = (
-        a.join(b, "term")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        cand.join(ka, "doc_a")
+        .join(kb, ["doc_b", "term"])
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
     )
