@@ -117,3 +117,38 @@ def test_evidence_parser_matches_driver_files():
     for name, res in r1.items():
         if res.get("rows_match") and res.get("schema_match") and res.get("hash_match", True):
             assert ev.get(name, 0) >= 1
+
+
+def test_red_driver_rows_reenter_the_window(tmp_path, monkeypatch):
+    """A hash-mismatched driver row is NOT evidence: the entry must sort
+    back into the window next round, while a green row rotates its entry
+    out. Simulated with a synthetic future CORRECTNESS file."""
+    import importlib
+    import json
+    import shutil
+
+    import __spark_entry__ as e
+
+    stage = tmp_path / "repo_view"
+    stage.mkdir()
+    for f in os.listdir(REPO):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            shutil.copy(os.path.join(REPO, f), stage / f)
+    json.dump(
+        {"basket_association_rules": {"rows_match": True, "schema_match": True,
+                                      "hash_match": False},
+         "search_hybrid_rerank": {"rows_match": True, "schema_match": True,
+                                  "hash_match": True}},
+        open(stage / "CORRECTNESS_r99.json", "w"),
+    )
+    monkeypatch.setattr(e, "_REPO", str(stage))
+    try:
+        ev = e._evidence_latest_green()
+        assert ev.get("search_hybrid_rerank") == 99
+        assert ev.get("basket_association_rules", 0) < 99
+        w = e.priority_window(50)
+        assert "basket_association_rules" in w
+        assert "search_hybrid_rerank" not in w
+    finally:
+        monkeypatch.undo()
+        importlib.reload(e)
