@@ -573,6 +573,63 @@ def corpus_ngram_novelty(spark, sf_dir):
     )
 
 
+KL_SCALE = 1e12  # per-term quantization -> order-free integer sum
+
+
+def corpus_split_kl_drift(spark, sf_dir):
+    """Train/val token-distribution drift: KL(train || val) over
+    add-one-smoothed unigram distributions of the deterministic 80/10
+    split (train_split_assign's assignment). The drift check a training
+    pipeline runs before trusting a held-out split — a KL spike means
+    the split is not exchangeable (temporal skew, source clumping).
+
+    Scale shape: two (split-pruned) token-count aggregates full-outer
+    merged on term (vocab-sized), totals as a broadcast one-row frame.
+    Per-term contributions p*ln(p/q) are doubles computed identically
+    on both engines (each from exact integer counts, no accumulation),
+    then quantized to integers (floor(c * 1e12)) so the vocab-sized SUM
+    is order-independent — the same bit-exactness discipline as BM25's
+    score sums. Single-row output."""
+    d = _docs(spark, sf_dir)
+    bucket = scrambled_key(F.col("doc_id"), SPLIT_BUCKETS)
+    split = (
+        F.when(bucket < TRAIN_BELOW, "train")
+        .when(bucket < VAL_BELOW, "val")
+        .otherwise("test")
+    )
+    toks = d.select(split.alias("split"),
+                    F.explode(_words(F.col("text"))).alias("term"))
+    tr = (toks.where(F.col("split") == "train")
+          .groupBy("term").agg(F.count("*").alias("c_tr")))
+    va = (toks.where(F.col("split") == "val")
+          .groupBy("term").agg(F.count("*").alias("c_va")))
+    j = (
+        tr.join(va, "term", "full_outer")
+        .select(
+            F.coalesce("c_tr", F.lit(0)).alias("c_tr"),
+            F.coalesce("c_va", F.lit(0)).alias("c_va"),
+        )
+        .localCheckpoint(eager=True)  # feeds totals AND contributions
+    )
+    tot = j.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("c_tr").cast("bigint").alias("n_tr"),
+        F.sum("c_va").cast("bigint").alias("n_va"),
+    )
+    p = (F.col("c_tr") + F.lit(1.0)) / (F.col("n_tr") + F.col("v"))
+    q = (F.col("c_va") + F.lit(1.0)) / (F.col("n_va") + F.col("v"))
+    qc = F.floor(p * F.log(p / q) * F.lit(KL_SCALE)).cast("bigint")
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("v").alias("vocab_size"),
+            F.max("n_tr").alias("train_tokens"),
+            F.max("n_va").alias("val_tokens"),
+            F.round(F.sum(qc) / F.lit(KL_SCALE), 6).alias("kl_train_val"),
+        )
+    )
+
+
 _SPLIT_SQL = (
     f"CASE WHEN {scrambled_key_sql('doc_id', SPLIT_BUCKETS)} < {TRAIN_BELOW} "
     f"THEN 'train' WHEN {scrambled_key_sql('doc_id', SPLIT_BUCKETS)} < {VAL_BELOW} "
@@ -593,6 +650,37 @@ _BM25_TS = (
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "corpus_split_kl_drift": f"""
+        WITH toks AS (
+            SELECT {_SPLIT_SQL} AS split, unnest({_DUCK_WORDS}) AS term
+            FROM documents
+        ), tr AS (
+            SELECT term, count(*) AS c_tr FROM toks
+            WHERE split = 'train' GROUP BY 1
+        ), va AS (
+            SELECT term, count(*) AS c_va FROM toks
+            WHERE split = 'val' GROUP BY 1
+        ), j AS (
+            SELECT COALESCE(c_tr, 0) AS c_tr, COALESCE(c_va, 0) AS c_va
+            FROM tr FULL OUTER JOIN va USING (term)
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(c_tr) AS BIGINT) AS n_tr,
+                   CAST(sum(c_va) AS BIGINT) AS n_va
+            FROM j
+        ), contrib AS (
+            SELECT CAST(floor(
+                ((c_tr + 1.0) / (n_tr + v))
+                * ln(((c_tr + 1.0) / (n_tr + v)) / ((c_va + 1.0) / (n_va + v)))
+                * {KL_SCALE!r}) AS BIGINT) AS qc
+            FROM j, tot
+        )
+        SELECT (SELECT v FROM tot) AS vocab_size,
+               (SELECT n_tr FROM tot) AS train_tokens,
+               (SELECT n_va FROM tot) AS val_tokens,
+               round(CAST(sum(qc) AS BIGINT) / {KL_SCALE!r}, 6) AS kl_train_val
+        FROM contrib
+    """,
     "ts_changepoint_split": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
@@ -832,6 +920,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "train_split_assign": train_split_assign,
+    "corpus_split_kl_drift": corpus_split_kl_drift,
     "corpus_decontaminate": corpus_decontaminate,
     "events_anomaly_zscore": events_anomaly_zscore,
     "orders_pareto_frontier": orders_pareto_frontier,

@@ -193,3 +193,48 @@ def test_sparse_cosine_relative_branch(spark, tmp_path):
     # docs 0..5 share ONLY 'common', which the cap drops -> no pair of
     # them may appear unless they also share an uncapped term (none do)
     assert not any(a < 6 and b < 6 and a != 100 for (a, b) in got)
+
+
+def test_kl_drift_matches_bruteforce(spark, sf_dir):
+    """corpus_split_kl_drift must equal the plain-Python add-one KL over
+    the same deterministic split (quantization error < 1e-6 * vocab)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
+        scrambled_key,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.curation_ext import (
+        SPLIT_BUCKETS,
+        TRAIN_BELOW,
+        VAL_BELOW,
+        corpus_split_kl_drift,
+    )
+
+    row = corpus_split_kl_drift(spark, sf_dir).collect()[0]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = scrambled_key(F.col("doc_id"), SPLIT_BUCKETS)
+    split = (F.when(bucket < TRAIN_BELOW, "train")
+             .when(bucket < VAL_BELOW, "val").otherwise("test"))
+    toks = [
+        (r.split, t)
+        for r in docs.select(split.alias("split"), "text").collect()
+        for t in r.text.split(" ") if t
+    ]
+    from collections import Counter
+
+    c_tr = Counter(t for s, t in toks if s == "train")
+    c_va = Counter(t for s, t in toks if s == "val")
+    vocab = set(c_tr) | set(c_va)
+    v, n_tr, n_va = len(vocab), sum(c_tr.values()), sum(c_va.values())
+    kl = sum(
+        ((c_tr[t] + 1.0) / (n_tr + v))
+        * math.log(((c_tr[t] + 1.0) / (n_tr + v)) / ((c_va[t] + 1.0) / (n_va + v)))
+        for t in vocab
+    )
+    assert row.vocab_size == v
+    assert row.train_tokens == n_tr and row.val_tokens == n_va
+    assert abs(row.kl_train_val - kl) < 1e-6 + 1e-12 * v
+    assert row.kl_train_val >= 0  # Gibbs' inequality (same support, smoothed)
