@@ -114,12 +114,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return transform_queries.audit_status_pivot(spark, "/root/testdata/sf0.001")
 
 
+def _ntz_outputs(fn: Callable) -> Callable:
+    """Cast every TIMESTAMP_LTZ output column to TIMESTAMP_NTZ at the
+    registry boundary.
+
+    Why: PySpark ``collect()`` converts TimestampType through the
+    PYTHON PROCESS timezone (datetime.fromtimestamp), so a non-UTC
+    driver host would shift collected datetimes while the DuckDB oracle
+    stays UTC-naive — a whole class of spurious hash mismatches
+    (verified 2026-08-14: exactly the ts-output entries fail under
+    TZ=America/New_York, everything else green). Every query pins the
+    SESSION timezone to UTC (tune_for_oracle), so the LTZ->NTZ cast is
+    value-preserving, and NTZ collects to a naive datetime with no
+    process-timezone involvement — parity now holds under ANY driver
+    host timezone."""
+    from functools import wraps
+
+    from pyspark.sql.types import TimestampType
+
+    @wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        for field in df.schema.fields:
+            if isinstance(field.dataType, TimestampType):
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast("timestamp_ntz")
+                )
+        return df
+
+    return wrapped
+
+
 def _registries() -> tuple[dict, dict, list[str]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     o: dict[str, str] = {}
     for mod in _MODULES:
         q.update(mod.QUERIES)
         o.update(mod.ORACLE_SQL)
+    q = {name: _ntz_outputs(fn) for name, fn in q.items()}
     return q, o, _priority(list(q), set(o))
 
 

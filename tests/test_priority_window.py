@@ -152,3 +152,29 @@ def test_red_driver_rows_reenter_the_window(tmp_path, monkeypatch):
     finally:
         monkeypatch.undo()
         importlib.reload(e)
+
+
+def test_ntz_output_shim(spark):
+    """Registry outputs must carry no TIMESTAMP_LTZ column: collect() of
+    LTZ goes through the PYTHON PROCESS timezone, so a non-UTC driver
+    host would shift values vs the UTC-naive DuckDB oracle. The shim
+    casts at the boundary (session is pinned UTC, so values are
+    preserved); full-sweep evidence: FAILS=[] under TZ=America/New_York
+    (2026-08-14)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    def fake_query(spark_, sf_dir):
+        return spark_.createDataFrame(
+            [(1, datetime.datetime(2024, 3, 1, 12, 0))], "id long, ts timestamp"
+        ).select("id", "ts", F.date_trunc("hour", "ts").alias("h"))
+
+    wrapped = e._ntz_outputs(fake_query)
+    df = wrapped(spark, "unused")
+    assert [f.dataType.typeName() for f in df.schema.fields] == [
+        "long", "timestamp_ntz", "timestamp_ntz"]
+    row = df.collect()[0]
+    assert row.ts == datetime.datetime(2024, 3, 1, 12, 0)
