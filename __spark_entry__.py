@@ -91,11 +91,27 @@ def _evidence_latest_green() -> dict[str, int]:
     return latest
 
 
+def _births() -> dict[str, int]:
+    """entry -> round the entry first existed (tools/registry_births.json,
+    integrity-enforced by test_priority_window). Among never-checked
+    entries, OLDER entries outrank in-round additions: when additions
+    push the never-checked count past the 50-slot window, the planned
+    rotation for pre-existing entries completes first and the newest
+    entries (already gated by the local two-SF parity sweep) wait one
+    round. Unrecorded entries sort dead last until recorded."""
+    try:
+        return _json.load(open(os.path.join(_REPO, "tools", "registry_births.json")))
+    except (OSError, _json.JSONDecodeError):
+        return {}
+
+
 def _priority(query_names, oracle_names) -> list[str]:
     ev = _evidence_latest_green()
+    born = _births()
     hash_backed = [n for n in query_names if n in oracle_names]
     rows_only = [n for n in query_names if n not in oracle_names]
-    never = sorted(n for n in hash_backed if n not in ev)
+    never = sorted((n for n in hash_backed if n not in ev),
+                   key=lambda n: (born.get(n, 99), n))
     stale = [n for _, n in sorted((ev[n], n) for n in hash_backed if n in ev)]
     return never + stale + sorted(rows_only, key=lambda n: (ev.get(n, 0), n))
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.sampling import scrambled_key, scrambled_key_sql
+from ..functions.text import duck_shingle_hashes, duck_word_hashes
 from ..session import tune_for_oracle
 from ..sources.parquet import fan_out, load_table
 
@@ -837,7 +838,188 @@ def _sparse_cosine_pairs(d, df_floor, df_frac):
     )
 
 
+LM_SCALE = 1e12  # per-bigram NLL quantization -> order-free bigint sums
+
+
+def text_bigram_perplexity(spark, sf_dir):
+    """Per-document surprisal under an interpolated corpus bigram LM
+    (0.75 * p_bigram + 0.25 * p_unigram, MLE counts) — the
+    perplexity-style quality signal pretraining pipelines bucket and
+    sample by (cf. CCNet/Wikipedia-LM filtering), self-contained: the
+    model is estimated from the corpus itself in the same dataflow.
+
+    Scale shape: the corpus collapses to hash streams behind one
+    checkpoint barrier; the model is (bigram-type)-sized — counts-only
+    shuffles keyed on 8-byte portable hashes, never text; scoring is
+    ONE equi-join of the positional bigram stream against the model.
+    Per-bigram -ln p is computed from exact integer count ratios and
+    quantized to bigint before the per-doc SUM (order-free, the
+    corpus_split_kl_drift discipline). Docs with <2 words drop out
+    (no bigrams). Hash note: MOD-1e9+7 bigram-key collisions would
+    duplicate join rows identically on both engines (parity-safe); at
+    web-corpus vocabulary the production key is the 128-bit pair."""
+    from ..functions.text import MOD, word_hashes
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", word_hashes(_words(F.col("text"))).alias("wh")
+    ).localCheckpoint(eager=True)  # feeds unigram AND bigram streams
+    uni = staged.select(F.explode("wh").alias("w"))
+    cu = uni.groupBy("w").agg(F.count("*").alias("cu"))
+    n_tok = uni.agg(F.count("*").cast("bigint").alias("n"))
+    bi = (
+        staged.where(F.size("wh") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("wh") - 1),
+                    lambda i: F.struct(
+                        F.element_at("wh", i).alias("w1"),
+                        F.element_at("wh", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        # portable bigram key: the same two-step fold as shingle_hashes(k=2)
+        .withColumn(
+            "bg", (F.lit(7).cast("bigint") * 131 + F.col("w1")) % F.lit(MOD)
+        )
+        .withColumn("bg", (F.col("bg") * 131 + F.col("w2")) % F.lit(MOD))
+        .localCheckpoint(eager=True)  # feeds model estimate AND scoring join
+    )
+    cells = bi.groupBy("w1", "w2", "bg").agg(F.count("*").alias("cb"))
+    ctx = cells.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cw1"))
+    model = (
+        cells.join(ctx, "w1")
+        .join(cu.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "bg",
+            F.floor(
+                -F.log(
+                    (F.lit(0.75) * F.col("cb")) / F.col("cw1")
+                    + (F.lit(0.25) * F.col("cu")) / F.col("n")
+                ) * F.lit(LM_SCALE)
+            ).cast("bigint").alias("q"),
+        )
+    )
+    return (
+        bi.select("doc_id", "bg")
+        .join(model, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("q").alias("sq"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("sq").cast("double") / F.col("n_bigrams") / F.lit(LM_SCALE),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+BPE_TOP = 20
+
+
+def text_bpe_merge_step(spark, sf_dir):
+    """One BPE-training merge step (Sennrich et al., ACL'16): corpus-
+    weighted counts of adjacent character pairs over the word-type
+    vocabulary, top-{BPE_TOP} by count — the argmax of this table IS
+    the next merge a tokenizer-training run would apply.
+
+    Scale shape: the corpus collapses to its word-TYPE vocabulary
+    first (one token-count aggregate — vocabulary is orders of
+    magnitude smaller than the corpus, and at 100 TB this is the only
+    stage that sees every token); character-pair explosion then runs
+    over vocab-sized input with the type count as the weight, so the
+    pair aggregate is |alphabet|^2-sized and map-side combined. This
+    two-level decomposition (corpus -> types -> pairs) is exactly why
+    BPE training scales: no pass after the first ever touches the
+    corpus again. TakeOrdered(20) on (count desc, pair) — a total
+    order, no global sort materialized."""
+    d = _docs(spark, sf_dir)
+    types = (
+        d.select(F.explode(_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = types.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(
+                    F.col("w").substr(i, F.lit(1)),
+                    F.col("w").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
 ORACLE_SQL = {
+    "text_bigram_perplexity": f"""
+        WITH wh_t AS (
+            SELECT doc_id, {duck_word_hashes(_DUCK_WORDS)} AS wh FROM documents
+        ), uni AS (
+            SELECT unnest(wh) AS w FROM wh_t
+        ), cu AS (
+            SELECT w, count(*) AS cu FROM uni GROUP BY w
+        ), nt AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM uni
+        ), bh_t AS (
+            SELECT doc_id, wh, {duck_shingle_hashes(k=2)} AS bh
+            FROM wh_t WHERE len(wh) >= 2
+        ), bi AS (
+            SELECT doc_id,
+                   wh[unnest(range(1, len(bh) + 1))] AS w1,
+                   wh[unnest(range(2, len(bh) + 2))] AS w2,
+                   unnest(bh) AS bg
+            FROM bh_t
+        ), cells AS (
+            SELECT w1, w2, bg, count(*) AS cb FROM bi GROUP BY 1, 2, 3
+        ), ctx AS (
+            SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM cells GROUP BY 1
+        ), model AS (
+            SELECT bg,
+                   CAST(floor(-ln((0.75 * cb) / cw1 + (0.25 * cu) / nt.n)
+                              * {LM_SCALE!r}) AS BIGINT) AS q
+            FROM cells
+            JOIN ctx USING (w1)
+            JOIN cu ON cu.w = cells.w2
+            CROSS JOIN nt
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(q) AS DOUBLE) / count(*) / {LM_SCALE!r}, 6)
+                   AS avg_nll
+        FROM bi JOIN model USING (bg)
+        GROUP BY doc_id
+    """,
+    "text_bpe_merge_step": f"""
+        WITH types AS (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+            GROUP BY w HAVING length(w) >= 2
+        ), pairs AS (
+            SELECT cnt,
+                   unnest(list_transform(range(1, length(w)),
+                          i -> w[i] || w[i+1])) AS pair
+            FROM types
+        )
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+        ORDER BY pair_count DESC, pair LIMIT {BPE_TOP}
+    """,
     "contamination_ngram_overlap": f"""
         WITH words AS (
             SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
@@ -1140,6 +1322,8 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "text_bigram_perplexity": text_bigram_perplexity,
+    "text_bpe_merge_step": text_bpe_merge_step,
     "doc_chunk_spans": doc_chunk_spans,
     "sample_weighted_topk": sample_weighted_topk,
     "text_zipf_fit": text_zipf_fit,

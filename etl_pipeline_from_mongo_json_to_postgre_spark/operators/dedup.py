@@ -819,6 +819,60 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
 
 
+SPAN_GRAM = 5  # word-5-gram granularity for duplicated-span detection
+
+
+def dedup_substring_spans(spark, sf_dir):
+    """Cross-document duplicated-substring spans — the ExactSubstr
+    dedup of Lee et al. (ACL'22, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed relationally: every maximal
+    run of word-5-gram start positions whose gram occurs in >=2
+    distinct documents, merged per document into 1-based (start, end)
+    word spans — exactly the byte ranges a substring-dedup pass cuts.
+
+    Scale shape (vs the paper's monolithic suffix array, which does
+    NOT distribute): positional gram hashes explode map-side from one
+    checkpointed word-hash stage; ONE counts-only aggregate finds
+    cross-document grams (the shuffle carries 8-byte gram hashes and
+    doc ids, never text); the island merge (pos - row_number) is a
+    window partitioned by doc_id, so per-partition state is bounded by
+    a single document's length regardless of corpus size. Portable
+    polynomial hashes -> bit-exact DuckDB oracle.
+    """
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", word_hashes(_words(F.col("text"))).alias("wh")
+    ).localCheckpoint(eager=True)  # CollapseProject barrier (see above)
+    pos_grams = staged.select(
+        "doc_id",
+        F.posexplode(shingle_hashes(F.col("wh"), k=SPAN_GRAM)).alias("i", "g"),
+    ).select("doc_id", (F.col("i") + 1).cast("bigint").alias("pos"), "g")
+    cross_doc = (
+        pos_grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        pos_grams.join(cross_doc, "g")
+        .select("doc_id", "pos")
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("mx"))
+        .select(
+            "doc_id",
+            "span_start",
+            (F.col("mx") + SPAN_GRAM - 1).alias("span_end"),
+            (F.col("mx") + SPAN_GRAM - F.col("span_start")).alias("dup_words"),
+        )
+    )
+
+
 ORACLE_SQL = {
     "fuzzy_name_pairs": f"""
         WITH names AS (
@@ -1166,8 +1220,32 @@ ORACLE_SQL["dedup_containment_pairs"] = _duck_sig_cte() + f"""
           >= {CONTAINMENT_THRESHOLD}
 """
 
+ORACLE_SQL["dedup_substring_spans"] = f"""
+    WITH wh_t AS (
+        SELECT doc_id, {duck_word_hashes(_DUCK_WORDS)} AS wh FROM documents
+    ), sh_t AS (
+        SELECT doc_id, {duck_shingle_hashes(k=SPAN_GRAM)} AS sh FROM wh_t
+    ), pos_g AS (
+        SELECT doc_id,
+               unnest(range(1, len(sh) + 1)) AS pos,
+               unnest(sh) AS g
+        FROM sh_t
+    ), cross_doc AS (
+        SELECT g FROM pos_g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), islands AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM pos_g JOIN cross_doc USING (g)
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {SPAN_GRAM - 1} AS span_end,
+           max(pos) + {SPAN_GRAM} - min(pos) AS dup_words
+    FROM islands GROUP BY doc_id, grp
+"""
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,

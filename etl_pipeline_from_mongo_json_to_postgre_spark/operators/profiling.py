@@ -152,7 +152,102 @@ def _zorder_census_sql() -> str:
     """
 
 
+CHISQ_SCALE = 1e9  # per-cell quantization -> order-free bigint sum
+
+
+def dq_chisq_independence(spark, sf_dir):
+    """Chi-squared independence test between the documents table's two
+    categorical dimensions (lang x source), plus Cramer's V — the
+    feature-association check a curation pipeline runs before trusting
+    per-language sampling weights (a high V means language and source
+    are confounded and per-source quotas silently skew the language
+    mix).
+
+    Scale shape: ONE corpus-sized aggregate produces the contingency
+    cells; everything after runs on bounded-cardinality frames (row
+    totals |langs|, column totals |sources|, full grid |langs x
+    sources| via a tiny crossJoin, N as a broadcast one-row frame —
+    the scalar-propagation pattern). Per-cell (o-e)^2/e contributions
+    are quantized to bigint before the grid-sized SUM, so accumulation
+    is order-free across engines."""
+    tune_for_oracle(spark)
+    d = load_table(spark, sf_dir, "documents")
+    obs = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds totals, grid join, and N
+    )
+    rl = obs.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("rl"))
+    cs = obs.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("cs"))
+    n = obs.agg(F.sum("cnt").cast("bigint").alias("n"))
+    cells = (
+        rl.crossJoin(cs)  # bounded: |langs| x |sources| grid
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("o"),
+            (F.col("rl").cast("double") * F.col("cs") / F.col("n")).alias("e"),
+        )
+    )
+    agg = cells.select(
+        F.floor(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+            / F.col("e") * F.lit(CHISQ_SCALE)
+        ).cast("bigint").alias("q")
+    ).agg(F.sum("q").cast("bigint").alias("chi2_q"))
+    out = (
+        agg.crossJoin(F.broadcast(rl.agg(F.count("*").alias("n_langs"))))
+        .crossJoin(F.broadcast(cs.agg(F.count("*").alias("n_sources"))))
+        .crossJoin(F.broadcast(n))
+    )
+    chi2 = F.col("chi2_q") / F.lit(CHISQ_SCALE)
+    m = F.least(F.col("n_langs") - 1, F.col("n_sources") - 1)
+    return out.select(
+        F.col("n").alias("n_rows"),
+        "n_langs",
+        "n_sources",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1))
+        .cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.col("n") * m)), 6).alias("cramers_v"),
+    )
+
+
 ORACLE_SQL = {
+    "dq_chisq_independence": f"""
+        WITH obs AS (
+            SELECT lang, source, count(*) AS cnt
+            FROM documents GROUP BY 1, 2
+        ), rl AS (
+            SELECT lang, CAST(sum(cnt) AS BIGINT) AS rl FROM obs GROUP BY 1
+        ), cs AS (
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS cs FROM obs GROUP BY 1
+        ), n AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n FROM obs
+        ), cells AS (
+            SELECT COALESCE(cnt, 0) AS o,
+                   CAST(rl AS DOUBLE) * cs / n.n AS e
+            FROM rl CROSS JOIN cs
+            LEFT JOIN obs USING (lang, source)
+            CROSS JOIN n
+        ), agg AS (
+            SELECT CAST(sum(CAST(floor(
+                       (o - e) * (o - e) / e * {CHISQ_SCALE!r}
+                   ) AS BIGINT)) AS BIGINT) AS chi2_q
+            FROM cells
+        )
+        SELECT n.n AS n_rows,
+               (SELECT count(*) FROM rl) AS n_langs,
+               (SELECT count(*) FROM cs) AS n_sources,
+               CAST(((SELECT count(*) FROM rl) - 1)
+                    * ((SELECT count(*) FROM cs) - 1) AS BIGINT) AS dof,
+               round(chi2_q / {CHISQ_SCALE!r}, 6) AS chi2,
+               round(sqrt((chi2_q / {CHISQ_SCALE!r})
+                          / (n.n * least((SELECT count(*) FROM rl) - 1,
+                                         (SELECT count(*) FROM cs) - 1))),
+                     6) AS cramers_v
+        FROM agg, n
+    """,
     "dq_column_profile": """
         WITH src AS (SELECT * FROM orders)
         SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
@@ -668,6 +763,7 @@ def dq_order_reconciliation(spark, sf_dir):
 
 
 QUERIES = {
+    "dq_chisq_independence": dq_chisq_independence,
     "dq_column_profile": dq_column_profile,
     "dq_null_violations": dq_null_violations,
     "zorder_bucket_census": zorder_bucket_census,

@@ -407,7 +407,196 @@ def ts_active_time_coverage(spark, sf_dir):
     )
 
 
+LATENESS_BLOCK = 4096          # arrival-order block size for the carry
+_LATE_BOUNDS_US = (0, 60_000_000, 600_000_000, 3_600_000_000)
+_LATE_LABELS = ("in_order", "<=60s", "<=10m", "<=1h", ">1h")
+
+
+def events_lateness_census(spark, sf_dir):
+    """Event-time disorder census: for every event, its lateness vs the
+    running maximum event time over ARRIVAL order (event_id — the
+    ingest sequence), bucketed into the delays a watermark would have
+    to absorb. This is how a streaming pipeline chooses
+    withWatermark() empirically instead of guessing: the p-max bucket
+    IS the bound on `dropDuplicatesWithinWatermark` state retention
+    (the round-4 advice item on stream_windowed_distinct_users).
+
+    Scale shape: the running max is a DISTRIBUTED prefix max — local
+    running max inside fixed arrival blocks, plus a block-maxima carry
+    (block-cardinality window, bounded; recursion to more levels is
+    mechanical if block count ever grows past memory — same
+    decomposition as sessions_concurrency_daily's prefix sum). The
+    oracle runs the plain single-window global sweep, pinning the
+    decomposition's equivalence."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("event_id") / LATENESS_BLOCK).cast("bigint").alias("blk"),
+    )
+    w_local = (
+        Window.partitionBy("blk").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("lmax", F.max("t_us").over(w_local))
+    bmax = base.groupBy("blk").agg(F.max("t_us").alias("bmax"))
+    w_carry = (
+        Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmax.select("blk", F.max("bmax").over(w_carry).alias("prev_max"))
+    lat = (
+        local.join(F.broadcast(carry), "blk")
+        .select(
+            (
+                F.greatest(
+                    F.col("lmax"),
+                    F.coalesce(F.col("prev_max"), F.lit(-(1 << 62))),
+                ) - F.col("t_us")
+            ).alias("l_us")
+        )
+    )
+    bucket = F.when(F.col("l_us") <= 0, 0)
+    for i, b in enumerate(_LATE_BOUNDS_US[1:], start=1):
+        bucket = bucket.when(F.col("l_us") <= b, i)
+    bucket = bucket.otherwise(len(_LATE_BOUNDS_US)).cast("bigint")
+    label = F.element_at(F.array(*[F.lit(s) for s in _LATE_LABELS]),
+                         (F.col("bucket_id") + 1).cast("int"))
+    total = lat.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        lat.select(bucket.alias("bucket_id"), "l_us")
+        .groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("l_us").alias("mx_us"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket_id",
+            label.alias("label"),
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("total"), 6)
+            .alias("share"),
+            F.round(F.col("mx_us") / F.lit(1e6), 6).alias("max_lateness_s"),
+        )
+    )
+
+
+NLL_SCALE = 1e12  # per-transition quantization -> order-free bigint sum
+
+
+def ts_markov_perplexity(spark, sf_dir):
+    """Per-user path surprisal under the corpus-wide first-order
+    Markov chain: each user's average negative log transition
+    probability (the anomaly score behind "this session doesn't look
+    like normal navigation") — the scoring half of the model
+    ts_markov_transitions estimates.
+
+    Scale shape: the (from, to) pair stream is computed ONCE behind a
+    checkpoint barrier (it feeds both the matrix estimate and the
+    scoring join — one lead() pass over the user_id shuffle); the
+    transition matrix is |types|^2-sized, so the scoring join
+    broadcasts it. Determinism: each transition's -ln(cnt/row_total)
+    is computed from exact integer ratios and quantized to bigint
+    (floor(nll * 1e12)) before the per-user SUM, so accumulation is
+    order-free — the same discipline as corpus_split_kl_drift."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "event_id",
+            F.col("event_type").alias("from_type"),
+            F.unix_micros("ts").alias("t_us"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .select("user_id", "from_type", "to_type")
+        .localCheckpoint(eager=True)  # feeds matrix AND scoring join
+    )
+    cells = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("cnt"))
+    totals = cells.groupBy("from_type").agg(F.sum("cnt").alias("row_total"))
+    matrix = cells.join(F.broadcast(totals), "from_type").select(
+        "from_type", "to_type",
+        F.floor(
+            -F.log(F.col("cnt").cast("double") / F.col("row_total"))
+            * F.lit(NLL_SCALE)
+        ).cast("bigint").alias("nll_q"),
+    )
+    return (
+        pairs.join(F.broadcast(matrix), ["from_type", "to_type"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_trans"), F.sum("nll_q").alias("sq"))
+        .select(
+            "user_id",
+            "n_trans",
+            F.round(
+                F.col("sq").cast("double") / F.col("n_trans") / F.lit(NLL_SCALE),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+_LATE_CASE = (
+    "CASE WHEN l_us <= 0 THEN 0 "
+    + " ".join(
+        f"WHEN l_us <= {b} THEN {i}"
+        for i, b in enumerate(_LATE_BOUNDS_US[1:], start=1)
+    )
+    + f" ELSE {len(_LATE_BOUNDS_US)} END"
+)
+_LATE_LABEL_CASE = (
+    "CASE bucket_id "
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_LATE_LABELS))
+    + " END"
+)
+
 ORACLE_SQL = {
+    "events_lateness_census": f"""
+        WITH run AS (
+            SELECT epoch_us(ts) AS t_us,
+                   max(epoch_us(ts)) OVER (
+                       ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS rm
+            FROM events
+        ), lat AS (
+            SELECT rm - t_us AS l_us FROM run
+        ), b AS (
+            SELECT CAST({{late_case}} AS BIGINT) AS bucket_id, l_us FROM lat
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS total FROM b
+        )
+        SELECT bucket_id, {{label_case}} AS label, count(*) AS n_events,
+               round(CAST(count(*) AS DOUBLE) / total, 6) AS share,
+               round(max(l_us) / 1e6, 6) AS max_lateness_s
+        FROM b, tot GROUP BY bucket_id, total
+    """.replace("{late_case}", _LATE_CASE).replace("{label_case}", _LATE_LABEL_CASE),
+    "ts_markov_perplexity": f"""
+        WITH pairs AS (
+            SELECT user_id, event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS to_type
+            FROM events
+        ), p2 AS (
+            SELECT user_id, from_type, to_type FROM pairs
+            WHERE to_type IS NOT NULL
+        ), cells AS (
+            SELECT from_type, to_type, count(*) AS cnt FROM p2 GROUP BY 1, 2
+        ), totals AS (
+            SELECT from_type, CAST(sum(cnt) AS BIGINT) AS row_total
+            FROM cells GROUP BY 1
+        ), matrix AS (
+            SELECT from_type, to_type,
+                   CAST(floor(-ln(CAST(cnt AS DOUBLE) / row_total)
+                              * {NLL_SCALE!r}) AS BIGINT) AS nll_q
+            FROM cells JOIN totals USING (from_type)
+        )
+        SELECT user_id, count(*) AS n_trans,
+               round(CAST(sum(nll_q) AS DOUBLE) / count(*) / {NLL_SCALE!r},
+                     6) AS avg_nll
+        FROM p2 JOIN matrix USING (from_type, to_type)
+        GROUP BY user_id
+    """,
     "ts_active_time_coverage": f"""
         WITH pts AS (
             SELECT user_id,
@@ -617,4 +806,6 @@ QUERIES = {
     "ts_trend_slope": ts_trend_slope,
     "sessions_concurrency_daily": sessions_concurrency_daily,
     "ts_markov_transitions": ts_markov_transitions,
+    "ts_markov_perplexity": ts_markov_perplexity,
+    "events_lateness_census": events_lateness_census,
 }

@@ -73,9 +73,11 @@ def test_rows_only_sort_last():
 
 def test_round5_window_composition():
     """Regression pin for the round-5 rotation (VERDICT r4 task 1): with
-    evidence through r4 committed, the window must be exactly the 45
-    never-driver-checked hash-oracle entries plus 5 stalest (r1-only)
-    entries. If the driver has already committed CORRECTNESS_r05.json the
+    evidence through r4 committed, every never-driver-checked entry that
+    existed at the r4 close must occupy the window; in-round-5 additions
+    fill the remaining slots in name order and any overflow defers to
+    round 6 (they are already gated by the local two-SF parity sweep).
+    If the driver has already committed CORRECTNESS_r05.json the
     composition legitimately moves on — skip then."""
     import glob
 
@@ -92,18 +94,41 @@ def test_round5_window_composition():
     ev = _evidence()
     q, o, order = e._registries()
     window = e.priority_window(50)
-    never = [n for n in window if n not in ev]
-    evidenced = [n for n in window if n in ev]
+    births = e._births()
     all_never = [n for n in q if n in o and n not in ev]
-    # every never-checked hash-oracle entry fits in (and must occupy)
-    # the window: the 45 from the r4 verdict plus any round-5 additions
-    assert len(all_never) <= 50
-    assert set(never) == set(all_never)
+    pre_r5 = sorted(n for n in all_never if births.get(n, 99) <= 4)
+    born_r5 = sorted(n for n in all_never if births.get(n, 99) >= 5)
+    assert len(pre_r5) <= 50, "the r4-close rotation plan must fit the window"
+    expected = pre_r5 + born_r5[: 50 - len(pre_r5)]
+    assert set(window) == set(expected)
     assert {"supplier_region_mix", "kmeans_train", "emb_pca_project",
             "graph_pagerank_parts", "approx_heavy_users",
-            "tpch_q6_forecast_revenue", "w4_windowed_distinct_count"} <= set(never)
-    assert len(evidenced) == 50 - len(never)
-    assert all(ev[n] == 1 for n in evidenced), "fill slots must be the stalest (r1) entries"
+            "tpch_q6_forecast_revenue", "w4_windowed_distinct_count"} <= set(window)
+
+
+def test_every_entry_has_a_birth_record():
+    """tools/registry_births.json is what lets in-round additions defer
+    to the planned rotation — a new operator must record its birth."""
+    import __spark_entry__ as e
+
+    births = e._births()
+    q = e.queries()
+    missing = [n for n in q if n not in births]
+    assert not missing, f"registry entries without a birth record: {missing}"
+    stale = [n for n in births if n not in q]
+    assert not stale, f"birth records for vanished entries: {stale}"
+    assert all(isinstance(v, int) and 1 <= v <= 50 for v in births.values())
+
+
+def test_never_checked_sort_by_birth_then_name():
+    import __spark_entry__ as e
+
+    q, o, order = e._registries()
+    ev = _evidence()
+    births = e._births()
+    never = [n for n in order if n in o and n not in ev]
+    keys = [(births.get(n, 99), n) for n in never]
+    assert keys == sorted(keys), "never-checked block must sort (birth, name)"
 
 
 def test_evidence_parser_matches_driver_files():

@@ -1,0 +1,189 @@
+"""Behavior pins for the round-5 second-wave operators: duplicated-
+substring spans (ExactSubstr), the BPE merge step, Markov path
+surprisal, and the chi-squared independence test — each on crafted
+fixtures where the expected output is hand-computable."""
+
+import datetime
+import math
+
+from pyspark.sql import functions as F  # noqa: F401 (fixture builders)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestSubstringSpans:
+    def _run(self, spark, monkeypatch, rows):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import dedup
+
+        df = _docs_df(spark, rows)
+        monkeypatch.setattr(dedup, "_docs", lambda s, d: df)
+        out = dedup.dedup_substring_spans(spark, "unused")
+        return {
+            (r.doc_id, r.span_start, r.span_end, r.dup_words)
+            for r in out.collect()
+        }
+
+    def test_shared_run_merges_into_one_span(self, spark, monkeypatch):
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+        spans = self._run(spark, monkeypatch, [
+            (0, shared + " tail0a tail0b tail0c"),
+            (1, "head1a head1b " + shared),
+            (2, "only unique words live here nothing shared at all"),
+        ])
+        # doc0: dup 5-gram starts 1..4 -> one island covering words 1..8;
+        # doc1: same run shifted by its 2-word head -> words 3..10.
+        assert spans == {(0, 1, 8, 8), (1, 3, 10, 8)}
+
+    def test_within_doc_repeat_is_not_cross_doc(self, spark, monkeypatch):
+        spans = self._run(spark, monkeypatch, [
+            (0, "r1 r2 r3 r4 r5 x r1 r2 r3 r4 r5"),
+            (1, "different vocabulary entirely for this document body"),
+        ])
+        assert spans == set()  # >=2 DISTINCT docs required
+
+    def test_disjoint_shared_runs_stay_separate_spans(self, spark, monkeypatch):
+        a, b = "s1 s2 s3 s4 s5", "t1 t2 t3 t4 t5"
+        spans = self._run(spark, monkeypatch, [
+            (4, a + " u1 u2 u3 " + b),
+            (5, a + " v1 v2 v3 " + b),
+        ])
+        assert spans == {
+            (4, 1, 5, 5), (4, 9, 13, 5),
+            (5, 1, 5, 5), (5, 9, 13, 5),
+        }
+
+
+class TestBpeMergeStep:
+    def _run(self, spark, monkeypatch, rows):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import corpus
+
+        df = _docs_df(spark, rows)
+        monkeypatch.setattr(corpus, "_docs", lambda s, d: df)
+        out = corpus.text_bpe_merge_step(spark, "unused")
+        return [(r.pair, r.pair_count) for r in out.collect()]
+
+    def test_pair_counts_weighted_by_word_frequency(self, spark, monkeypatch):
+        got = self._run(spark, monkeypatch, [(0, "ab ab cd"), (1, "ab xy")])
+        assert got == [("ab", 3), ("cd", 1), ("xy", 1)]
+
+    def test_pairs_within_longer_words_and_tie_order(self, spark, monkeypatch):
+        got = self._run(spark, monkeypatch, [(0, "aab aab")])
+        assert got == [("aa", 2), ("ab", 2)]
+
+
+class TestMarkovPerplexity:
+    def _run(self, spark, monkeypatch, seq):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+            timeseries,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (uid, i, et, base + datetime.timedelta(minutes=i))
+            for i, (uid, et) in enumerate(seq)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, event_type string, ts timestamp"
+        )
+        monkeypatch.setattr(timeseries, "_events", lambda s, d: df)
+        out = timeseries.ts_markov_perplexity(spark, "unused")
+        return {r.user_id: (r.n_trans, r.avg_nll) for r in out.collect()}
+
+    def test_deterministic_chain_scores_zero(self, spark, monkeypatch):
+        got = self._run(spark, monkeypatch, [(1, t) for t in "ababa"])
+        assert got == {1: (4, 0.0)}
+
+    def test_branching_chain_scores_ln2(self, spark, monkeypatch):
+        # a->b, b->a, a->c: p(a->b)=p(a->c)=1/2, p(b->a)=1
+        got = self._run(spark, monkeypatch, [(1, t) for t in "abac"])
+        n, nll = got[1]
+        assert n == 3
+        assert abs(nll - 2 * math.log(2) / 3) < 1e-5
+
+
+class TestLatenessCensus:
+    def _run(self, spark, monkeypatch, rows):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+            timeseries,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(eid, base + datetime.timedelta(seconds=s)) for eid, s in rows],
+            "event_id bigint, ts timestamp",
+        )
+        monkeypatch.setattr(timeseries, "_events", lambda s, d: df)
+        out = timeseries.events_lateness_census(spark, "unused")
+        return {r.bucket_id: (r.label, r.n_events, r.max_lateness_s)
+                for r in out.collect()}
+
+    def test_buckets_and_shares(self, spark, monkeypatch):
+        got = self._run(spark, monkeypatch, [
+            (0, 1000),   # in order
+            (1, 970),    # 30 s late
+            (2, 2000),   # in order
+            (3, 1500),   # 500 s late
+            (4, 2100),   # in order
+            (5, -2900),  # 5000 s late (> 1 h)
+        ])
+        assert got == {
+            0: ("in_order", 3, 0.0),
+            1: ("<=60s", 1, 30.0),
+            2: ("<=10m", 1, 500.0),
+            4: (">1h", 1, 5000.0),
+        }
+
+    def test_carry_crosses_arrival_blocks(self, spark, monkeypatch):
+        # ids 0 and 5000 land in different LATENESS_BLOCK partitions;
+        # the 100 s lateness is only visible through the block carry.
+        got = self._run(spark, monkeypatch, [(0, 1000), (5000, 900)])
+        assert got == {0: ("in_order", 1, 0.0), 2: ("<=10m", 1, 100.0)}
+
+
+class TestBigramPerplexity:
+    def test_hand_computed_interpolated_nll(self, spark, monkeypatch):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import corpus
+
+        df = _docs_df(spark, [(0, "a b a b"), (1, "x")])
+        monkeypatch.setattr(corpus, "_docs", lambda s, d: df)
+        rows = {r.doc_id: r for r in
+                corpus.text_bigram_perplexity(spark, "unused").collect()}
+        assert list(rows) == [0]  # the 1-word doc has no bigrams
+        r = rows[0]
+        # c(ab)=2 of ctx(a)=2, c(ba)=1 of ctx(b)=1; p_uni(a)=p_uni(b)=2/5
+        # -> every bigram scores 0.75*1 + 0.25*0.4 = 0.85
+        assert r.n_bigrams == 3
+        assert abs(r.avg_nll - (-math.log(0.85))) < 1e-6
+
+
+class TestChisqIndependence:
+    def _run(self, spark, monkeypatch, cells):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+            profiling,
+        )
+
+        rows = [
+            (i, lang, src)
+            for i, (lang, src) in enumerate(
+                (lg, sc) for (lg, sc, n) in cells for _ in range(n)
+            )
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string, source string")
+        monkeypatch.setattr(profiling, "load_table", lambda s, d, t: df)
+        out = profiling.dq_chisq_independence(spark, "unused")
+        return out.collect()[0]
+
+    def test_independent_table_scores_zero(self, spark, monkeypatch):
+        r = self._run(spark, monkeypatch, [
+            ("en", "a", 10), ("en", "b", 20), ("fr", "a", 30), ("fr", "b", 60),
+        ])
+        assert (r.n_rows, r.n_langs, r.n_sources, r.dof) == (120, 2, 2, 1)
+        assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+    def test_diagonal_table_scores_n_and_v_one(self, spark, monkeypatch):
+        r = self._run(spark, monkeypatch, [("en", "a", 50), ("fr", "b", 50)])
+        assert r.chi2 == 100.0  # chi2 == N for a perfect association
+        assert r.cramers_v == 1.0
+        assert r.dof == 1

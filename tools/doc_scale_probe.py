@@ -39,6 +39,8 @@ DOC_FAMILY = [
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",
     "dedup_containment_pairs",
+    "dedup_substring_spans",
+    "text_bpe_merge_step",
     "text_sparse_cosine_pairs",
     "text_bm25_topk",
     "text_winnowing_fingerprint",
