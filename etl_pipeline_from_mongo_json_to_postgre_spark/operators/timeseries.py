@@ -433,7 +433,7 @@ def events_lateness_census(spark, sf_dir):
         "event_id",
         F.unix_micros("ts").alias("t_us"),
         F.floor(F.col("event_id") / LATENESS_BLOCK).cast("bigint").alias("blk"),
-    )
+    ).localCheckpoint(eager=True)  # feeds the local window AND block maxima
     w_local = (
         Window.partitionBy("blk").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, 0)

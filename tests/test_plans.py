@@ -404,6 +404,11 @@ MULTI_CONSUMER_ENTRIES = [
     "ann_ivf_topk",
     "kmeans_train",
     "emb_pca_project",
+    "dedup_substring_spans",
+    "ts_markov_perplexity",
+    "dq_chisq_independence",
+    "text_bigram_perplexity",
+    "events_lateness_census",
 ]
 
 _SCAN_TABLE_RE = re.compile(r"FileScan[^\n]*?/(\w+)\.parquet")
@@ -563,6 +568,38 @@ def test_shingle_pipelines_checkpoint_before_consumption(spark, sf_dir):
         plan = physical_plan(build(spark, sf_dir))
         assert "split(text" not in plan, build.__name__
         assert "Scan ExistingRDD" in plan, build.__name__
+
+
+def test_substring_spans_barrier_and_partitioned_islands(spark, sf_dir):
+    """dedup_substring_spans: the positional-gram pipeline must consume
+    the MATERIALIZED word-hash arrays (checkpoint barrier — same
+    CollapseProject class as the jaccard family), and the island-merge
+    window must be partitioned by doc_id, never a global sort."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    plan = physical_plan(dedup_substring_spans(spark, sf_dir))
+    assert "split(text" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Python" not in plan
+    after = plan.split("row_number() windowspecdefinition", 1)[1]
+    first_exchange = after.split("Exchange ", 1)[1].split(",", 1)[0]
+    assert first_exchange.startswith("hashpartitioning"), first_exchange
+
+
+def test_lateness_census_local_window_is_partitioned(spark, sf_dir):
+    """events_lateness_census: the corpus-sized running max must run
+    inside arrival blocks (hashpartitioning on blk), with only the
+    block-cardinality carry allowed through a single partition."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        events_lateness_census,
+    )
+
+    plan = physical_plan(events_lateness_census(spark, sf_dir))
+    assert "Python" not in plan
+    assert "hashpartitioning(blk" in plan
+    assert "BroadcastHashJoin" in plan  # carry + total join back broadcast
 
 
 def test_zipf_rank_is_partitioned_not_global(spark, sf_dir):

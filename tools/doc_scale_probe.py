@@ -41,6 +41,7 @@ DOC_FAMILY = [
     "dedup_containment_pairs",
     "dedup_substring_spans",
     "text_bpe_merge_step",
+    "text_bigram_perplexity",
     "text_sparse_cosine_pairs",
     "text_bm25_topk",
     "text_winnowing_fingerprint",
