@@ -82,8 +82,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,15000,50000")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--entries", default=None,
+                    help="comma-separated subset of DOC_FAMILY to probe")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    family = (args.entries.split(",") if args.entries else DOC_FAMILY)
 
     from etl_pipeline_from_mongo_json_to_postgre_spark.session import get_spark
 
@@ -101,7 +104,7 @@ def main() -> int:
         dirs[n] = d
 
     results: dict[str, dict[int, float]] = {}
-    for name in DOC_FAMILY:
+    for name in family:
         if name not in queries:
             print(f"  {name}: not in registry, skipped")
             continue
