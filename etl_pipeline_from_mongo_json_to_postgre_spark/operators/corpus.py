@@ -921,6 +921,57 @@ def text_bigram_perplexity(spark, sf_dir):
     )
 
 
+PPL_PROBS = (1.0 / 3.0, 2.0 / 3.0)
+_PPL_LABELS = ("head", "middle", "tail")
+
+
+def sample_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC'20): split
+    the corpus into head / middle / tail tertiles of LM surprisal
+    (text_bigram_perplexity's per-doc score) and report each bucket's
+    document count, token mass, and mean NLL — the table behind
+    "sample 60% head / 30% middle / 10% tail" pretraining mixes.
+
+    Scale shape: the per-doc score frame is checkpointed once and
+    feeds both the tertile-boundary aggregate and bucket assignment
+    (boundaries broadcast back as one row — the equidepth-histogram
+    pattern, never a global ntile sort). The exact percentile here is
+    oracle-grade; at 100 TB the drop-in swap is approx_percentile
+    (mergeable sketch) with the same downstream plan. Bucket means go
+    through 1e6-quantized integers so the sum is order-free."""
+    scored = text_bigram_perplexity(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # feeds boundary estimate AND bucket assignment
+    probs = "array(" + ", ".join(repr(p) for p in PPL_PROBS) + ")"
+    bounds = scored.agg(F.expr(f"percentile(avg_nll, {probs})").alias("bnds"))
+    bucket = (
+        F.size(F.filter("bnds", lambda b: F.col("avg_nll") > b))
+        .cast("bigint").alias("bucket")
+    )
+    label = F.element_at(
+        F.array(*[F.lit(s) for s in _PPL_LABELS]),
+        (F.col("bucket") + 1).cast("int"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket,
+            "n_bigrams",
+            F.round(F.col("avg_nll") * 1e6).cast("bigint").alias("q"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("q").cast("double") / F.count("*") / F.lit(1e6), 6
+            ).alias("mean_nll"),
+        )
+        .select("bucket", label.alias("label"), "n_docs", "n_bigrams",
+                "mean_nll")
+    )
+
+
 BPE_TOP = 20
 
 
@@ -1321,7 +1372,32 @@ ORACLE_SQL = {
     """,
 }
 
+ORACLE_SQL["sample_perplexity_buckets"] = (
+    "WITH scored AS (" + ORACLE_SQL["text_bigram_perplexity"] + "), "
+    + f"""bounds AS (
+        SELECT quantile_cont(avg_nll,
+                             [{PPL_PROBS[0]!r}, {PPL_PROBS[1]!r}]) AS bnds
+        FROM scored
+    )
+    SELECT bucket,
+           CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS label,
+           count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6) AS mean_nll
+    FROM (
+        SELECT CAST(len(list_filter(b.bnds, x -> s.avg_nll > x)) AS BIGINT)
+                   AS bucket,
+               s.n_bigrams,
+               CAST(round(s.avg_nll * 1e6) AS BIGINT) AS q
+        FROM scored s CROSS JOIN bounds b
+    )
+    GROUP BY bucket
+    """
+)
+
 QUERIES = {
+    "sample_perplexity_buckets": sample_perplexity_buckets,
     "text_bigram_perplexity": text_bigram_perplexity,
     "text_bpe_merge_step": text_bpe_merge_step,
     "doc_chunk_spans": doc_chunk_spans,

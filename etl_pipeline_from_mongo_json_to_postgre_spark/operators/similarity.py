@@ -1054,8 +1054,136 @@ def _hybrid_oracle() -> str:
 ORACLE_SQL["search_hybrid_rerank"] = _hybrid_oracle()
 
 
+MRL_DIMS = DIM // 2  # truncated prefix length under evaluation
+
+
+def emb_matryoshka_eval(spark, sf_dir):
+    """Matryoshka truncation evaluation (MRL, Kusupati et al.
+    NeurIPS'22): per query, how much of the exact top-5 cosine
+    retrieval survives when every vector is truncated to its first
+    DIM/2 dimensions — the measurement a pipeline runs before
+    committing a 100 TB index to truncated storage (half the bytes,
+    half the FLOPs per distance).
+
+    Scale shape: ONE checkpointed vector materialization carries both
+    the full and prefix norms; both retrieval passes are the guarded
+    broadcast(query-slice) x corpus shape of ann_cosine_topk, and the
+    agreement join runs on queries x k rows. Same deterministic
+    sequential-fold dot products as the rest of the family ->
+    bit-exact oracle."""
+    from pyspark.sql.window import Window
+
+    vecs = (
+        _vectors(spark, sf_dir)
+        .withColumn("pv", F.slice("v", 1, MRL_DIMS))
+        .withColumn("pn", _norm(F.col("pv")))
+        .localCheckpoint(eager=True)  # feeds both retrieval passes
+    )
+
+    def top5(vcol, ncol):
+        q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vcol).alias("qv"),
+            F.col(ncol).alias("qn"),
+        )
+        pairs = F.broadcast(q).crossJoin(vecs).where(
+            F.col("vec_id") != F.col("query_id")
+        )
+        cos = _dot(F.col("qv"), F.col(vcol)) / (F.col("qn") * F.col(ncol))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                         cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOPK)
+            .select("query_id", "neighbor_id", "rank")
+        )
+
+    full = top5("v", "nrm")
+    pre = top5("pv", "pn")
+    hits = (
+        full.select("query_id", "neighbor_id")
+        .join(pre.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    top1 = (
+        full.where(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("nf"))
+        .join(
+            pre.where(F.col("rank") == 1)
+            .select("query_id", F.col("neighbor_id").alias("np")),
+            "query_id",
+        )
+        .select("query_id", (F.col("nf") == F.col("np")).alias("top1_match"))
+    )
+    return (
+        top1.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0).cast("bigint")).alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0).cast("bigint")).cast("double")
+                / F.lit(float(TOPK))
+            ).alias("agreement"),
+            "top1_match",
+        )
+    )
+
+
+def _duck_dot_n(a: str, b: str, n: int) -> str:
+    return _duck_fold_sum(f"list_transform(range(1, {n}+1), i -> {a}[i] * {b}[i])")
+
+
+ORACLE_SQL["emb_matryoshka_eval"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm,
+               {_DUCK_V}[1:{MRL_DIMS}] AS pv,
+               sqrt({_duck_fold_sum(f'list_transform({_DUCK_V}[1:{MRL_DIMS}], x -> x*x)')}) AS pn
+        FROM embeddings
+    ), full_top AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_duck_dot('q.v', 't.v')} / (q.nrm * t.nrm) DESC,
+                                t.vec_id) AS rank
+            FROM vecs q JOIN vecs t ON t.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOPK}
+    ), pre_top AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_duck_dot_n('q.pv', 't.pv', MRL_DIMS)} / (q.pn * t.pn) DESC,
+                                t.vec_id) AS rank
+            FROM vecs q JOIN vecs t ON t.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOPK}
+    ), hits AS (
+        SELECT f.query_id, count(*) AS hits
+        FROM full_top f JOIN pre_top p
+          ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+        GROUP BY 1
+    )
+    SELECT t1.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(CAST(COALESCE(h.hits, 0) AS BIGINT) AS DOUBLE) / {float(TOPK)}
+               AS agreement,
+           t1.nf = t1.np AS top1_match
+    FROM (
+        SELECT f.query_id, f.neighbor_id AS nf, p.neighbor_id AS np
+        FROM full_top f JOIN pre_top p USING (query_id)
+        WHERE f.rank = 1 AND p.rank = 1
+    ) t1
+    LEFT JOIN hits h USING (query_id)
+"""
+
+
 QUERIES = {
     "search_hybrid_rerank": search_hybrid_rerank,
+    "emb_matryoshka_eval": emb_matryoshka_eval,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "semantic_search_topk": semantic_search_topk,

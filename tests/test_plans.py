@@ -409,6 +409,8 @@ MULTI_CONSUMER_ENTRIES = [
     "dq_chisq_independence",
     "text_bigram_perplexity",
     "events_lateness_census",
+    "emb_matryoshka_eval",
+    "sample_perplexity_buckets",
 ]
 
 _SCAN_TABLE_RE = re.compile(r"FileScan[^\n]*?/(\w+)\.parquet")

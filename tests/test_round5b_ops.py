@@ -158,6 +158,68 @@ class TestBigramPerplexity:
         assert abs(r.avg_nll - (-math.log(0.85))) < 1e-6
 
 
+class TestMatryoshkaEval:
+    def test_truncation_flips_engineered_top1(self, spark, monkeypatch):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+            similarity,
+        )
+
+        # full-dim top-1 of q0 is n2 (exact match); the informative
+        # tail dims vanish under a 2-dim prefix, where n1 and n2 tie
+        # at cosine 1.0 and the id tie-break picks n1.
+        df = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0, 0.0]),
+                (1, [1.0, 0.0, 1.0, 0.0]),   # n1
+                (2, [1.0, 0.0, 0.0, 0.0]),   # n2 == q0
+            ],
+            "vec_id bigint, v array<double>",
+        )
+        from pyspark.sql import functions as F
+
+        vecs = df.select("vec_id", "v", similarity._norm(F.col("v")).alias("nrm"))
+        monkeypatch.setattr(similarity, "_vectors", lambda s, d: vecs)
+        monkeypatch.setattr(similarity, "MRL_DIMS", 2)
+        monkeypatch.setattr(similarity, "N_QUERIES", 1)
+        rows = similarity.emb_matryoshka_eval(spark, "unused").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.query_id == 0
+        assert r.top1_match is False
+        assert r.hits == 2           # both 2-vector top-5 sets coincide
+        assert r.agreement == 0.4    # 2 / TOPK(5)
+
+
+class TestPerplexityBuckets:
+    def test_buckets_partition_and_order_by_surprisal(self, spark, monkeypatch):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import corpus
+
+        df = _docs_df(spark, [
+            (0, "x x x x x x x x"),
+            (1, "x y x y x y"),
+            (2, "y z q w v u"),
+            (3, "solo"),  # one word -> no bigrams -> excluded
+        ])
+        monkeypatch.setattr(corpus, "_docs", lambda s, d: df)
+        rows = sorted(
+            corpus.sample_perplexity_buckets(spark, "unused").collect(),
+            key=lambda r: r.bucket,
+        )
+        assert [r.label for r in rows] == ["head", "middle", "tail"][: len(rows)]
+        assert sum(r.n_docs for r in rows) == 3
+        nlls = [r.mean_nll for r in rows]
+        assert nlls == sorted(nlls)  # surprisal increases with the bucket
+
+    def test_uniform_corpus_collapses_to_head(self, spark, monkeypatch):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import corpus
+
+        df = _docs_df(spark, [(i, "a b a b") for i in range(4)])
+        monkeypatch.setattr(corpus, "_docs", lambda s, d: df)
+        rows = corpus.sample_perplexity_buckets(spark, "unused").collect()
+        assert len(rows) == 1
+        assert (rows[0].bucket, rows[0].label, rows[0].n_docs) == (0, "head", 4)
+
+
 class TestChisqIndependence:
     def _run(self, spark, monkeypatch, cells):
         from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
