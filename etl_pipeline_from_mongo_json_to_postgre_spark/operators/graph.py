@@ -167,6 +167,73 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+SEED_MOD = 10    # parts with partkey % 10 == 0 carry their brand as seed
+LP_ROUNDS = 3    # Bellman-Ford relaxations = max seed distance labeled
+
+
+def graph_label_propagation(spark, sf_dir):
+    """Nearest-seed label propagation over the co-purchase graph:
+    10% of parts are seeded with their brand, and every node within
+    LP_ROUNDS hops adopts the label of its nearest seed (ties broken
+    by label order) — the taxonomy-completion shape (sparse trusted
+    labels spread over a behavioral graph) run as a fixed number of
+    synchronous rounds.
+
+    Scale shape per round: ONE node-keyed equi-join of the state frame
+    with the edge list and ONE min-struct aggregate — the state is one
+    row per labeled node carrying (dist, label), never per-path, so
+    round cost is bounded by |V| + |E| regardless of how many paths
+    exist (the oracle's level sets are per-(node,label) and only
+    feasible at test scale; the struct-min Bellman-Ford IS the 100 TB
+    form). Lineage cut with an eager localCheckpoint per round, like
+    pagerank. The unrolled level-set SQL is provably equivalent: the
+    engine's state is always a reachable (dist, label) pair, and any
+    reachable pair relaxes through LP_ROUNDS rounds, so both sides
+    compute min over seeds of (shortest distance <= LP_ROUNDS, label).
+    """
+    from .association import copurchase_pairs
+
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    und = copurchase_pairs(li, min_count=1).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
+    edges = (
+        und.union(und.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .where(F.col("node") % SEED_MOD == 0)
+        .join(
+            part.select(F.col("p_partkey").alias("node"),
+                        F.col("p_brand").alias("label")),
+            "node",
+        )
+    )
+    state = seeds.select(
+        "node", F.lit(0).cast("bigint").alias("dist"), "label"
+    )
+    for _ in range(LP_ROUNDS):
+        cand = edges.join(state, edges.src == state.node).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + 1).alias("dist"),
+            "label",
+        )
+        state = (
+            state.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "label")).alias("s"))
+            .select("node", F.col("s.dist").alias("dist"),
+                    F.col("s.label").alias("label"))
+            .localCheckpoint(eager=True)  # node-sized; cuts the round DAG
+        )
+    return state
+
+
 from .association import capped_basket_sql as _capped
 
 ORACLE_SQL: dict[str, str] = {
@@ -218,7 +285,47 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["graph_label_propagation"] = f"""
+    WITH parts AS (
+        {_capped('lineitem', 'l_orderkey', 'l_partkey')}
+    ), und AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM parts a JOIN parts b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT dst, src FROM und
+    ), l0 AS (
+        SELECT DISTINCT e.src AS node, p.p_brand AS label
+        FROM edges e JOIN part p ON p.p_partkey = e.src
+        WHERE e.src % {SEED_MOD} = 0
+    ), l1 AS (
+        SELECT DISTINCT e.dst AS node, l.label
+        FROM edges e JOIN l0 l ON l.node = e.src
+    ), l2 AS (
+        SELECT DISTINCT e.dst AS node, l.label
+        FROM edges e JOIN l1 l ON l.node = e.src
+    ), l3 AS (
+        SELECT DISTINCT e.dst AS node, l.label
+        FROM edges e JOIN l2 l ON l.node = e.src
+    ), allv AS (
+        SELECT node, CAST(0 AS BIGINT) AS dist, label FROM l0
+        UNION ALL SELECT node, 1, label FROM l1
+        UNION ALL SELECT node, 2, label FROM l2
+        UNION ALL SELECT node, 3, label FROM l3
+    ), ranked AS (
+        SELECT node, dist, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY dist, label) AS rk
+        FROM allv
+    )
+    SELECT node, dist, label FROM ranked WHERE rk = 1
+"""
+
 QUERIES = {
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_count": graph_triangle_count,
+    "graph_label_propagation": graph_label_propagation,
 }

@@ -220,6 +220,59 @@ class TestPerplexityBuckets:
         assert (rows[0].bucket, rows[0].label, rows[0].n_docs) == (0, "head", 4)
 
 
+class TestLabelPropagation:
+    def test_chain_graph_nearest_seed_with_tie_break(self, spark, monkeypatch):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import graph
+
+        # co-purchase chain 10 - 1 - 2 - 3 - 20; seeds (partkey%10==0)
+        # are 10 (brand A) and 20 (brand B). Node 2 is 2 hops from both
+        # seeds -> label tie broken to the smaller brand string.
+        li = spark.createDataFrame(
+            [(1, 10), (1, 1), (2, 1), (2, 2), (3, 2), (3, 3), (4, 3), (4, 20)],
+            "l_orderkey bigint, l_partkey bigint",
+        )
+        part = spark.createDataFrame(
+            [(10, "Brand#A"), (20, "Brand#B"), (1, "x"), (2, "x"), (3, "x")],
+            "p_partkey bigint, p_brand string",
+        )
+        frames = {"lineitem": li, "part": part}
+        monkeypatch.setattr(graph, "load_table", lambda s, d, t: frames[t])
+        got = {
+            r.node: (r.dist, r.label)
+            for r in graph.graph_label_propagation(spark, "unused").collect()
+        }
+        assert got == {
+            10: (0, "Brand#A"), 20: (0, "Brand#B"),
+            1: (1, "Brand#A"), 3: (1, "Brand#B"),
+            2: (2, "Brand#A"),
+        }
+
+    def test_unreachable_nodes_stay_unlabeled(self, spark, monkeypatch):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import graph
+
+        # chain 10 - 1 - 2 - 3 - 4 - 5: node 4 is 4 hops from the only
+        # seed (> LP_ROUNDS=3) and node 5 is 5 hops -> both absent.
+        li = spark.createDataFrame(
+            [(1, 10), (1, 1), (2, 1), (2, 2), (3, 2), (3, 3),
+             (4, 3), (4, 4), (5, 4), (5, 5)],
+            "l_orderkey bigint, l_partkey bigint",
+        )
+        part = spark.createDataFrame(
+            [(10, "Brand#A")] + [(i, "x") for i in (1, 2, 3, 4, 5)],
+            "p_partkey bigint, p_brand string",
+        )
+        frames = {"lineitem": li, "part": part}
+        monkeypatch.setattr(graph, "load_table", lambda s, d, t: frames[t])
+        got = {
+            r.node: (r.dist, r.label)
+            for r in graph.graph_label_propagation(spark, "unused").collect()
+        }
+        assert got == {
+            10: (0, "Brand#A"), 1: (1, "Brand#A"),
+            2: (2, "Brand#A"), 3: (3, "Brand#A"),
+        }
+
+
 class TestChisqIndependence:
     def _run(self, spark, monkeypatch, cells):
         from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
