@@ -604,6 +604,22 @@ def test_lateness_census_local_window_is_partitioned(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # carry + total join back broadcast
 
 
+def test_orc_stage_partition_prunes_on_lang(spark, sf_dir):
+    """The lang-partitioned ORC layout must turn a lang filter into a
+    directory-level PartitionFilter (whole partitions skipped), not a
+    row filter over a full scan."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.orc_source import (
+        read_documents_orc,
+        stage_documents_orc,
+    )
+
+    path = stage_documents_orc(spark, sf_dir)
+    df = read_documents_orc(spark, path).filter(F.col("lang") == "en")
+    plan = physical_plan(df)
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "lang" in part_filters
+
+
 def test_zipf_rank_is_partitioned_not_global(spark, sf_dir):
     """VERDICT r4 task 4: the vocabulary rank must decompose into a
     bounded (freq, bucket) census window plus a row_number PARTITIONED
