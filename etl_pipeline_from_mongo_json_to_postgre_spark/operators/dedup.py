@@ -849,10 +849,14 @@ def dedup_substring_spans(spark, sf_dir):
         "doc_id",
         F.posexplode(shingle_hashes(F.col("wh"), k=SPAN_GRAM)).alias("i", "g"),
     ).select("doc_id", (F.col("i") + 1).cast("bigint").alias("pos"), "g")
+    # cross-doc test as min != max over owners: a plain partial-agg
+    # min/max pair (single-pass, map-side combined) instead of a
+    # count_distinct, which would expand to a two-phase distinct
+    # aggregation over (g, doc_id)
     cross_doc = (
         pos_grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
         .select("g")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1231,7 +1235,7 @@ ORACLE_SQL["dedup_substring_spans"] = f"""
                unnest(sh) AS g
         FROM sh_t
     ), cross_doc AS (
-        SELECT g FROM pos_g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        SELECT g FROM pos_g GROUP BY g HAVING min(doc_id) <> max(doc_id)
     ), islands AS (
         SELECT doc_id, pos,
                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
