@@ -407,6 +407,55 @@ def ts_active_time_coverage(spark, sf_dir):
     )
 
 
+ATTRIB_WINDOW_US = 7 * 24 * 3_600_000_000  # 7-day attribution lookback
+
+
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase's revenue is
+    credited to the user's most recent non-purchase event within a
+    7-day lookback (channel "direct" when there is none) — the
+    report-side twin of the as-of join family (j5), phrased the way a
+    growth team asks it: revenue per acquisition channel.
+
+    Scale shape: ONE user-keyed window shuffle; the last-touch
+    timestamp and type come from two IGNORE-NULLS last() calls whose
+    NULL pattern is identical, so both read the same preceding row.
+    Revenue sums route through DECIMAL (order-free) per the engine's
+    float-aggregate discipline."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id").orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touched = base.select(
+        "event_type", "value", "t_us",
+        F.last(F.when(non_purchase, F.col("t_us")), ignorenulls=True)
+        .over(w).alias("lt_us"),
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("lt_type"),
+    ).where(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("lt_us").isNotNull()
+        & (F.col("t_us") - F.col("lt_us") <= ATTRIB_WINDOW_US),
+        F.col("lt_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        touched.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("revenue"),
+        )
+    )
+
+
 LATENESS_BLOCK = 4096          # arrival-order block size for the carry
 _LATE_BOUNDS_US = (0, 60_000_000, 600_000_000, 3_600_000_000)
 _LATE_LABELS = ("in_order", "<=60s", "<=10m", "<=1h", ">1h")
@@ -552,6 +601,32 @@ _LATE_LABEL_CASE = (
 )
 
 ORACLE_SQL = {
+    "events_attribution_last_touch": f"""
+        WITH base AS (
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(ts) AS t_us
+            FROM events
+        ), touched AS (
+            SELECT event_type, value, t_us,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN t_us END IGNORE NULLS)
+                       OVER w AS lt_us,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS lt_type
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT CASE WHEN lt_us IS NOT NULL
+                         AND t_us - lt_us <= {ATTRIB_WINDOW_US}
+                    THEN lt_type ELSE 'direct' END AS channel,
+               count(*) AS n_purchases,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS revenue
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
     "events_lateness_census": f"""
         WITH run AS (
             SELECT epoch_us(ts) AS t_us,
@@ -808,4 +883,5 @@ QUERIES = {
     "ts_markov_transitions": ts_markov_transitions,
     "ts_markov_perplexity": ts_markov_perplexity,
     "events_lateness_census": events_lateness_census,
+    "events_attribution_last_touch": events_attribution_last_touch,
 }

@@ -220,6 +220,41 @@ class TestPerplexityBuckets:
         assert (rows[0].bucket, rows[0].label, rows[0].n_docs) == (0, "head", 4)
 
 
+class TestLastTouchAttribution:
+    def test_channel_assignment_and_lookback(self, spark, monkeypatch):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+            timeseries,
+        )
+
+        base = datetime.datetime(2024, 1, 10)
+        day = datetime.timedelta(days=1)
+        rows = [
+            # u1: view -> click -> purchase(10): credited to click
+            (1, 0, "view", 0.0, base),
+            (1, 1, "click", 0.0, base + day),
+            (1, 2, "purchase", 10.0, base + 2 * day),
+            # u1 again: purchase(5) right after -> last touch still click
+            (1, 3, "purchase", 5.0, base + 3 * day),
+            # u2: touch 8 days before the purchase -> outside lookback
+            (2, 4, "view", 0.0, base),
+            (2, 5, "purchase", 7.0, base + 8 * day),
+            # u3: purchase with no prior event at all
+            (3, 6, "purchase", 3.0, base),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id bigint, event_id bigint, event_type string, "
+            "value double, ts timestamp",
+        )
+        monkeypatch.setattr(timeseries, "_events", lambda s, d: df)
+        got = {
+            r.channel: (r.n_purchases, r.revenue)
+            for r in timeseries.events_attribution_last_touch(
+                spark, "unused").collect()
+        }
+        assert got == {"click": (2, 15.0), "direct": (2, 10.0)}
+
+
 class TestLabelPropagation:
     def test_chain_graph_nearest_seed_with_tie_break(self, spark, monkeypatch):
         from etl_pipeline_from_mongo_json_to_postgre_spark.operators import graph
