@@ -77,9 +77,10 @@ import json as _json
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _evidence_latest_green() -> dict[str, int]:
-    """entry -> latest round with a fully-green driver row (rows+schema+hash)."""
-    latest: dict[str, int] = {}
+def _evidence_rounds() -> tuple[dict[str, int], dict[str, int]]:
+    """(entry -> latest fully-green round, entry -> latest any-result round)."""
+    green: dict[str, int] = {}
+    latest_any: dict[str, int] = {}
     for path in sorted(_glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
@@ -87,10 +88,30 @@ def _evidence_latest_green() -> dict[str, int]:
         except (ValueError, OSError, _json.JSONDecodeError):
             continue
         for name, res in rows.items():
+            latest_any[name] = max(latest_any.get(name, 0), rnd)
             if (res.get("rows_match") and res.get("schema_match")
                     and res.get("hash_match", True)):
-                latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+                green[name] = max(green.get(name, 0), rnd)
+    return green, latest_any
+
+
+def _evidence_latest_green() -> dict[str, int]:
+    """entry -> latest round with a fully-green driver row (rows+schema+hash).
+
+    An entry whose NEWEST driver row is red is dropped: a regression wipes
+    the stale green, so the entry re-enters the window (red rows are work
+    orders, not evidence — pinned by test_red_driver_rows_reenter_the_window
+    for both the never-green and the red-AFTER-green case)."""
+    green, latest_any = _evidence_rounds()
+    return {n: r for n, r in green.items() if latest_any.get(n, 0) <= r}
+
+
+def _regressed() -> set[str]:
+    """Entries whose newest driver row is red (with or without an older
+    green): they outrank everything, including never-checked entries —
+    the regression-response path for the whole registry."""
+    green, latest_any = _evidence_rounds()
+    return {n for n, r in latest_any.items() if r > green.get(n, -1)}
 
 
 def _births() -> dict[str, int]:
@@ -109,13 +130,16 @@ def _births() -> dict[str, int]:
 
 def _priority(query_names, oracle_names) -> list[str]:
     ev = _evidence_latest_green()
+    red = _regressed()
     born = _births()
     hash_backed = [n for n in query_names if n in oracle_names]
     rows_only = [n for n in query_names if n not in oracle_names]
-    never = sorted((n for n in hash_backed if n not in ev),
+    regressed = sorted(n for n in hash_backed if n in red)
+    never = sorted((n for n in hash_backed if n not in ev and n not in red),
                    key=lambda n: (born.get(n, 99), n))
     stale = [n for _, n in sorted((ev[n], n) for n in hash_backed if n in ev)]
-    return never + stale + sorted(rows_only, key=lambda n: (ev.get(n, 0), n))
+    return regressed + never + stale + sorted(
+        rows_only, key=lambda n: (ev.get(n, 0), n))
 
 
 def _ordered(entries: dict, order: list[str]) -> dict:

@@ -387,23 +387,40 @@ def dq_key_skew(spark, sf_dir):
     )
 
 
-FREQ_SUPPORT = 0.02
+# Heavy ⇔ n_events * DEN * n_users > NUM * n_total, i.e. a user with more
+# than NUM/DEN = 1.2x the average event count. RELATIVE, not absolute: the
+# testdata generator spreads events near-uniformly over a user population
+# that grows with SF (max share 0.088 at sf0.001 but 0.0086 at sf0.01), so
+# the old fixed FREQ_SUPPORT=0.02 made the exact heavy set EMPTY at
+# sf>=0.01 and the sketch's no-false-negative guarantee vacuously true
+# (VERDICT r5 "what's wrong" #2). The 1.2x-average rule is non-empty at
+# every shipped SF, and the all-integer rational form keeps the threshold
+# comparison exact on both engines (no float boundary).
+HEAVY_MULT_NUM, HEAVY_MULT_DEN = 6, 5
 
 
-def heavy_user_candidates(spark, sf_dir):
+def heavy_user_candidates(spark, sf_dir, support=None):
     """Single-pass approximate heavy hitters via ``freqItems``
     (Karp/Shenker/Papadimitriou counter sketch): every user whose event
-    share exceeds FREQ_SUPPORT is GUARANTEED to be returned (possible
+    share exceeds `support` is GUARANTEED to be returned (possible
     false positives, no false negatives). The sketch carries a fixed
     1/support-sized counter map per partition and merges — no per-key
     shuffle at all, vs the exact heavy-hitter query's (type, user)
-    aggregate (events_heavy_hitters). Candidate sets are
+    aggregate (events_heavy_hitters). With support=None it adapts to
+    just under the 1.2x-average share so the guarantee covers
+    approx_heavy_users' exact threshold. Candidate sets are
     sketch-internal-order dependent across engines, so this raw form
     has no SQL oracle; the registry entry is approx_heavy_users
-    below."""
+    below. 100 TB note: 1/support counters per partition means the
+    adaptive support needs the 1e-4 clamp (10k counters); beyond that
+    population a fixed absolute share is the honest sketch contract."""
     tune_for_oracle(spark)
     ev = load_table(spark, sf_dir, "events")
-    res = ev.stat.freqItems(["user_id"], support=FREQ_SUPPORT)
+    if support is None:
+        users = ev.agg(F.count_distinct("user_id")).first()[0]
+        # strictly below NUM/DEN/users so share > threshold ⇒ share > support
+        support = max(1.1 / max(users, 1), 1e-4)
+    res = ev.stat.freqItems(["user_id"], support=support)
     return (
         res.select(F.explode("user_id_freqItems").alias("user_id"))
         .orderBy("user_id")
@@ -414,18 +431,25 @@ def approx_heavy_users(spark, sf_dir):
     """Registry query with a DERIVED DuckDB oracle (VERDICT r3 task 5):
     the sketch's candidate LIST is engine-specific, but its no-false-
     negative GUARANTEE is exactly SQL-checkable. Emit every user whose
-    exact share exceeds FREQ_SUPPORT *that the sketch also surfaced*
-    (inner join of exact heavies against the broadcast candidate set):
-    if freqItems ever missed a true heavy hitter, that row disappears
-    and the driver's row-count/hash check goes red against the oracle's
-    purely-exact heavy list. The sketch pass runs for real in-plan; the
-    exact side is the verification harness."""
+    exact count exceeds 1.2x the average *that the sketch also
+    surfaced* (inner join of exact heavies against the broadcast
+    candidate set): if freqItems ever missed a true heavy hitter, that
+    row disappears and the driver's row-count/hash check goes red
+    against the oracle's purely-exact heavy list. The sketch pass runs
+    for real in-plan; the exact side is the verification harness. The
+    exact heavy set is NON-EMPTY at sf0.001/0.01/0.1 (checked by
+    test_freq_items_superset_guarantee), so the guarantee is
+    falsifiable — not the empty-set-⊆-anything it was under the fixed
+    0.02 support."""
     tune_for_oracle(spark)
     ev = load_table(spark, sf_dir, "events")
-    total = ev.count()  # scalar, one job — threshold literal
+    total, users = ev.agg(
+        F.count("*"), F.count_distinct("user_id")
+    ).first()  # two scalars, one job — threshold literals
     exact_heavy = (
         ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
-        .where(F.col("n_events") > FREQ_SUPPORT * total)
+        .where(F.col("n_events") * HEAVY_MULT_DEN * users
+               > HEAVY_MULT_NUM * total)
     )
     cand = heavy_user_candidates(spark, sf_dir)
     return (
@@ -690,7 +714,9 @@ ORACLE_SQL["approx_heavy_users"] = f"""
            TRUE AS in_sketch_candidates
     FROM events
     GROUP BY user_id
-    HAVING count(*) > {FREQ_SUPPORT} * (SELECT count(*) FROM events)
+    HAVING count(*) * {HEAVY_MULT_DEN}
+               * (SELECT count(DISTINCT user_id) FROM events)
+         > {HEAVY_MULT_NUM} * (SELECT count(*) FROM events)
 """
 
 _depth_probs_sql = "[" + ", ".join(str(p) for p in DEPTH_PROBS) + "]"

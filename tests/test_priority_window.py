@@ -146,34 +146,67 @@ def test_evidence_parser_matches_driver_files():
 
 def test_red_driver_rows_reenter_the_window(tmp_path, monkeypatch):
     """A hash-mismatched driver row is NOT evidence: the entry must sort
-    back into the window next round, while a green row rotates its entry
-    out. Simulated with a synthetic future CORRECTNESS file."""
+    back into the window next round, at its HEAD, while a green row
+    rotates its entry out. The fixture synthesizes ALL evidence rounds
+    (never copies the repo's driver files), so the test holds for any
+    set of CORRECTNESS files on disk — both the never-green and the
+    red-AFTER-green regression case are covered."""
     import importlib
     import json
-    import shutil
 
     import __spark_entry__ as e
 
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False}
     stage = tmp_path / "repo_view"
     stage.mkdir()
-    for f in os.listdir(REPO):
-        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
-            shutil.copy(os.path.join(REPO, f), stage / f)
+    # r1: every hash-oracle entry green — so nothing is never-checked and
+    # the red entries must beat EVIDENCED entries purely on regression.
+    q, o, order = e._registries()
+    json.dump({n: green for n in o}, open(stage / "CORRECTNESS_r01.json", "w"))
+    # r2: one entry regresses AFTER its green; one was also red in r1
+    # (never-green case folds in via a separate file pair).
     json.dump(
-        {"basket_association_rules": {"rows_match": True, "schema_match": True,
-                                      "hash_match": False},
-         "search_hybrid_rerank": {"rows_match": True, "schema_match": True,
-                                  "hash_match": True}},
-        open(stage / "CORRECTNESS_r99.json", "w"),
+        {"basket_association_rules": red,  # red-after-green
+         "search_hybrid_rerank": green},   # fresh green -> rotates out
+        open(stage / "CORRECTNESS_r02.json", "w"),
     )
     monkeypatch.setattr(e, "_REPO", str(stage))
     try:
         ev = e._evidence_latest_green()
-        assert ev.get("search_hybrid_rerank") == 99
-        assert ev.get("basket_association_rules", 0) < 99
+        assert ev.get("search_hybrid_rerank") == 2
+        assert "basket_association_rules" not in ev, (
+            "a red-after-green entry must lose its stale green evidence")
+        assert "basket_association_rules" in e._regressed()
         w = e.priority_window(50)
-        assert "basket_association_rules" in w
+        assert w[0] == "basket_association_rules", (
+            "the regressed entry must lead the window")
         assert "search_hybrid_rerank" not in w
+    finally:
+        monkeypatch.undo()
+        importlib.reload(e)
+
+
+def test_red_without_prior_green_reenters(tmp_path, monkeypatch):
+    """The original (pre-r5) pinned case: an entry whose only driver row
+    is red sorts back into the window. Self-contained fixture."""
+    import importlib
+    import json
+
+    import __spark_entry__ as e
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False}
+    stage = tmp_path / "repo_view"
+    stage.mkdir()
+    q, o, order = e._registries()
+    body = {n: green for n in o}
+    body["basket_association_rules"] = red
+    json.dump(body, open(stage / "CORRECTNESS_r01.json", "w"))
+    monkeypatch.setattr(e, "_REPO", str(stage))
+    try:
+        assert "basket_association_rules" not in e._evidence_latest_green()
+        assert e.priority_window(50)[0] == "basket_association_rules"
     finally:
         monkeypatch.undo()
         importlib.reload(e)
