@@ -128,17 +128,94 @@ def _births() -> dict[str, int]:
         return {}
 
 
-def _priority(query_names, oracle_names) -> list[str]:
+def _current_fingerprints(q_raw: dict, o: dict) -> dict[str, dict[str, str]]:
+    """entry -> {"fn": hash(own source + oracle SQL), "mod": hash(module file)}.
+
+    "fn" drift means the entry's own body or oracle changed since its
+    stamp; "mod" drift catches edits to helpers elsewhere in the same
+    module file (the round-5 dedup_minhash_* case, VERDICT r5 task 6)."""
+    import functools
+    import hashlib
+    import inspect
+
+    mod_cache: dict[str, str] = {}
+    fps: dict[str, dict[str, str]] = {}
+    for name, fn in q_raw.items():
+        f = inspect.unwrap(fn)
+        while isinstance(f, functools.partial):
+            f = f.func
+        try:
+            src = inspect.getsource(f)
+        except (OSError, TypeError):
+            src = repr(f)
+        path = getattr(inspect.getmodule(f), "__file__", "") or ""
+        if path not in mod_cache:
+            try:
+                with open(path, "rb") as fh:
+                    mod_cache[path] = hashlib.sha256(fh.read()).hexdigest()[:16]
+            except OSError:
+                mod_cache[path] = "unreadable"
+        fps[name] = {
+            "fn": hashlib.sha256(
+                (src + "\x00" + o.get(name, "")).encode()
+            ).hexdigest()[:16],
+            "mod": mod_cache[path],
+        }
+    return fps
+
+
+def _stamps() -> dict[str, dict]:
+    """tools/entry_fingerprints.json: per-entry fingerprints captured at
+    the time of the entry's latest green driver evidence (refreshed by
+    tools/stamp_fingerprints.py, run FIRST THING each round before any
+    operator edits)."""
+    try:
+        return _json.load(
+            open(os.path.join(_REPO, "tools", "entry_fingerprints.json")))
+    except (OSError, _json.JSONDecodeError):
+        return {}
+
+
+def _drifted(q_raw: dict, o: dict) -> tuple[set[str], set[str]]:
+    """(strong, weak) drift among green-evidenced entries: strong = the
+    entry's own source/oracle changed since its green was stamped (or it
+    was explicitly marked); weak = only its module file changed (a
+    helper it may depend on). Either way the old green no longer
+    vouches for the current code, so the entry re-enters the window."""
+    stamps = _stamps()
+    if not stamps:
+        return set(), set()
+    ev = _evidence_latest_green()
+    cur = _current_fingerprints(q_raw, o)
+    strong, weak = set(), set()
+    for name in ev:
+        st, c = stamps.get(name), cur.get(name)
+        if c is None:
+            continue
+        if st is None or st.get("fn") != c["fn"]:
+            strong.add(name)
+        elif st.get("mod") != c["mod"]:
+            weak.add(name)
+    return strong, weak
+
+
+def _priority(q_raw: dict, o: dict) -> list[str]:
     ev = _evidence_latest_green()
     red = _regressed()
     born = _births()
-    hash_backed = [n for n in query_names if n in oracle_names]
-    rows_only = [n for n in query_names if n not in oracle_names]
+    strong, weak = _drifted(q_raw, o)
+    hash_backed = [n for n in q_raw if n in o]
+    rows_only = [n for n in q_raw if n not in o]
     regressed = sorted(n for n in hash_backed if n in red)
     never = sorted((n for n in hash_backed if n not in ev and n not in red),
                    key=lambda n: (born.get(n, 99), n))
-    stale = [n for _, n in sorted((ev[n], n) for n in hash_backed if n in ev)]
-    return regressed + never + stale + sorted(
+    drift_s = [n for _, n in sorted((ev[n], n) for n in hash_backed
+                                    if n in strong)]
+    drift_w = [n for _, n in sorted((ev[n], n) for n in hash_backed
+                                    if n in weak)]
+    stale = [n for _, n in sorted((ev[n], n) for n in hash_backed
+                                  if n in ev and n not in strong and n not in weak)]
+    return regressed + never + drift_s + drift_w + stale + sorted(
         rows_only, key=lambda n: (ev.get(n, 0), n))
 
 
@@ -189,14 +266,22 @@ def _ntz_outputs(fn: Callable) -> Callable:
     return wrapped
 
 
-def _registries() -> tuple[dict, dict, list[str]]:
+def _raw_registries() -> tuple[dict, dict]:
+    """Unwrapped QUERIES/ORACLE_SQL union (fingerprinting needs the raw
+    callables; tools/stamp_fingerprints.py uses this)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     o: dict[str, str] = {}
     for mod in _MODULES:
         q.update(mod.QUERIES)
         o.update(mod.ORACLE_SQL)
-    q = {name: _ntz_outputs(fn) for name, fn in q.items()}
-    return q, o, _priority(list(q), set(o))
+    return q, o
+
+
+def _registries() -> tuple[dict, dict, list[str]]:
+    q_raw, o = _raw_registries()
+    order = _priority(q_raw, o)
+    q = {name: _ntz_outputs(fn) for name, fn in q_raw.items()}
+    return q, o, order
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -52,12 +52,28 @@ def test_never_checked_lead_the_window():
 
 
 def test_evidenced_entries_sort_stalest_first():
+    """Within each evidence block (strong-drift, weak-drift, clean) the
+    order is stalest-green-first; drifted entries as a whole outrank
+    clean ones — their green no longer vouches for the current code."""
     import __spark_entry__ as e
 
-    q, o, order = e._registries()
+    q_raw, o = e._raw_registries()
+    _, _, order = e._registries()
     ev = _evidence()
-    rounds = [ev[n] for n in order if n in o and n in ev]
-    assert rounds == sorted(rounds), "evidenced entries must be stalest-first"
+    strong, weak = e._drifted(q_raw, o)
+    blocks = {"strong": [], "weak": [], "clean": []}
+    seq = []
+    for n in order:
+        if n in o and n in ev:
+            kind = ("strong" if n in strong else
+                    "weak" if n in weak else "clean")
+            blocks[kind].append(ev[n])
+            seq.append(kind)
+    for kind, rounds in blocks.items():
+        assert rounds == sorted(rounds), f"{kind} block must be stalest-first"
+    rank = {"strong": 0, "weak": 1, "clean": 2}
+    assert [rank[k] for k in seq] == sorted(rank[k] for k in seq), (
+        "drifted entries must sort ahead of clean-evidence entries")
 
 
 def test_rows_only_sort_last():
@@ -236,3 +252,66 @@ def test_ntz_output_shim(spark):
         "long", "timestamp_ntz", "timestamp_ntz"]
     row = df.collect()[0]
     assert row.ts == datetime.datetime(2024, 3, 1, 12, 0)
+
+
+def test_drifted_code_reenters_the_window(tmp_path, monkeypatch):
+    """An entry whose own source/oracle no longer matches the fingerprint
+    stamped at green time must re-enter the window ahead of every
+    clean-evidence entry (its green no longer vouches for the code);
+    module-file-only drift (a helper changed) re-enters behind own-code
+    drift. Self-contained fixture: synthesized evidence + stamps."""
+    import importlib
+    import json
+
+    import __spark_entry__ as e
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    stage = tmp_path / "repo_view"
+    stage.mkdir()
+    q_raw, o = e._raw_registries()
+    # r1: a1 green; r2: everything else green -> a1 is the STALEST clean
+    # entry and would lead absent drift.
+    json.dump({"a1_pivot_status_count": green},
+              open(stage / "CORRECTNESS_r01.json", "w"))
+    json.dump({n: green for n in o if n != "a1_pivot_status_count"},
+              open(stage / "CORRECTNESS_r02.json", "w"))
+    cur = e._current_fingerprints(q_raw, o)
+    stamps = {n: {**cur[n], "round": 2} for n in o}
+    stamps["a1_pivot_status_count"]["round"] = 1
+    stamps["j1_outer_join"] = {"fn": "stale-fp", "mod": "stale-mod", "round": 2}
+    stamps["u1_explode_words"] = {**cur["u1_explode_words"],
+                                  "mod": "stale-mod", "round": 2}
+    monkeypatch.setattr(e, "_REPO", str(stage))
+    monkeypatch.setattr(e, "_stamps", lambda: stamps)
+    try:
+        strong, weak = e._drifted(q_raw, o)
+        assert strong == {"j1_outer_join"}
+        assert weak == {"u1_explode_words"}
+        w = e.priority_window(50)
+        assert w[0] == "j1_outer_join", "own-code drift leads"
+        assert w[1] == "u1_explode_words", "module drift second"
+        assert w[2] == "a1_pivot_status_count", "then the stalest clean entry"
+    finally:
+        monkeypatch.undo()
+        importlib.reload(e)
+
+
+def test_stamp_file_matches_current_code_for_undrifted_entries():
+    """The committed fingerprint stamps must agree with the code on disk
+    for every entry not explicitly marked drifted — catches 'edited an
+    operator but never re-stamped/marked it' (the drift detector's own
+    staleness). Run tools/stamp_fingerprints.py --mark-drifted NAME
+    after editing a green-evidenced entry in-round."""
+    import __spark_entry__ as e
+
+    q_raw, o = e._raw_registries()
+    stamps = e._stamps()
+    assert stamps, "tools/entry_fingerprints.json must exist"
+    strong, weak = e._drifted(q_raw, o)
+    unexplained = {
+        n for n in strong
+        if stamps.get(n, {}).get("fn") != "drifted"
+    }
+    assert not unexplained, (
+        f"entries drifted without a --mark-drifted record: {unexplained}; "
+        "either re-stamp (round start) or mark them drifted")
