@@ -233,6 +233,120 @@ def mm_payload_dedup(spark, sf_dir):
     )
 
 
+# (generation) hex header prepended by doc_id % len — single source of
+# truth shared with the oracle's payload CONSTRUCTION; the sniffing
+# logic below is written independently on each engine, so a detection
+# bug on either side breaks parity rather than hiding in shared code.
+MAGIC_HEADERS = [
+    "FFD8FFE000104A464946",          # JPEG/JFIF
+    "89504E470D0A1A0A",              # PNG
+    "474946383961",                  # GIF89a
+    "52494646AABBCCDD57415645",      # RIFF <size> WAVE
+    "255044462D312E37",              # %PDF-1.7
+    "1F8B08",                        # gzip (deflate)
+    "",                              # bare text payload
+]
+
+
+def documents_as_mixed_media(spark, sf_dir) -> DataFrame:
+    """Media table with REAL container signatures: each document's
+    payload gets a magic-byte header chosen by doc_id % 7 (one slot is
+    bare text). Exercises binary-column operators against byte patterns
+    an actual crawl exhibits — JPEG/PNG/GIF/WAV/PDF/gzip framing —
+    without needing codec libraries."""
+    media = documents_as_media(spark, sf_dir)
+    sel = F.col("media_id") % len(MAGIC_HEADERS)
+    header = F.lit(b"")
+    for i, hx in enumerate(MAGIC_HEADERS):
+        if hx:
+            header = F.when(sel == i, F.lit(bytes.fromhex(hx))).otherwise(header)
+    payload = F.concat(header, F.col("payload"))
+    return media.select(
+        "media_id",
+        payload.alias("payload"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+def sniff_mime(payload):
+    """Magic-byte container sniffing as a pure column expression (JVM
+    whole-stage codegen; the payload never reaches Python). Only the
+    first 16 bytes are hexed — at 100 TB the scan reads payload pages
+    but the sniff itself touches a constant-size prefix per row."""
+    h = F.hex(F.substring(payload, 1, 16))
+    return (
+        F.when(h.startswith("FFD8FF"), "image/jpeg")
+        .when(h.startswith("89504E470D0A1A0A"), "image/png")
+        .when(h.startswith("474946383761") | h.startswith("474946383961"),
+              "image/gif")
+        .when(h.startswith("52494646")
+              & (F.substring(h, 17, 8) == "57415645"), "audio/wav")
+        .when(h.startswith("25504446"), "application/pdf")
+        .when(h.startswith("1F8B"), "application/gzip")
+        .otherwise("text/plain")
+    )
+
+
+def mm_magic_byte_census(spark, sf_dir):
+    """Container census over a mixed-signature binary column: sniff the
+    mime from magic bytes, then per-container item/byte stats — the
+    first triage query over any crawled media dump (what formats, how
+    much of each, size envelope). The DuckDB oracle constructs the same
+    payloads from the shared MAGIC_HEADERS table but re-implements the
+    sniffing independently over hex strings."""
+    media = documents_as_mixed_media(spark, sf_dir)
+    return (
+        media.select(sniff_mime(F.col("payload")).alias("sniffed_mime"),
+                     "n_bytes")
+        .groupBy("sniffed_mime")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )
+
+
+_LN2 = 0.6931471805599453  # same double literal on both engines
+
+
+def mm_byte_entropy(spark, sf_dir):
+    """Per-payload byte-histogram Shannon entropy (bits/byte) — the
+    standard already-compressed/encrypted detector for binary columns
+    (gzip/jpeg payloads sit near 8, text near 4-5; a dedup or decode
+    stage gates on it). Entirely JVM-side: ISO-8859-1 decode maps bytes
+    1:1 to chars, explode -> (media, byte) counts -> entropy from
+    integer counts via H = (ln n - (Σ c·ln c)/n) / ln 2. Per-term
+    contributions are floor-quantized to bigint before the SUM so the
+    aggregate is order-free (the house determinism discipline); ln 2 is
+    a shared literal, not each engine's log(2). Oracle counts chars of
+    the ASCII source text (byte == codepoint — same precondition
+    mm_feature_extract documents). At 100 TB the explode is
+    bytes-as-rows but map-side partial aggregation collapses each
+    payload to ≤256 rows before any exchange."""
+    media = documents_as_media(spark, sf_dir)
+    chars = media.select(
+        "media_id",
+        F.explode(F.split(F.decode("payload", "ISO-8859-1"), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("media_id", "ch").agg(F.count("*").alias("c"))
+    q = F.floor(F.col("c") * F.log(F.col("c").cast("double")) * 1e9).cast("bigint")
+    per = counts.groupBy("media_id").agg(
+        F.sum("c").alias("n_bytes"),
+        F.count("*").alias("distinct_bytes"),
+        F.sum(q).alias("qs"),
+    )
+    entropy = (
+        F.log(F.col("n_bytes").cast("double"))
+        - (F.col("qs") / F.lit(1e9)) / F.col("n_bytes")
+    ) / F.lit(_LN2)
+    return per.select(
+        "media_id", "n_bytes", "distinct_bytes",
+        F.round(entropy, 6).alias("entropy_bits"),
+    )
+
+
 ORACLE_SQL = {
     "mm_payload_dedup": """
         SELECT min(doc_id) AS media_id,
@@ -274,9 +388,63 @@ ORACLE_SQL = {
     """,
 }
 
+_hdr_cases = "\n                   ".join(
+    f"WHEN {i} THEN '{hx}'" for i, hx in enumerate(MAGIC_HEADERS) if hx
+)
+ORACLE_SQL["mm_magic_byte_census"] = f"""
+    WITH payloads AS (
+        SELECT CASE doc_id % {len(MAGIC_HEADERS)}
+                   {_hdr_cases}
+                   ELSE '' END || hex(encode(text)) AS h
+        FROM documents
+    ), sniffed AS (
+        SELECT CASE
+                 WHEN starts_with(h, 'FFD8FF') THEN 'image/jpeg'
+                 WHEN starts_with(h, '89504E470D0A1A0A') THEN 'image/png'
+                 WHEN starts_with(h, '474946383761')
+                      OR starts_with(h, '474946383961') THEN 'image/gif'
+                 WHEN starts_with(h, '52494646')
+                      AND substring(h, 17, 8) = '57415645' THEN 'audio/wav'
+                 WHEN starts_with(h, '25504446') THEN 'application/pdf'
+                 WHEN starts_with(h, '1F8B') THEN 'application/gzip'
+                 ELSE 'text/plain' END AS sniffed_mime,
+               CAST(length(h) // 2 AS BIGINT) AS n_bytes
+        FROM payloads
+    )
+    SELECT sniffed_mime,
+           count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           min(n_bytes) AS min_bytes,
+           max(n_bytes) AS max_bytes
+    FROM sniffed
+    GROUP BY sniffed_mime
+"""
+
+ORACLE_SQL["mm_byte_entropy"] = f"""
+    WITH counts AS (
+        SELECT doc_id AS media_id, ch, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents)
+        WHERE ch <> ''
+        GROUP BY 1, 2
+    )
+    SELECT media_id,
+           CAST(sum(c) AS BIGINT) AS n_bytes,
+           CAST(count(*) AS BIGINT) AS distinct_bytes,
+           round((ln(CAST(sum(c) AS DOUBLE))
+                  - (CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e9)
+                                   AS BIGINT)) AS DOUBLE) / 1e9)
+                    / CAST(sum(c) AS DOUBLE))
+                 / {_LN2!r}, 6) AS entropy_bits
+    FROM counts
+    GROUP BY media_id
+"""
+
 QUERIES = {
     "mm_payload_dedup": mm_payload_dedup,
     "mm_binary_stats": mm_binary_stats,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample_counts": mm_frame_sample_counts,
+    "mm_magic_byte_census": mm_magic_byte_census,
+    "mm_byte_entropy": mm_byte_entropy,
 }

@@ -60,3 +60,87 @@ def test_frame_sample_stub_fanout(spark, sf_dir):
             == list(range(len(rows)))
         assert len(rows) <= 3
         assert all(len(r["frame_payload"]) <= 100 for r in rows)
+
+
+def test_sniff_mime_classifies_known_signatures(spark):
+    """Crafted payloads with real container signatures + tricky
+    near-misses: RIFF without WAVE is NOT wav; a payload whose TEXT
+    starts with 'GIF89a' IS gif (sniffing is byte-prefix truth, not
+    provenance); short payloads must not error."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        sniff_mime,
+    )
+
+    rows = [
+        (1, b"\xff\xd8\xff\xe0" + b"x" * 10, "image/jpeg"),
+        (2, b"\x89PNG\r\n\x1a\n" + b"x" * 10, "image/png"),
+        (3, b"GIF89a-pretend-image", "image/gif"),
+        (4, b"GIF87a" + b"y" * 3, "image/gif"),
+        (5, b"RIFF\x01\x02\x03\x04WAVEfmt ", "audio/wav"),
+        (6, b"RIFF\x01\x02\x03\x04AVI LIST", "text/plain"),  # RIFF but not WAVE
+        (7, b"%PDF-1.7\n%stuff", "application/pdf"),
+        (8, b"\x1f\x8b\x08rest-of-gzip", "application/gzip"),
+        (9, b"plain old text", "text/plain"),
+        (10, b"\xff\xd8", "text/plain"),  # too-short JPEG prefix
+        (11, b"", "text/plain"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "media_id long, payload binary"
+    )
+    got = {
+        r.media_id: r.mime
+        for r in df.select("media_id", sniff_mime(F.col("payload")).alias("mime")).collect()
+    }
+    assert got == {i: m for i, _, m in rows}
+
+
+def test_mixed_media_headers_roundtrip(spark, sf_dir):
+    """documents_as_mixed_media must prepend exactly the doc_id%7 header
+    and keep the text bytes intact after it."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        MAGIC_HEADERS,
+        documents_as_mixed_media,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+
+    text = {r.doc_id: r.text for r in
+            load_table(spark, sf_dir, "documents").limit(50).collect()}
+    media = {r.media_id: bytes(r.payload) for r in
+             documents_as_mixed_media(spark, sf_dir).limit(50).collect()}
+    checked = 0
+    for mid, payload in media.items():
+        if mid not in text:
+            continue
+        hdr = bytes.fromhex(MAGIC_HEADERS[mid % len(MAGIC_HEADERS)])
+        assert payload == hdr + text[mid].encode("utf-8")
+        checked += 1
+    assert checked > 0
+
+
+def test_byte_entropy_known_values(spark, monkeypatch):
+    """Hand-computable entropies: uniform-2-symbol text = 1 bit/byte,
+    single-symbol = 0 bits, 4 equiprobable symbols = 2 bits."""
+    import math
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import multimodal
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        mm_byte_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abababab"), (2, "zzzzz"), (3, "abcdabcd"), (4, "aab")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(
+        multimodal, "load_table", lambda sp, sf, t: docs
+    )
+    got = {r.media_id: r for r in mm_byte_entropy(spark, "unused").collect()}
+    assert got[1].entropy_bits == 1.0 and got[1].distinct_bytes == 2
+    assert got[2].entropy_bits == 0.0 and got[2].n_bytes == 5
+    assert got[3].entropy_bits == 2.0
+    expect = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[4].entropy_bits - round(expect, 6)) < 2e-6
