@@ -1,0 +1,74 @@
+"""Training-mixture operators: DSIR weights, classifier inference,
+temperature mixing — crafted-frame behavior pins (the registry parity
+sweep covers the real tables)."""
+
+import pytest
+
+from etl_pipeline_from_mongo_json_to_postgre_spark.operators import mixing
+
+
+def _fold_hash(word: str) -> int:
+    h = 7
+    for ch in word:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    return h
+
+
+@pytest.fixture()
+def docs(spark, monkeypatch):
+    def _install(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+        monkeypatch.setattr(mixing, "load_table", lambda sp, sf, t: df)
+        return df
+    return _install
+
+
+def test_importance_weights_point_toward_target(spark, docs):
+    """Docs made of target-domain tokens must outweigh docs made of
+    off-domain tokens; a doc mixing both sits between."""
+    docs(
+        [(1, "aa aa aa aa", "en", "s1"),
+         (2, "aa aa aa aa", "en", "s1"),
+         (3, "bb bb bb bb", "de", "s1"),
+         (4, "bb bb bb bb", "de", "s1"),
+         (5, "aa aa bb bb", "de", "s1"),   # mixed, off-target label
+         (6, "aa aa aa aa", "de", "s1")]   # target-looking text, wrong lang
+    )
+    got = {r.doc_id: r for r in
+           mixing.sample_importance_weights(spark, "unused").collect()}
+    assert got[1].log_weight > 0 > got[3].log_weight
+    assert got[3].log_weight < got[5].log_weight < got[1].log_weight
+    # the weight scores TEXT, not the label: doc 6 scores like doc 1
+    assert got[6].log_weight == got[1].log_weight
+    assert got[1].n_tokens == 4
+
+
+def test_classifier_score_matches_hand_computation(spark, docs):
+    docs([(1, "aa bb aa", "en", "s1")])
+    got = mixing.text_classifier_score(spark, "unused").collect()[0]
+
+    def w(word):
+        b = _fold_hash(word) % mixing.N_BUCKETS
+        return (b + 1) * mixing._W_MULT % mixing._W_RANGE - (mixing._W_RANGE - 1) // 2
+
+    expect = 2 * w("aa") + w("bb")
+    assert got.sum_w == expect
+    assert got.n_tokens == 3
+    assert got.label_hq == (expect * 1000 > mixing._HQ_MEAN_MILLI * 3)
+
+
+def test_temperature_mix_tempers_the_head(spark, docs):
+    """400-token source vs 100-token source: raw shares 0.8/0.2 temper
+    to 2/3 and 1/3 at alpha=0.5; the small domain's boost is 5/3."""
+    rows = []
+    for i in range(4):
+        rows.append((i, " ".join(["tok"] * 100), "en", "big"))
+    rows.append((10, " ".join(["tok"] * 100), "en", "small"))
+    docs(rows)
+    got = {r.source: r for r in
+           mixing.sample_temperature_mix(spark, "unused").collect()}
+    assert got["big"].p_raw == 0.8 and got["small"].p_raw == 0.2
+    assert got["big"].p_temp == round(2 / 3, 6)
+    assert got["small"].p_temp == round(1 / 3, 6)
+    assert got["small"].boost == round((1 / 3) / 0.2, 4)
+    assert got["big"].boost < 1 < got["small"].boost

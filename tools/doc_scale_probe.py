@@ -13,6 +13,16 @@ Usage:
 An exponent near 1 is linear scaling; anything >1.5 on this family
 means a candidate-generation path went super-linear (the all-pairs
 trap) and deserves a .explain().
+
+Round-6 extension (VERDICT r5 task 8): events and graph families —
+deterministic generators for events (user sessions with Markov-ish
+event-type transitions) and lineitem/part (Zipfian co-purchase edges),
+probing the perplexity / lateness / attribution entries on events-rows
+and the iterative PageRank / label-propagation / triangle entries on
+EDGES:
+    python tools/doc_scale_probe.py --family events
+    python tools/doc_scale_probe.py --family graph
+(default --family documents keeps the original behavior and sizes).
 """
 
 from __future__ import annotations
@@ -42,6 +52,7 @@ DOC_FAMILY = [
     "dedup_substring_spans",
     "text_bpe_merge_step",
     "text_bigram_perplexity",
+    "sample_perplexity_buckets",
     "text_sparse_cosine_pairs",
     "text_bm25_topk",
     "text_winnowing_fingerprint",
@@ -78,15 +89,120 @@ def gen_corpus(n_docs: int, out_dir: str, vocab: int = 6000,
     pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
 
 
+EVENTS_FAMILY = [
+    "ts_markov_perplexity",
+    "events_lateness_census",
+    "events_attribution_last_touch",
+]
+
+GRAPH_FAMILY = [
+    "graph_label_propagation",
+    "graph_pagerank_parts",
+    "graph_triangle_count",
+]
+
+
+def gen_events(n_events: int, out_dir: str, seed: int = 7) -> None:
+    """Events with ~60 rows/user, Markov-ish event-type transitions
+    (each type prefers one successor 50% of the time — gives the
+    markov-perplexity entries non-uniform structure) and a lateness
+    skew: 5% of rows are written out of ts order (for the lateness
+    census). 'purchase' rows carry a revenue value (attribution)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    types = ["view", "click", "cart", "purchase", "search", "scroll"]
+    k = len(types)
+    users = rng.integers(0, max(n_events // 60, 1), size=n_events)
+    tcode = np.empty(n_events, dtype=np.int64)
+    tcode[0] = 0
+    sticky = rng.random(n_events) < 0.5
+    draw = rng.integers(0, k, size=n_events)
+    for i in range(1, n_events):
+        tcode[i] = (tcode[i - 1] + 1) % k if sticky[i] else draw[i]
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + np.cumsum(rng.integers(1, 2000, size=n_events)).astype(
+        "timedelta64[us]") * 1000
+    # 5% arrive late: swap their ts back by up to an hour
+    late = rng.random(n_events) < 0.05
+    ts[late] -= np.timedelta64(1, "h")
+    value = np.where(np.array(types)[tcode] == "purchase",
+                     rng.uniform(1, 500, n_events).round(2), 0.0)
+    tbl = pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array([types[c] for c in tcode], pa.string()),
+        "value": pa.array(value, pa.float64()),
+        "props": pa.array(["{}"] * n_events, pa.string()),
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tbl, os.path.join(out_dir, "events.parquet"))
+
+
+def gen_graph(n_lineitems: int, out_dir: str, seed: int = 7) -> None:
+    """lineitem/part with Zipfian part popularity (real skew for the
+    co-purchase edge builders) at ~4 items per order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n_parts = max(n_lineitems // 10, 100)
+    ranks = np.arange(1, n_parts + 1, dtype=np.float64)
+    p = (1.0 / ranks) / (1.0 / ranks).sum()
+    partkey = rng.choice(n_parts, size=n_lineitems, p=p)
+    orderkey = np.arange(n_lineitems) // 4
+    ship = (np.datetime64("2024-01-01", "us")
+            + rng.integers(0, 365, n_lineitems).astype("timedelta64[D]").astype(
+                "timedelta64[us]"))
+    li = pa.table({
+        "l_orderkey": pa.array(orderkey, pa.int64()),
+        "l_partkey": pa.array(partkey, pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, 100, n_lineitems), pa.int64()),
+        "l_linenumber": pa.array((np.arange(n_lineitems) % 4 + 1).astype(np.int32)),
+        "l_quantity": pa.array(rng.integers(1, 50, n_lineitems).astype(np.float64)),
+        "l_extendedprice": pa.array(rng.uniform(100, 10000, n_lineitems).round(2)),
+        "l_discount": pa.array(rng.integers(0, 10, n_lineitems) / 100.0),
+        "l_tax": pa.array(rng.integers(0, 8, n_lineitems) / 100.0),
+        "l_returnflag": pa.array(["N"] * n_lineitems, pa.string()),
+        "l_linestatus": pa.array(["O"] * n_lineitems, pa.string()),
+        "l_shipdate": pa.array(ship),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(range(n_parts), pa.int64()),
+        "p_name": pa.array([f"part {i}" for i in range(n_parts)], pa.string()),
+        "p_brand": pa.array([f"Brand#{i % 25 + 11}" for i in range(n_parts)],
+                            pa.string()),
+        "p_type": pa.array([f"TYPE {i % 30}" for i in range(n_parts)], pa.string()),
+        "p_size": pa.array((np.arange(n_parts) % 50 + 1).astype(np.int32)),
+        "p_retailprice": pa.array(((np.arange(n_parts) % 900) + 100.0)),
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(li, os.path.join(out_dir, "lineitem.parquet"))
+    pq.write_table(part, os.path.join(out_dir, "part.parquet"))
+
+
+FAMILIES = {
+    "documents": (DOC_FAMILY, gen_corpus, "5000,15000,50000"),
+    "events": (EVENTS_FAMILY, gen_events, "20000,60000,200000"),
+    "graph": (GRAPH_FAMILY, gen_graph, "20000,60000,200000"),
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", default="5000,15000,50000")
+    ap.add_argument("--family", default="documents", choices=sorted(FAMILIES))
+    ap.add_argument("--sizes", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--entries", default=None,
-                    help="comma-separated subset of DOC_FAMILY to probe")
+                    help="comma-separated subset of the family to probe")
     args = ap.parse_args()
-    sizes = [int(s) for s in args.sizes.split(",")]
-    family = (args.entries.split(",") if args.entries else DOC_FAMILY)
+    fam_entries, gen, default_sizes = FAMILIES[args.family]
+    sizes = [int(s) for s in (args.sizes or default_sizes).split(",")]
+    family = (args.entries.split(",") if args.entries else fam_entries)
 
     from etl_pipeline_from_mongo_json_to_postgre_spark.session import get_spark
 
@@ -99,9 +215,22 @@ def main() -> int:
     shutil.rmtree(STAGE, ignore_errors=True)
     dirs = {}
     for n in sizes:
-        d = os.path.join(STAGE, f"docs{n}")
-        gen_corpus(n, d)
+        d = os.path.join(STAGE, f"{args.family}{n}")
+        gen(n, d)
         dirs[n] = d
+
+    # Warm codegen/reader/shuffle so the smallest size's first entry
+    # isn't billed ~5s of JVM startup (it flattens every exponent).
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+
+    warm_table = {"documents": "documents", "events": "events",
+                  "graph": "lineitem"}[args.family]
+    warm_key = {"documents": "lang", "events": "event_type",
+                "graph": "l_partkey"}[args.family]
+    load_table(spark, dirs[sizes[0]], warm_table).groupBy(
+        warm_key).count().collect()
 
     results: dict[str, dict[int, float]] = {}
     for name in family:
@@ -109,6 +238,13 @@ def main() -> int:
             print(f"  {name}: not in registry, skipped")
             continue
         results[name] = {}
+        try:
+            # per-entry warm run (smallest size, untimed): checkpoint-dir,
+            # Arrow, and plan-cache setup otherwise lands on the first
+            # timed point and fakes a negative exponent
+            queries[name](spark, dirs[sizes[0]]).count()
+        except Exception:  # noqa: BLE001 - the timed run reports it
+            pass
         for n in sizes:
             t0 = time.time()
             try:
