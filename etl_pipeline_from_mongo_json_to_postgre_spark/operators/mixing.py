@@ -87,12 +87,17 @@ def sample_importance_weights(spark, sf_dir):
     crafted-fixture test before it shipped)."""
     d = _docs(spark, sf_dir)
     toks = _doc_buckets(d)
-    raw = toks.groupBy("bucket").agg(F.count("*").alias("c_raw"))
-    tgt = (toks.where(F.col("lang") == TARGET_LANG)
-           .groupBy("bucket").agg(F.count("*").alias("c_tgt")))
+    # ONE corpus pass builds both models: raw count + FILTERed target
+    # count in the same bucket-keyed aggregate (at 100 TB the corpus is
+    # scanned exactly twice total — once for the model, once for the
+    # scoring join; there is no third target-only pass)
+    counts = toks.groupBy("bucket").agg(
+        F.count("*").alias("c_raw"),
+        F.count_if(F.col("lang") == TARGET_LANG).alias("c_tgt"),
+    )
     spine = spark.range(N_BUCKETS).select(F.col("id").cast("bigint").alias("bucket"))
     model = (
-        spine.join(raw, "bucket", "left").join(tgt, "bucket", "left")
+        spine.join(counts, "bucket", "left")
         .select("bucket",
                 F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
                 F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"))
@@ -195,18 +200,17 @@ def sample_temperature_mix(spark, sf_dir):
 ORACLE_SQL = {
     "sample_importance_weights": f"""
         WITH toks AS ({_DUCK_BUCKETS}
-        ), raw AS (
-            SELECT bucket, count(*) AS c_raw FROM toks GROUP BY bucket
-        ), tgt AS (
-            SELECT bucket, count(*) AS c_tgt FROM toks
-            WHERE lang = '{TARGET_LANG}' GROUP BY bucket
+        ), counts AS (
+            SELECT bucket,
+                   count(*) AS c_raw,
+                   count(*) FILTER (lang = '{TARGET_LANG}') AS c_tgt
+            FROM toks GROUP BY bucket
         ), model AS (
             SELECT r.range AS bucket,
                    COALESCE(c_raw, 0) AS c_raw,
                    COALESCE(c_tgt, 0) AS c_tgt
             FROM range({N_BUCKETS}) r
-            LEFT JOIN raw ON raw.bucket = r.range
-            LEFT JOIN tgt ON tgt.bucket = r.range
+            LEFT JOIN counts ON counts.bucket = r.range
         ), totals AS (
             SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM model
         ), logratio AS (

@@ -2,11 +2,17 @@
 
 Images/audio/video are carried as opaque ``binary`` columns with a
 typed metadata struct. The Spark-side plumbing — schema, partitioning,
-Arrow-batched UDF signatures, batch shapes — is real and tested; the
-actual media decode is STUBBED (codec libraries are not available in
-this environment): ``decode_image_stub`` raises NotImplementedError
-unless ``deterministic_fake=True``, which produces a seeded fake
-feature vector so the pipeline shape can be exercised end-to-end.
+Arrow-batched UDF signatures, batch shapes — is real and tested.
+Decode status by format class: UNCOMPRESSED rasters are decoded FOR
+REAL (``decode_ppm`` parses binary-PPM headers + rasters with
+stdlib+numpy; ``mm_image_decode_stats`` runs it end-to-end under a
+closed-form DuckDB oracle); codec-dependent formats (JPEG/PNG/audio/
+video) are STUBBED because no codec library ships in this environment:
+``decode_image_stub`` raises NotImplementedError unless
+``deterministic_fake=True``, which produces a seeded fake feature
+vector so the pipeline shape can be exercised end-to-end. Container
+TYPE detection needs no decode at all — ``sniff_mime`` classifies
+magic bytes as a pure column expression.
 
 At 100 TB: binary payloads stay columnar in parquet, metadata columns
 allow predicate pushdown (e.g. filter by mime/width) without touching
@@ -388,6 +394,106 @@ ORACLE_SQL = {
     """,
 }
 
+def decode_ppm(payload: bytes) -> dict:
+    """REAL image decode for binary PPM (P6) — header parse + raster
+    stats with nothing but stdlib + numpy (PPM is uncompressed, so no
+    codec library is needed; this is the one raster format this
+    environment can decode for real — compressed formats stay behind
+    decode_image_stub). Raises ValueError on non-PPM bytes."""
+    import re
+
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("empty payload")
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", bytes(payload))
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    width, height, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    n = width * height * 3
+    try:
+        raster = np.frombuffer(bytes(payload), dtype=np.uint8,
+                               count=n, offset=m.end())
+    except ValueError as exc:
+        raise ValueError(f"truncated raster: {exc}") from exc
+    total = int(raster.sum())
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "sum_bytes": total,
+        "mean_milli": total * 1000 // n,
+        "min_byte": int(raster.min()),
+        "max_byte": int(raster.max()),
+    }
+
+
+_PPM_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", LongType(), True),
+    StructField("height", LongType(), True),
+    StructField("n_pixels", LongType(), True),
+    StructField("sum_bytes", LongType(), True),
+    StructField("mean_milli", LongType(), True),
+    StructField("min_byte", LongType(), True),
+    StructField("max_byte", LongType(), True),
+])
+
+
+def _ppm_bytes(doc_id: int) -> bytes:
+    """Deterministic synthetic image: width 4+id%5, height 4+id%3,
+    raster byte k (1-indexed) = (id*k) % 256 — closed form the DuckDB
+    oracle recomputes without decoding, so a decoder bug (wrong header
+    offset, wrong raster length) breaks parity."""
+    w, h = 4 + doc_id % 5, 4 + doc_id % 3
+    raster = bytes((doc_id * k) % 256 for k in range(1, w * h * 3 + 1))
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
+def documents_as_ppm_images(spark, sf_dir) -> DataFrame:
+    """One synthetic PPM image per document id (Arrow-batched synth —
+    the fixture generator; the DECODER under test sees only bytes)."""
+    tune_for_oracle(spark)
+    ids = fan_out(spark, load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"))
+    target = spark.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target // 2:
+        ids = ids.repartition(target)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_ppm_bytes(int(i)) for i in pdf["media_id"]],
+            })
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ])
+    return ids.mapInPandas(_synth, schema=schema)
+
+
+def mm_image_decode_stats(spark, sf_dir):
+    """End-to-end REAL image decode over a binary column: parse each
+    PPM payload's header, read its raster, emit integer pixel stats.
+    All-integer outputs, so the derived oracle (closed-form pixel rule)
+    is exact. mapInPandas streams Arrow batches — decode memory is
+    bounded by batch size, the 100 TB contract for media columns."""
+    imgs = documents_as_ppm_images(spark, sf_dir)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out.append({"media_id": mid, **decode_ppm(payload)})
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(_decode, schema=_PPM_STATS_SCHEMA)
+
+
 _hdr_cases = "\n                   ".join(
     f"WHEN {i} THEN '{hx}'" for i, hx in enumerate(MAGIC_HEADERS) if hx
 )
@@ -440,6 +546,27 @@ ORACLE_SQL["mm_byte_entropy"] = f"""
     GROUP BY media_id
 """
 
+ORACLE_SQL["mm_image_decode_stats"] = """
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS width, 4 + doc_id % 3 AS height
+        FROM documents
+    ), px AS (
+        SELECT doc_id, width, height, (doc_id * k.range) % 256 AS b
+        FROM dims CROSS JOIN range(1, 145) k
+        WHERE k.range <= width * height * 3
+    )
+    SELECT doc_id AS media_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(sum(b) AS BIGINT) AS sum_bytes,
+           CAST(sum(b) * 1000 // (width * height * 3) AS BIGINT) AS mean_milli,
+           CAST(min(b) AS BIGINT) AS min_byte,
+           CAST(max(b) AS BIGINT) AS max_byte
+    FROM px
+    GROUP BY doc_id, width, height
+"""
+
 QUERIES = {
     "mm_payload_dedup": mm_payload_dedup,
     "mm_binary_stats": mm_binary_stats,
@@ -447,4 +574,5 @@ QUERIES = {
     "mm_frame_sample_counts": mm_frame_sample_counts,
     "mm_magic_byte_census": mm_magic_byte_census,
     "mm_byte_entropy": mm_byte_entropy,
+    "mm_image_decode_stats": mm_image_decode_stats,
 }

@@ -144,3 +144,53 @@ def test_byte_entropy_known_values(spark, monkeypatch):
     assert got[3].entropy_bits == 2.0
     expect = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert abs(got[4].entropy_bits - round(expect, 6)) < 2e-6
+
+
+def test_decode_ppm_known_image():
+    """Hand-built 2x1 P6 image: pixels (1,2,3) and (250,251,252)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    payload = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    got = decode_ppm(payload)
+    assert got == {
+        "width": 2, "height": 1, "n_pixels": 2,
+        "sum_bytes": 759,
+        "mean_milli": (759 * 1000) // 6,
+        "min_byte": 1, "max_byte": 252,
+    }
+    # whitespace-variant header (single spaces) parses identically
+    assert decode_ppm(b"P6 2 1 255\n" + bytes([1, 2, 3, 250, 251, 252])) == got
+
+
+def test_decode_ppm_rejects_bad_payloads():
+    import pytest as _pytest
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    with _pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"\x89PNG\r\n\x1a\nxxxx")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x01")  # 12 bytes needed, 2 given
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_ppm_roundtrip_synth_decode(spark, sf_dir):
+    """The synthetic image table must decode back to its generation
+    rule (real bytes through Arrow batches, not a shortcut)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        mm_image_decode_stats,
+    )
+
+    rows = {r.media_id: r for r in
+            mm_image_decode_stats(spark, sf_dir).limit(500).collect()}
+    assert rows
+    for mid, r in list(rows.items())[:20]:
+        w, h = 4 + mid % 5, 4 + mid % 3
+        assert (r.width, r.height) == (w, h)
+        expect = sum((mid * k) % 256 for k in range(1, w * h * 3 + 1))
+        assert r.sum_bytes == expect

@@ -639,3 +639,43 @@ def test_zipf_rank_is_partitioned_not_global(spark, sf_dir):
     after = plan.split("row_number() windowspecdefinition", 1)[1]
     first_exchange = after.split("Exchange ", 1)[1].split(",", 1)[0]
     assert first_exchange.startswith("hashpartitioning"), first_exchange
+
+
+def test_mixing_family_broadcasts_models_and_stays_jvm_side(spark, sf_dir):
+    """The mixture operators join corpus-sized token streams against
+    MODEL-sized tables (1024 log-ratios / weights, ~20 domains): every
+    join must broadcast (a SortMergeJoin means the model side shuffled
+    the corpus), no Python evaluation, and no exchange may carry the
+    text column."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.mixing import (
+        sample_importance_weights,
+        sample_temperature_mix,
+        text_classifier_score,
+    )
+
+    for build in (sample_importance_weights, text_classifier_score,
+                  sample_temperature_mix):
+        plan = physical_plan(build(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, build.__name__
+        assert "BatchEvalPython" not in plan, build.__name__
+        assert "ArrowEvalPython" not in plan, build.__name__
+        for chunk in plan.split("Exchange hashpartitioning")[1:]:
+            assert "text" not in chunk.splitlines()[0], build.__name__
+
+
+def test_mm_sniff_and_entropy_jvm_side(spark, sf_dir):
+    """Magic-byte sniffing and byte entropy are pure column expressions:
+    no Python nodes, no joins at all, and the census exchanges carry
+    group keys + partial aggregates, never the payload bytes."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        mm_byte_entropy,
+        mm_magic_byte_census,
+    )
+
+    for build in (mm_magic_byte_census, mm_byte_entropy):
+        plan = physical_plan(build(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, build.__name__
+        assert "ArrowEvalPython" not in plan, build.__name__
+        assert "Join" not in plan, build.__name__
+        for chunk in plan.split("Exchange hashpartitioning")[1:]:
+            assert "payload" not in chunk.splitlines()[0], build.__name__
