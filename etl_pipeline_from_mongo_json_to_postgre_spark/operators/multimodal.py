@@ -494,6 +494,190 @@ def mm_image_decode_stats(spark, sf_dir):
     return imgs.mapInPandas(_decode, schema=_PPM_STATS_SCHEMA)
 
 
+def decode_wav_pcm(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE PCM — chunk walk + int16 sample
+    stats with stdlib struct + numpy (PCM is uncompressed; like
+    decode_ppm this needs no codec library). Rejects non-RIFF bytes,
+    compressed audio formats, and truncated data chunks."""
+    import struct
+
+    import numpy as np
+
+    p = bytes(payload or b"")
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(p):
+        cid, size = p[pos:pos + 4], struct.unpack("<I", p[pos + 4:pos + 8])[0]
+        body = p[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM supported (no codec libs)")
+    samples = np.frombuffer(data, dtype="<i2")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_samples": samples.size // channels,
+        "sum_s": int(samples.astype(np.int64).sum()),
+        "sum_abs": int(np.abs(samples.astype(np.int64)).sum()),
+        "min_s": int(samples.min()),
+        "max_s": int(samples.max()),
+    }
+
+
+_WAV_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", LongType(), True),
+    StructField("channels", LongType(), True),
+    StructField("n_samples", LongType(), True),
+    StructField("sum_s", LongType(), True),
+    StructField("sum_abs", LongType(), True),
+    StructField("min_s", LongType(), True),
+    StructField("max_s", LongType(), True),
+])
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: 50 + id%50 samples, sample k
+    (1-indexed) = (id*37*k) % 65536 - 32768 — closed form for the
+    DuckDB oracle."""
+    import struct
+
+    n = 50 + doc_id % 50
+    data = b"".join(
+        struct.pack("<h", (doc_id * 37 * k) % 65536 - 32768)
+        for k in range(1, n + 1)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mm_audio_decode_stats(spark, sf_dir):
+    """End-to-end REAL audio decode over a binary column: walk each
+    WAV payload's RIFF chunks, read the int16 PCM raster, emit integer
+    sample stats (sum / abs-sum / extrema — the RMS and clipping
+    inputs). All-integer outputs; the derived oracle recomputes them
+    from the generation rule, so a chunk-walk or byte-order bug breaks
+    the hash."""
+    tune_for_oracle(spark)
+    ids = fan_out(spark, load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"))
+    target = spark.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target // 2:
+        ids = ids.repartition(target)
+
+    def _synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                out.append({"media_id": mid,
+                            **decode_wav_pcm(_wav_bytes(int(mid)))})
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(_synth_decode, schema=_WAV_STATS_SCHEMA)
+
+
+def sample_y4m_frames(payload: bytes, every_n: int = 2) -> list:
+    """REAL video frame sampling for Y4M (YUV4MPEG2) — the uncompressed
+    video container: parse the stream header (W/H/C tags), walk the
+    FRAME markers, and emit luma-plane stats for every ``every_n``-th
+    frame. stdlib-only; C444 streams (full-res Y,U,V planes). This is
+    the real counterpart of frame_sample_stub's byte-offset fake: the
+    sampler must honor actual frame boundaries or the stats shift."""
+    p = bytes(payload or b"")
+    nl = p.find(b"\n")
+    if nl < 0 or not p.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420"
+    for tag in p[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            colorspace = tag.decode()
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    if colorspace != "C444":
+        raise ValueError("only C444 supported (no resampling libs)")
+    frame_bytes = 3 * w * h
+    rows, pos, frame_no = [], nl + 1, 0
+    while pos < len(p):
+        fnl = p.find(b"\n", pos)
+        if fnl < 0 or p[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        body = p[fnl + 1:fnl + 1 + frame_bytes]
+        if len(body) < frame_bytes:
+            raise ValueError(f"truncated frame {frame_no}")
+        if frame_no % every_n == 0:
+            luma = body[: w * h]
+            rows.append({"frame_no": frame_no, "y_sum": sum(luma),
+                         "y_min": min(luma), "y_max": max(luma)})
+        pos = fnl + 1 + frame_bytes
+        frame_no += 1
+    return rows
+
+
+_Y4M_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_no", LongType(), False),
+    StructField("y_sum", LongType(), True),
+    StructField("y_min", LongType(), True),
+    StructField("y_max", LongType(), True),
+])
+
+
+def _y4m_bytes(doc_id: int) -> bytes:
+    """Deterministic C444 clip: 4 x (2+id%3), 2+id%5 frames, frame f
+    byte k (1-indexed over all 3 planes) = (id + 31*f + k) % 256."""
+    w, h, nf = 4, 2 + doc_id % 3, 2 + doc_id % 5
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h)]
+    for f in range(nf):
+        out.append(b"FRAME\n")
+        out.append(bytes((doc_id + 31 * f + k) % 256
+                         for k in range(1, 3 * w * h + 1)))
+    return b"".join(out)
+
+
+def mm_video_frame_stats(spark, sf_dir):
+    """End-to-end REAL video frame sampling over a binary column: walk
+    each Y4M payload's frame markers, keep every 2nd frame, emit
+    integer luma stats per sampled frame (the shot-boundary /
+    brightness inputs). One output row per sampled frame — the
+    explode-shaped fan-out a keyframe sampler produces. All-integer;
+    the derived oracle recomputes from the generation rule, so a frame
+    -boundary bug breaks the hash."""
+    tune_for_oracle(spark)
+    ids = fan_out(spark, load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"))
+    target = spark.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target // 2:
+        ids = ids.repartition(target)
+
+    def _synth_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                for row in sample_y4m_frames(_y4m_bytes(int(mid))):
+                    out.append({"media_id": mid, **row})
+            yield pd.DataFrame(out, columns=["media_id", "frame_no",
+                                             "y_sum", "y_min", "y_max"])
+
+    return ids.mapInPandas(_synth_sample, schema=_Y4M_STATS_SCHEMA)
+
+
 _hdr_cases = "\n                   ".join(
     f"WHEN {i} THEN '{hx}'" for i, hx in enumerate(MAGIC_HEADERS) if hx
 )
@@ -567,6 +751,49 @@ ORACLE_SQL["mm_image_decode_stats"] = """
     GROUP BY doc_id, width, height
 """
 
+ORACLE_SQL["mm_audio_decode_stats"] = """
+    WITH dims AS (
+        SELECT doc_id, 50 + doc_id % 50 AS n FROM documents
+    ), s AS (
+        SELECT doc_id, n, (doc_id * 37 * k.range) % 65536 - 32768 AS v
+        FROM dims CROSS JOIN range(1, 100) k
+        WHERE k.range <= n
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_s,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(min(v) AS BIGINT) AS min_s,
+           CAST(max(v) AS BIGINT) AS max_s
+    FROM s
+    GROUP BY doc_id, n
+"""
+
+ORACLE_SQL["mm_video_frame_stats"] = """
+    WITH dims AS (
+        SELECT doc_id, 4 AS w, 2 + doc_id % 3 AS h, 2 + doc_id % 5 AS nf
+        FROM documents
+    ), frames AS (
+        SELECT doc_id, w, h, f.range AS frame_no
+        FROM dims CROSS JOIN range(0, 7) f
+        WHERE f.range < nf AND f.range % 2 = 0
+    ), px AS (
+        SELECT doc_id, frame_no,
+               (doc_id + 31 * frame_no + k.range) % 256 AS y
+        FROM frames CROSS JOIN range(1, 17) k
+        WHERE k.range <= w * h
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(sum(y) AS BIGINT) AS y_sum,
+           CAST(min(y) AS BIGINT) AS y_min,
+           CAST(max(y) AS BIGINT) AS y_max
+    FROM px
+    GROUP BY doc_id, frame_no
+"""
+
 QUERIES = {
     "mm_payload_dedup": mm_payload_dedup,
     "mm_binary_stats": mm_binary_stats,
@@ -575,4 +802,6 @@ QUERIES = {
     "mm_magic_byte_census": mm_magic_byte_census,
     "mm_byte_entropy": mm_byte_entropy,
     "mm_image_decode_stats": mm_image_decode_stats,
+    "mm_audio_decode_stats": mm_audio_decode_stats,
+    "mm_video_frame_stats": mm_video_frame_stats,
 }

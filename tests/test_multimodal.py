@@ -194,3 +194,68 @@ def test_ppm_roundtrip_synth_decode(spark, sf_dir):
         assert (r.width, r.height) == (w, h)
         expect = sum((mid * k) % 256 for k in range(1, w * h * 3 + 1))
         assert r.sum_bytes == expect
+
+
+def test_decode_wav_known_samples():
+    """Hand-built mono 16-bit PCM WAV with samples [-2, 3, 32767]."""
+    import struct
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        decode_wav_pcm,
+    )
+
+    data = struct.pack("<3h", -2, 3, 32767)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    got = decode_wav_pcm(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert got == {"sample_rate": 8000, "channels": 1, "n_samples": 3,
+                   "sum_s": 32768, "sum_abs": 32772,
+                   "min_s": -2, "max_s": 32767}
+
+
+def test_decode_wav_rejects_bad_payloads():
+    import struct
+
+    import pytest as _pytest
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        decode_wav_pcm,
+    )
+
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_pcm(b"OggS....whatever")
+    # mu-law (format 7) must be refused, not mis-decoded
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 2) + b"\x00\x01")
+    with _pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav_pcm(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with _pytest.raises(ValueError, match="missing fmt"):
+        decode_wav_pcm(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_y4m_sampler_honors_frame_boundaries():
+    """3 frames of a 2x1 C444 clip; every_n=2 keeps frames 0 and 2.
+    Luma is the FIRST third of each frame — a sampler that ignores
+    plane layout would fold U/V bytes into the stats."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        sample_y4m_frames,
+    )
+
+    frames = [bytes([10, 20, 1, 1, 2, 2]),   # Y=[10,20] U=[1,1] V=[2,2]
+              bytes([30, 40, 3, 3, 4, 4]),
+              bytes([50, 60, 5, 5, 6, 6])]
+    payload = b"YUV4MPEG2 W2 H1 F25:1 Ip A1:1 C444\n" + b"".join(
+        b"FRAME\n" + f for f in frames)
+    got = sample_y4m_frames(payload, every_n=2)
+    assert got == [
+        {"frame_no": 0, "y_sum": 30, "y_min": 10, "y_max": 20},
+        {"frame_no": 2, "y_sum": 110, "y_min": 50, "y_max": 60},
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated frame"):
+        sample_y4m_frames(payload[:-3])
+    with _pytest.raises(ValueError, match="C444"):
+        sample_y4m_frames(b"YUV4MPEG2 W2 H1 C420\nFRAME\n" + bytes(3))
