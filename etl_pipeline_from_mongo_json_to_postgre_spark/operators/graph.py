@@ -238,7 +238,102 @@ def graph_label_propagation(spark, sf_dir):
     return state
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 8
+KCORE_MIN_PAIR = 2
+
+
+def kcore_peel(edges: DataFrame, k: int = KCORE_K,
+               rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983): each
+    round drops every node whose degree within the surviving subgraph
+    is < k, until nothing changes — the standard periphery/spam filter
+    and community-nucleus extractor for co-occurrence graphs.
+
+    Runs EXACTLY ``rounds`` peels (a deterministic DAG with no driver
+    actions mid-query, exactly mirrorable by the unrolled SQL oracle).
+    Peeling is monotone, so once the fixpoint is reached further rounds
+    are no-ops: the output IS the k-core whenever the graph converges
+    within ``rounds`` (probed ≤6 rounds at every shipped SF; a 100 TB
+    deployment would loop with a convergence count-check every
+    CHECKPOINT_EVERY rounds instead of a fixed bound).
+
+    Scale shape per round: one node-keyed degree aggregate + two
+    semi-joins of the (shrinking) edge list against the surviving node
+    set — id-only shuffles, same discipline as pagerank; lineage is cut
+    every CHECKPOINT_EVERY rounds."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    alive = sym.localCheckpoint(eager=True)
+    for i in range(rounds):
+        keep = (
+            alive.groupBy("src").agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k).select("src")
+        )
+        alive = (
+            alive.join(keep, "src", "semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < rounds:
+            alive = alive.localCheckpoint(eager=True)
+    return (
+        alive.groupBy("src").agg(F.count("*").alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )
+
+
+def graph_kcore_parts(spark, sf_dir):
+    """2-core of the co-purchase graph over repeat-pair edges
+    (min_count=2): parts that survive after iteratively shedding
+    pendant/tree-like periphery, with their within-core degree. FULL
+    exact value oracle: the peel unrolls to KCORE_ROUNDS rounds of
+    degree-filter CTEs in DuckDB (same fixed bound, identical by
+    monotonicity once converged)."""
+    from .association import copurchase_pairs
+
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li, min_count=KCORE_MIN_PAIR).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
+    return kcore_peel(edges)
+
+
 from .association import capped_basket_sql as _capped
+
+
+def _kcore_unrolled_sql() -> str:
+    rounds = []
+    for i in range(KCORE_ROUNDS):
+        rounds.append(f"""
+        , k{i} AS MATERIALIZED (
+            SELECT src FROM r{i} GROUP BY src HAVING count(*) >= {KCORE_K}
+        ), r{i + 1} AS MATERIALIZED (
+            SELECT e.src, e.dst
+            FROM r{i} e
+            JOIN k{i} a ON e.src = a.src
+            JOIN k{i} b ON e.dst = b.src
+        )""")
+    return f"""
+        WITH parts AS (
+            {_capped('lineitem', 'l_orderkey', 'l_partkey')}
+        ), pair_edges AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM parts a JOIN parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {KCORE_MIN_PAIR}
+        ), r0 AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM pair_edges
+            UNION
+            SELECT v, u FROM pair_edges
+        ){''.join(rounds)}
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+        FROM r{KCORE_ROUNDS}
+        GROUP BY src
+    """
+
 
 ORACLE_SQL: dict[str, str] = {
     # `parts` mirrors copurchase_pairs' per-basket cap (ADVICE r4), so
@@ -328,7 +423,10 @@ ORACLE_SQL["graph_label_propagation"] = f"""
     SELECT node, dist, label FROM ranked WHERE rk = 1
 """
 
+ORACLE_SQL["graph_kcore_parts"] = _kcore_unrolled_sql()
+
 QUERIES = {
+    "graph_kcore_parts": graph_kcore_parts,
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_count": graph_triangle_count,
     "graph_label_propagation": graph_label_propagation,

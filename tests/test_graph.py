@@ -45,3 +45,32 @@ def test_chain_ends_rank_lowest(spark):
     out = {r.node: r.rank for r in pagerank(_edges(spark, pairs), iters=15).collect()}
     assert out[0] == pytest.approx(out[4], rel=1e-9)
     assert out[2] > out[0]
+
+
+def test_kcore_peels_pendant_chain_keeps_triangle(spark):
+    """Triangle {1,2,3} with pendant chain 3-4-5 and an isolated edge
+    6-7: the 2-core is exactly the triangle (degree 2 each); the chain
+    and the edge peel away — and peeling must CASCADE (node 4 only
+    drops after 5 does)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (6, 7)],
+        "src long, dst long",
+    )
+    got = {r.node: r.core_degree for r in kcore_peel(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cycle_survives_whole(spark):
+    """A 4-cycle has no node below degree 2: nothing peels."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    got = {r.node: r.core_degree for r in kcore_peel(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
