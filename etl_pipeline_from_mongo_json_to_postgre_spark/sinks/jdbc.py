@@ -280,6 +280,18 @@ def write_table(
     row-level isolation is handled *before* the write by routing
     invalid rows to the audit frame (SURVEY §7 hard-part #2).
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    # JDBC has no mapping for array/map/struct columns ("Can't get JDBC
+    # type for array<string>" — found by the Derby end-to-end streaming
+    # test; pgjdbc fails identically). Serialize them to JSON strings:
+    # with stringtype=unspecified Postgres re-parses them into JSONB,
+    # exactly the reference's psycopg2 Json() adapter for
+    # missing_columns (postgres_loader.py:171-174).
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+            df = df.withColumn(field.name, F.to_json(field.name))
     if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
         df = df.coalesce(num_partitions)
     writer = df.write.format("jdbc").mode(mode)

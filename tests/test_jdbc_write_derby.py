@@ -108,3 +108,71 @@ def test_jdbc_options_derby_omits_pg_only_properties(tmp_path):
     pg = jdbc.jdbc_options({"name": "db"}, "t")
     assert pg["rewriteBatchedInserts"] == "true"
     assert pg["url"].startswith("jdbc:postgresql://")
+
+
+def test_stream_load_foreachbatch_into_real_jdbc(spark, db, tmp_path, sf_dir):
+    """The streaming incremental-load path END-TO-END against a real
+    JDBC database: events stream -> mapping transform per micro-batch
+    -> jdbc_batch_writer (the production foreachBatch writer, data +
+    audit appends). Then a second availableNow run on the SAME
+    checkpoint must append nothing — the checkpoint, not luck, is what
+    makes replays safe."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.plans.mapping_plan import (
+        MappingPlan,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import events as se
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming.load import (
+        jdbc_batch_writer,
+        stream_load,
+    )
+
+    jdbc.execute_statements(spark, db, ['CREATE SCHEMA "doc_audit"'])
+    plan = MappingPlan.from_config(
+        "events_stream",
+        {
+            "target_table": "public.events_loaded",
+            "object_id_attribute": "event_id",
+            "mappings": {
+                "event_id": {"column": "event_id", "type": "bigint"},
+                "user_id": {"column": "user_id", "type": "bigint"},
+                "event_type": {"column": "event_type", "type": "text"},
+                "value": {"column": "amount", "type": "double"},
+            },
+        },
+    )
+    stream = se.events_stream(spark, sf_dir).select(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+        .alias("raw_json")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    writer = jdbc_batch_writer(plan, db)
+    q = stream_load(stream, plan, writer, raw_col="raw_json",
+                    checkpoint_dir=ckpt, ingested_at="2024-06-01 00:00:00")
+    q.awaitTermination(120)
+
+    def count(table):
+        return (
+            spark.read.format("jdbc")
+            .option("url", db["url"]).option("driver", db["driver"])
+            .option("dbtable", jdbc.qualified_identifier(table))
+            .load().count()
+        )
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+
+    expect = load_table(spark, sf_dir, "events").count()
+    got_data = count("events_loaded")
+    got_audit = count("doc_audit.ingestion_audit")
+    assert got_data == expect
+    assert got_audit == expect
+
+    # replay on the same checkpoint: availableNow finds no new data
+    q2 = stream_load(stream, plan, writer, raw_col="raw_json",
+                     checkpoint_dir=ckpt, ingested_at="2024-06-01 00:00:00")
+    q2.awaitTermination(120)
+    assert count("events_loaded") == expect, "checkpoint replay re-appended"
+    assert count("doc_audit.ingestion_audit") == expect
