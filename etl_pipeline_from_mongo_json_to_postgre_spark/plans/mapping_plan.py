@@ -30,6 +30,10 @@ from ..config.defaults import DEFAULT_DATE_FORMATS
 from ..config.loader import normalize_type
 from ..functions.casts import build_cast, spark_type_for
 
+# compiled-Column cache: plan-spec fingerprint -> apply()'s expression
+# bundle (see MappingPlan._build_columns); bounded, cleared wholesale
+_COMPILED_CACHE: dict = {}
+
 
 @dataclass(frozen=True)
 class AttributeMapping:
@@ -124,41 +128,47 @@ class MappingPlan:
     def spark_schema_fields(self) -> list[tuple[str, str]]:
         return [(a.column, spark_type_for(a.logical_type)) for a in self.attributes]
 
-    def apply(self, df: DataFrame, raw_col: str | None = None) -> DataFrame:
-        """Project a DataFrame bearing a raw-JSON string column into
-        mapped columns + raw json + missing/error arrays.
+    def _cache_key(self, raw_col: str | None):
+        from pyspark import SparkContext
 
-        Staged so each JSON document is parsed ONCE (from_json to
-        map<string,string> — scalar values arrive as their JSON text,
-        nested values as compact JSON, exactly like get_json_object, but
-        with 1 parse instead of N+1) and each cast expression is
-        evaluated ONCE: stage 1 parses + extracts sources and keys,
-        stage 2 casts, stage 3 derives missing/error arrays from the
-        materialized columns (naively re-deriving errors would re-run
-        every multi-format parse — 2x the transform cost at scale).
-        """
+        sc = SparkContext._active_spark_context
+        return (
+            tuple(self.attributes),
+            self.raw_json_column,
+            self.object_id_attribute,
+            tuple(self.date_formats),
+            raw_col,
+            # a restarted JVM invalidates cached JVM-backed Columns
+            id(sc._gateway) if sc is not None else None,
+        )
+
+    def _build_columns(self, raw_col: str | None) -> dict:
+        """Compile every Column expression apply() needs, once.
+
+        Building these is pure driver-side py4j traffic (~1,900 socket
+        round trips, ~0.45 s per call measured) and the result depends
+        only on the plan's mapping spec + raw_col — identical plan
+        configs (module-level constants AND per-query reconstructions)
+        hit the module cache, so repeated transform_collection calls
+        cost DataFrame selects, not expression re-compilation. Column
+        objects are immutable unresolved expressions; reusing them
+        across input DataFrames is standard Spark."""
         raw = F.col(raw_col or self.raw_json_column)
         opts = self._opts()
         src = {a.column: f"__src_{a.column}" for a in self.attributes}
 
         doc = F.from_json(raw, "map<string,string>")
-        stage0 = df.select("*", doc.alias("__doc"))
-        stage1 = stage0.select(
-            "*",
-            *[
-                F.col("__doc")[a.source_attr].alias(src[a.column])
-                for a in self.attributes
-            ],
-            F.map_keys(F.col("__doc")).alias("__keys"),
-        )
-        stage2 = stage1.select(
-            *[
+        stage1_cols = [
+            F.col("__doc")[a.source_attr].alias(src[a.column])
+            for a in self.attributes
+        ] + [F.map_keys(F.col("__doc")).alias("__keys")]
+        stage2_cols = (
+            [
                 build_cast(F.col(src[a.column]), a.logical_type, opts).alias(a.column)
                 for a in self.attributes
-            ],
-            *[F.col(src[a.column]) for a in self.attributes],
-            F.col("__keys"),
-            raw.alias(self.raw_json_column),
+            ]
+            + [F.col(src[a.column]) for a in self.attributes]
+            + [F.col("__keys"), raw.alias(self.raw_json_column)]
         )
         missing = F.filter(
             F.array(
@@ -201,10 +211,45 @@ class MappingPlan:
             if self.object_id_attribute
             else F.lit(None).cast("string")
         )
-        return stage2.select(
-            *[a.column for a in self.attributes],
-            F.col(self.raw_json_column),
-            missing.alias("missing_columns"),
-            errors.alias("transform_errors"),
-            object_id.alias("_object_id"),
+        final_cols = (
+            [F.col(a.column) for a in self.attributes]
+            + [
+                F.col(self.raw_json_column),
+                missing.alias("missing_columns"),
+                errors.alias("transform_errors"),
+                object_id.alias("_object_id"),
+            ]
         )
+        return {
+            "doc": doc.alias("__doc"),
+            "stage1": stage1_cols,
+            "stage2": stage2_cols,
+            "final": final_cols,
+        }
+
+    def apply(self, df: DataFrame, raw_col: str | None = None) -> DataFrame:
+        """Project a DataFrame bearing a raw-JSON string column into
+        mapped columns + raw json + missing/error arrays.
+
+        Staged so each JSON document is parsed ONCE (from_json to
+        map<string,string> — scalar values arrive as their JSON text,
+        nested values as compact JSON, exactly like get_json_object, but
+        with 1 parse instead of N+1) and each cast expression is
+        evaluated ONCE: stage 1 parses + extracts sources and keys,
+        stage 2 casts, stage 3 derives missing/error arrays from the
+        materialized columns (naively re-deriving errors would re-run
+        every multi-format parse — 2x the transform cost at scale).
+        The compiled Column expressions are cached per plan spec
+        (see _build_columns).
+        """
+        key = self._cache_key(raw_col)
+        cols = _COMPILED_CACHE.get(key)
+        if cols is None:
+            if len(_COMPILED_CACHE) >= 64:
+                _COMPILED_CACHE.clear()
+            cols = self._build_columns(raw_col)
+            _COMPILED_CACHE[key] = cols
+        stage0 = df.select("*", cols["doc"])
+        stage1 = stage0.select("*", *cols["stage1"])
+        stage2 = stage1.select(*cols["stage2"])
+        return stage2.select(*cols["final"])
