@@ -679,3 +679,20 @@ def test_mm_sniff_and_entropy_jvm_side(spark, sf_dir):
         assert "Join" not in plan, build.__name__
         for chunk in plan.split("Exchange hashpartitioning")[1:]:
             assert "payload" not in chunk.splitlines()[0], build.__name__
+
+
+def test_missing_report_parses_json_once_post_exchange(spark, sf_dir):
+    """explode()'s implicit size>0 pre-filter used to push below the
+    fan-out Exchange into the single-task scan stage, re-evaluating the
+    whole JSON serialize->parse pipeline once per array_contains branch
+    single-threaded (7 s vs 0.9 s at sf0.1). Pinned: from_json appears
+    exactly once in the plan, and never inside a Filter."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.transform_queries import (
+        audit_missing_columns_report,
+    )
+
+    plan = physical_plan(audit_missing_columns_report(spark, sf_dir))
+    assert plan.count("from_json") == 1, plan.count("from_json")
+    for line in plan.splitlines():
+        if "Filter" in line and "from_json" in line:
+            raise AssertionError("JSON parse pushed into a Filter: " + line[:120])
