@@ -455,25 +455,7 @@ def _ppm_bytes(doc_id: int) -> bytes:
 def documents_as_ppm_images(spark, sf_dir) -> DataFrame:
     """One synthetic PPM image per document id (Arrow-batched synth —
     the fixture generator; the DECODER under test sees only bytes)."""
-    tune_for_oracle(spark)
-    ids = fan_out(spark, load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id"))
-    target = spark.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < target // 2:
-        ids = ids.repartition(target)
-
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "payload": [_ppm_bytes(int(i)) for i in pdf["media_id"]],
-            })
-
-    schema = StructType([
-        StructField("media_id", LongType(), False),
-        StructField("payload", BinaryType(), True),
-    ])
-    return ids.mapInPandas(_synth, schema=schema)
+    return _payload_table(_media_ids(spark, sf_dir), _ppm_bytes)
 
 
 def mm_image_decode_stats(spark, sf_dir):
@@ -563,29 +545,57 @@ def _wav_bytes(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def mm_audio_decode_stats(spark, sf_dir):
-    """End-to-end REAL audio decode over a binary column: walk each
-    WAV payload's RIFF chunks, read the int16 PCM raster, emit integer
-    sample stats (sum / abs-sum / extrema — the RMS and clipping
-    inputs). All-integer outputs; the derived oracle recomputes them
-    from the generation rule, so a chunk-walk or byte-order bug breaks
-    the hash."""
+def _media_ids(spark, sf_dir) -> DataFrame:
     tune_for_oracle(spark)
     ids = fan_out(spark, load_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"))
     target = spark.sparkContext.defaultParallelism
     if ids.rdd.getNumPartitions() < target // 2:
         ids = ids.repartition(target)
+    return ids
 
-    def _synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+_MEDIA_PAYLOAD_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("payload", BinaryType(), True),
+])
+
+
+def _payload_table(ids: DataFrame, make_bytes) -> DataFrame:
+    """Synthesize a (media_id, payload binary) table — a SEPARATE
+    Arrow-batched stage from the decoder, so the registry entries
+    exercise real bytes flowing through a DataFrame binary column
+    (schema, Arrow binary transfer, partitioning) rather than a Python
+    synth->decode shortcut inside one function."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [make_bytes(int(i)) for i in pdf["media_id"]],
+            })
+
+    return ids.mapInPandas(_synth, schema=_MEDIA_PAYLOAD_SCHEMA)
+
+
+def mm_audio_decode_stats(spark, sf_dir):
+    """End-to-end REAL audio decode over a binary column: walk each
+    WAV payload's RIFF chunks, read the int16 PCM raster, emit integer
+    sample stats (sum / abs-sum / extrema — the RMS and clipping
+    inputs). All-integer outputs; the derived oracle recomputes them
+    from the generation rule, so a chunk-walk or byte-order bug breaks
+    the hash. Synth and decode are separate mapInPandas stages: the
+    decoder consumes bytes from a real binary column."""
+    clips = _payload_table(_media_ids(spark, sf_dir), _wav_bytes)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for mid in pdf["media_id"]:
-                out.append({"media_id": mid,
-                            **decode_wav_pcm(_wav_bytes(int(mid)))})
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out.append({"media_id": mid, **decode_wav_pcm(payload)})
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(_synth_decode, schema=_WAV_STATS_SCHEMA)
+    return clips.mapInPandas(_decode, schema=_WAV_STATS_SCHEMA)
 
 
 def sample_y4m_frames(payload: bytes, every_n: int = 2) -> list:
@@ -658,24 +668,21 @@ def mm_video_frame_stats(spark, sf_dir):
     brightness inputs). One output row per sampled frame — the
     explode-shaped fan-out a keyframe sampler produces. All-integer;
     the derived oracle recomputes from the generation rule, so a frame
-    -boundary bug breaks the hash."""
-    tune_for_oracle(spark)
-    ids = fan_out(spark, load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id"))
-    target = spark.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < target // 2:
-        ids = ids.repartition(target)
+    -boundary bug breaks the hash. Synth and sampling are separate
+    mapInPandas stages: the sampler consumes bytes from a real binary
+    column."""
+    clips = _payload_table(_media_ids(spark, sf_dir), _y4m_bytes)
 
-    def _synth_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for mid in pdf["media_id"]:
-                for row in sample_y4m_frames(_y4m_bytes(int(mid))):
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for row in sample_y4m_frames(payload):
                     out.append({"media_id": mid, **row})
             yield pd.DataFrame(out, columns=["media_id", "frame_no",
                                              "y_sum", "y_min", "y_max"])
 
-    return ids.mapInPandas(_synth_sample, schema=_Y4M_STATS_SCHEMA)
+    return clips.mapInPandas(_sample, schema=_Y4M_STATS_SCHEMA)
 
 
 _hdr_cases = "\n                   ".join(
