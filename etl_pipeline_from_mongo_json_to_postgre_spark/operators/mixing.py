@@ -197,6 +197,102 @@ def sample_temperature_mix(spark, sf_dir):
     )
 
 
+MIX_TOKEN_BUDGET = 1_000_000  # tokens to allocate across domains
+
+
+def mixture_plan_summary(spark, sf_dir):
+    """The mixture family composed as ONE dataflow — the query a data
+    lead actually runs before launching a training job: classifier-gate
+    the corpus (label_hq), aggregate the DSIR signal per surviving
+    domain, temper the surviving token mass (alpha=0.5), and allocate a
+    token budget per domain. Proves gate + weight + mix compose in a
+    single DAG: the corpus token stream is exploded ONCE and scored
+    against BOTH broadcast bucket models (weights + log-ratios) in the
+    same pass; only model-sized and domain-sized frames exist
+    downstream.
+
+    Output per source: kept docs/tokens, mean DSIR log-weight of kept
+    docs, tempered sampling share, and floor(share * 1e6) budgeted
+    tokens."""
+    d = _docs(spark, sf_dir)
+    toks = _doc_buckets_src(d)
+    counts = toks.groupBy("bucket").agg(
+        F.count("*").alias("c_raw"),
+        F.count_if(F.col("lang") == TARGET_LANG).alias("c_tgt"),
+    )
+    spine = spark.range(N_BUCKETS).select(F.col("id").cast("bigint").alias("bucket"))
+    model = (
+        spine.join(counts, "bucket", "left")
+        .select("bucket",
+                F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+                F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"))
+    )
+    totals = model.agg(F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt"))
+
+    def smoothed(c, n):
+        return (F.lit(1 - SMOOTH_LAMBDA) * F.col(c)
+                / F.greatest(F.col(n), F.lit(1))
+                + F.lit(SMOOTH_LAMBDA / N_BUCKETS))
+
+    scores = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(smoothed("c_tgt", "n_tgt")) - F.log(smoothed("c_raw", "n_raw")),
+            9,
+        ).cast("decimal(18,9)").alias("lr"),
+        ((F.col("bucket") + 1) * _W_MULT % _W_RANGE - (_W_RANGE - 1) / 2)
+        .cast("bigint").alias("w"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(scores), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum("w").alias("sum_w"),
+             F.sum("lr").alias("sum_lr"))
+    )
+    kept = per_doc.where(
+        F.col("sum_w") * 1000 > F.lit(_HQ_MEAN_MILLI) * F.col("n_tokens"))
+    per_src = kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"),
+        F.round(F.sum("sum_lr").cast("double") / F.count("*"), 6)
+        .alias("mean_log_weight"),
+    )
+    q = F.floor(F.sqrt(F.col("n_tokens_kept").cast("double")) * F.lit(1e9)).cast("bigint")
+    srcs = per_src.select("*", q.alias("q_sqrt"))
+    tot = srcs.agg(F.sum("q_sqrt").alias("tot_sqrt"))
+    p_temp = F.col("q_sqrt") / F.col("tot_sqrt")
+    return (
+        srcs.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs_kept", "n_tokens_kept", "mean_log_weight",
+            F.round(p_temp, 6).alias("p_temp"),
+            F.floor(p_temp * F.lit(float(MIX_TOKEN_BUDGET))).cast("bigint")
+            .alias("budget_tokens"),
+        )
+    )
+
+
+def _doc_buckets_src(d):
+    """(doc_id, lang, source, bucket) token stream (the composed plan
+    needs the domain column carried through)."""
+    w = _WORDS(F.col("text"))
+    return d.where(F.size(w) > 0).select(
+        "doc_id", "lang", "source",
+        F.explode(F.transform(w, lambda x: char_fold_hash(x) % N_BUCKETS))
+        .alias("bucket"),
+    )
+
+
+_DUCK_BUCKETS_SRC = f"""
+        SELECT doc_id, lang, source,
+               unnest(list_transform({_DUCK_WORDS},
+                      w -> {duck_char_fold_hash('w')} % {N_BUCKETS})) AS bucket
+        FROM documents
+        WHERE len({_DUCK_WORDS}) > 0
+"""
+
+
 ORACLE_SQL = {
     "sample_importance_weights": f"""
         WITH toks AS ({_DUCK_BUCKETS}
@@ -269,8 +365,66 @@ ORACLE_SQL = {
     """,
 }
 
+ORACLE_SQL["mixture_plan_summary"] = f"""
+    WITH toks AS ({_DUCK_BUCKETS_SRC}
+    ), counts AS (
+        SELECT bucket,
+               count(*) AS c_raw,
+               count(*) FILTER (lang = '{TARGET_LANG}') AS c_tgt
+        FROM toks GROUP BY bucket
+    ), model AS (
+        SELECT r.range AS bucket,
+               COALESCE(c_raw, 0) AS c_raw,
+               COALESCE(c_tgt, 0) AS c_tgt
+        FROM range({N_BUCKETS}) r
+        LEFT JOIN counts ON counts.bucket = r.range
+    ), totals AS (
+        SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM model
+    ), scores AS (
+        SELECT bucket,
+               CAST(round(
+                   ln({1 - SMOOTH_LAMBDA!r} * c_tgt / greatest(n_tgt, 1)
+                      + {SMOOTH_LAMBDA / N_BUCKETS!r})
+                   - ln({1 - SMOOTH_LAMBDA!r} * c_raw / greatest(n_raw, 1)
+                        + {SMOOTH_LAMBDA / N_BUCKETS!r}), 9)
+                   AS DECIMAL(18,9)) AS lr,
+               CAST((bucket + 1) * {_W_MULT} % {_W_RANGE}
+                    - {(_W_RANGE - 1) // 2} AS BIGINT) AS w
+        FROM model, totals
+    ), per_doc AS (
+        SELECT doc_id, source, count(*) AS n_tokens,
+               sum(w) AS sum_w, sum(lr) AS sum_lr
+        FROM toks JOIN scores USING (bucket)
+        GROUP BY doc_id, source
+    ), kept AS (
+        SELECT * FROM per_doc
+        WHERE sum_w * 1000 > {_HQ_MEAN_MILLI} * n_tokens
+    ), per_src AS (
+        SELECT source,
+               count(*) AS n_docs_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+               round(CAST(sum(sum_lr) AS DOUBLE) / count(*), 6)
+                   AS mean_log_weight
+        FROM kept GROUP BY source
+    ), srcs AS (
+        SELECT *,
+               CAST(floor(sqrt(CAST(n_tokens_kept AS DOUBLE)) * 1e9)
+                    AS BIGINT) AS q_sqrt
+        FROM per_src
+    ), tot AS (
+        SELECT CAST(sum(q_sqrt) AS BIGINT) AS tot_sqrt FROM srcs
+    )
+    SELECT source, n_docs_kept, n_tokens_kept, mean_log_weight,
+           round(CAST(q_sqrt AS DOUBLE) / tot_sqrt, 6) AS p_temp,
+           CAST(floor(CAST(q_sqrt AS DOUBLE) / tot_sqrt
+                      * {float(MIX_TOKEN_BUDGET)!r}) AS BIGINT)
+               AS budget_tokens
+    FROM srcs, tot
+"""
+
 QUERIES = {
     "sample_importance_weights": sample_importance_weights,
     "text_classifier_score": text_classifier_score,
     "sample_temperature_mix": sample_temperature_mix,
+    "mixture_plan_summary": mixture_plan_summary,
 }

@@ -72,3 +72,35 @@ def test_temperature_mix_tempers_the_head(spark, docs):
     assert got["small"].p_temp == round(1 / 3, 6)
     assert got["small"].boost == round((1 / 3) / 0.2, 4)
     assert got["big"].boost < 1 < got["small"].boost
+
+
+def test_mixture_plan_gates_then_allocates(spark, docs):
+    """Composition semantics: a domain whose docs all fail the
+    classifier gate gets NO budget row; budgets across surviving
+    domains sum to <= MIX_TOKEN_BUDGET and shares to ~1."""
+    def w_sign(word):
+        b = _fold_hash(word) % mixing.N_BUCKETS
+        return (b + 1) * mixing._W_MULT % mixing._W_RANGE - (mixing._W_RANGE - 1) // 2
+
+    # find one clearly-positive and one clearly-negative token
+    pos = next(f"t{i}" for i in range(1000) if w_sign(f"t{i}") > 400)
+    neg = next(f"t{i}" for i in range(1000) if w_sign(f"t{i}") < -400)
+    rows = []
+    for i in range(4):
+        rows.append((i, " ".join([pos] * 50), "en", "good_src"))
+    for i in range(4, 6):
+        rows.append((i, " ".join([pos] * 30), "de", "mixed_src"))
+    for i in range(6, 9):
+        rows.append((i, " ".join([neg] * 40), "de", "junk_src"))
+    docs(rows)
+    got = {r.source: r for r in
+           mixing.mixture_plan_summary(spark, "unused").collect()}
+    assert "junk_src" not in got, "all-junk domain must be gated out"
+    assert set(got) == {"good_src", "mixed_src"}
+    assert got["good_src"].n_docs_kept == 4
+    assert got["good_src"].n_tokens_kept == 200
+    total_budget = sum(r.budget_tokens for r in got.values())
+    assert total_budget <= mixing.MIX_TOKEN_BUDGET
+    assert abs(sum(r.p_temp for r in got.values()) - 1.0) < 1e-5
+    # the en-target corpus makes the en-source's kept docs score higher
+    assert got["good_src"].mean_log_weight > got["mixed_src"].mean_log_weight
