@@ -411,6 +411,7 @@ MULTI_CONSUMER_ENTRIES = [
     "events_lateness_census",
     "emb_matryoshka_eval",
     "sample_perplexity_buckets",
+    "graph_kcore_parts",
 ]
 
 _SCAN_TABLE_RE = re.compile(r"FileScan[^\n]*?/(\w+)\.parquet")
