@@ -1121,6 +1121,95 @@ ORACLE_SQL["ann_ivf_pq_topk"] = f"""
 """
 
 
+def ann_pq_recall_eval(spark, sf_dir):
+    """Recall@5 of the IVFADC path against the exact L2 brute-force
+    baseline — the acceptance gate before building a compressed index.
+    Uses the SAME metric (squared L2) on both sides so the loss
+    measured is IVF pruning + quantization, not a cosine-vs-L2
+    mismatch.
+
+    On this synthetic corpus the gate FAILS by design: the seeded
+    PQ_CODEBOOKS are untrained (random) and the embeddings have no
+    cluster structure, so quantized distances carry ~no ranking signal
+    and measured recall ~0.01 — exactly the verdict this harness
+    exists to deliver (the cue to train per-subspace codebooks with
+    kmeans_train before trusting ADC). The driver-checked value is the
+    harness's exactness, not the quantizer's quality.
+
+    Scale shape: the exact side is the bounded-query brute-force
+    baseline (broadcast queries, corpus streamed once); both result
+    sets are queries x k rows and the overlap join never touches the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    l2 = _fold_sum(F.zip_with(F.col("qv"), F.col("v"),
+                              lambda x, y: (x - y) * (x - y)))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    exact = (
+        F.broadcast(queries).crossJoin(vecs)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                l2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    pq = ann_ivf_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hitcnt = (
+        pq.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(hitcnt, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0).cast("bigint")).alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0).cast("bigint")).cast("double")
+                / F.lit(float(TOPK))
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLE_SQL["ann_pq_recall_eval"] = f"""
+    WITH vecs2 AS (
+        SELECT vec_id, {_DUCK_V} AS v FROM embeddings
+    ), exact_l2 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   {_duck_fold_sum(
+                       'list_transform(range(1, ' + str(DIM) + ' + 1), '
+                       'i -> (q.v[i] - t.v[i]) * (q.v[i] - t.v[i]))')} AS d2,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_duck_fold_sum(
+                           'list_transform(range(1, ' + str(DIM) + ' + 1), '
+                           'i -> (q.v[i] - t.v[i]) * (q.v[i] - t.v[i]))')} ASC,
+                           t.vec_id) AS rank
+            FROM vecs2 q JOIN vecs2 t ON t.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOPK}
+    ), pq_hits AS ({ORACLE_SQL["ann_ivf_pq_topk"]}),
+    hitcnt AS (
+        SELECT p.query_id, count(*) AS hits
+        FROM pq_hits p JOIN exact_l2 e
+          ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+        GROUP BY 1
+    )
+    SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(CAST(COALESCE(h.hits, 0) AS BIGINT) AS DOUBLE) / {float(TOPK)}
+               AS recall
+    FROM (SELECT DISTINCT query_id FROM exact_l2) q
+    LEFT JOIN hitcnt h ON h.query_id = q.query_id
+"""
+
+
 def search_hybrid_rerank(spark, sf_dir):
     """Hybrid retrieval, the retrieve -> rerank shape every modern
     search/RAG stack runs: BM25 lexical top-10 per query
@@ -1327,6 +1416,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    "ann_pq_recall_eval": ann_pq_recall_eval,
     "semantic_search_topk": semantic_search_topk,
     "sim_knn_graph": sim_knn_graph,
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,

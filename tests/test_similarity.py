@@ -27,3 +27,21 @@ def test_ivf_pq_adc_ranks_are_wellformed(spark, sf_dir):
     join_part = plan.split("BroadcastHashJoin")[1].split("LocalTableScan")[0] \
         if "BroadcastHashJoin" in plan else plan
     assert "codes" in plan
+
+
+def test_pq_recall_eval_wellformed(spark, sf_dir):
+    """Every query gets exactly one row; recall = hits/TOPK in [0,1].
+    (On this corpus recall is ~0 BY DESIGN — untrained random codebooks
+    must fail the acceptance gate; see the operator docstring.)"""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+        ann_pq_recall_eval,
+    )
+
+    rows = ann_pq_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == len({r.query_id for r in rows})
+    assert len(rows) <= N_QUERIES
+    for r in rows:
+        assert 0 <= r.hits <= TOPK
+        assert r.recall == r.hits / TOPK
