@@ -59,6 +59,13 @@ DOC_FAMILY = [
     "corpus_ngram_novelty",
     "text_zipf_fit",
     "text_vocab_growth",
+    # round-6 additions that scale on documents/bytes
+    "sample_importance_weights",
+    "text_classifier_score",
+    "sample_temperature_mix",
+    "mixture_plan_summary",
+    "mm_byte_entropy",
+    "mm_magic_byte_census",
 ]
 
 
