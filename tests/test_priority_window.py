@@ -315,3 +315,56 @@ def test_stamp_file_matches_current_code_for_undrifted_entries():
     assert not unexplained, (
         f"entries drifted without a --mark-drifted record: {unexplained}; "
         "either re-stamp (round start) or mark them drifted")
+
+
+def test_stamp_tool_updates_on_fresh_green_and_preserves_marks(tmp_path, monkeypatch):
+    """tools/stamp_fingerprints.py contract: an entry whose latest green
+    round is newer than its stamp gets re-stamped with CURRENT
+    fingerprints; entries with up-to-date stamps are untouched;
+    --mark-drifted survives until fresh evidence arrives. Self-contained
+    fixture (synthesized evidence, temp stamp file)."""
+    import importlib
+    import json
+
+    import __spark_entry__ as e
+    from tools import stamp_fingerprints as tool
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    stage = tmp_path / "repo_view"
+    stage.mkdir()
+    q_raw, o = e._raw_registries()
+    json.dump({n: green for n in o}, open(stage / "CORRECTNESS_r01.json", "w"))
+    json.dump({"j1_outer_join": green}, open(stage / "CORRECTNESS_r02.json", "w"))
+    cur = e._current_fingerprints(q_raw, o)
+    # pre-existing stamps: j1 stale (round 1, bogus fp), a1 current
+    stamps = {
+        "j1_outer_join": {"fn": "old", "mod": "old", "round": 1},
+        "a1_pivot_status_count": {**cur["a1_pivot_status_count"], "round": 1},
+    }
+    stamp_path = tmp_path / "stamps.json"
+    json.dump(stamps, open(stamp_path, "w"))
+    monkeypatch.setattr(e, "_REPO", str(stage))
+    monkeypatch.setattr(e, "_stamps", lambda: json.load(open(stamp_path)))
+    monkeypatch.setattr(tool, "STAMP_PATH", str(stamp_path))
+    monkeypatch.setattr("sys.argv", ["stamp_fingerprints.py"])
+    try:
+        assert tool.main() == 0
+        out = json.load(open(stamp_path))
+        # j1's green moved to r2 -> re-stamped with current fp
+        assert out["j1_outer_join"]["round"] == 2
+        assert out["j1_outer_join"]["fn"] == cur["j1_outer_join"]["fn"]
+        # a1's evidence (r1) is not newer than its stamp -> untouched
+        assert out["a1_pivot_status_count"]["round"] == 1
+        # every green entry now has a stamp
+        assert set(out) == set(o)
+        # --mark-drifted persists across a no-new-evidence rerun
+        monkeypatch.setattr(
+            "sys.argv", ["stamp_fingerprints.py", "--mark-drifted", "a2_group_count"])
+        assert tool.main() == 0
+        monkeypatch.setattr("sys.argv", ["stamp_fingerprints.py"])
+        assert tool.main() == 0
+        out = json.load(open(stamp_path))
+        assert out["a2_group_count"]["fn"] == "drifted"
+    finally:
+        monkeypatch.undo()
+        importlib.reload(e)
