@@ -788,7 +788,112 @@ def dq_order_reconciliation(spark, sf_dir):
     )
 
 
+DRIFT_ATTRS = ("o_orderkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority")
+DRIFT_THRESH_NUM, DRIFT_THRESH_DEN = 1, 20  # |share_a - share_b| > 5%
+
+
+def dq_json_type_drift(spark, sf_dir):
+    """Schema-drift monitor for schemaless JSON ingest — the check a
+    Mongo-to-warehouse pipeline runs every batch: per attribute, the
+    census of OBSERVED JSON value types (number_int / number_float /
+    string / bool / null / array / object / missing) across two
+    deterministic batch halves, with a flag when an attribute's type
+    share moves more than 5% between halves (a producer changed a
+    field's type or started omitting it).
+
+    Spark-first: types are recovered from the actual document BYTES via
+    Spark 4 VARIANT introspection (parse_json -> try_variant_get ->
+    schema_of_variant), not assumed from a schema — exactly what makes
+    the check catch producer-side drift. The oracle derives the
+    expected census independently from the document generator's rules
+    over the relational columns, so a mis-typed variant parse breaks
+    the hash. Everything after the per-document type projection is
+    (attribute x type x 2)-cardinality; the share comparison is exact
+    integer arithmetic (n_a*tot_b vs n_b*tot_a)."""
+    from ..functions.sampling import scrambled_key
+    from .transform_queries import _orders_as_docs
+
+    tune_for_oracle(spark)
+    docs = _orders_as_docs(spark, sf_dir)
+    v = F.parse_json("raw_json")
+
+    def canon(attr):
+        t = F.schema_of_variant(F.try_variant_get(v, f"$.{attr}", "variant"))
+        return (
+            F.when(t.isNull(), "missing")
+            .when(t == "VOID", "null")
+            .when(t == "STRING", "string")
+            .when(t == "BOOLEAN", "bool")
+            .when(t == "BIGINT", "number_int")
+            .when(t.startswith("DECIMAL") | (t == "DOUBLE"), "number_float")
+            .when(t.startswith("ARRAY"), "array")
+            .otherwise("object")
+        )
+
+    doc_id = F.get_json_object("raw_json", "$.o_orderkey").cast("bigint")
+    typed = docs.select(
+        scrambled_key(doc_id, 2).alias("batch"),
+        F.explode(F.array(*[
+            F.struct(F.lit(a).alias("attribute"), canon(a).alias("json_type"))
+            for a in DRIFT_ATTRS
+        ])).alias("at"),
+    ).select("batch", "at.attribute", "at.json_type")
+    counts = typed.groupBy("attribute", "json_type").agg(
+        F.count_if(F.col("batch") == 0).alias("n_a"),
+        F.count_if(F.col("batch") == 1).alias("n_b"),
+    )
+    tots = counts.groupBy("attribute").agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    drifted = (
+        F.abs(F.col("n_a") * F.col("tot_b") - F.col("n_b") * F.col("tot_a"))
+        * DRIFT_THRESH_DEN
+        > DRIFT_THRESH_NUM * F.col("tot_a") * F.col("tot_b")
+    )
+    return (
+        counts.join(F.broadcast(tots), "attribute")
+        .select("attribute", "json_type", "n_a", "n_b",
+                drifted.alias("drifted"))
+    )
+
+
+ORACLE_SQL["dq_json_type_drift"] = """
+    WITH batched AS (
+        SELECT CASE WHEN o_orderpriority <> '1-URGENT'
+                    THEN 'present' ELSE 'absent' END AS prio,
+               {batch} AS batch
+        FROM orders
+    ), rows_out AS (
+        SELECT attribute, json_type,
+               count(*) FILTER (batch = 0) AS n_a,
+               count(*) FILTER (batch = 1) AS n_b
+        FROM batched, (VALUES
+            ('o_orderkey', 'number_int', NULL),
+            ('o_orderstatus', 'string', NULL),
+            ('o_totalprice', 'number_float', NULL),
+            ('o_orderdate', 'string', NULL),
+            ('o_orderpriority', 'string', 'present'),
+            ('o_orderpriority', 'missing', 'absent')
+        ) AS t(attribute, json_type, want)
+        WHERE t.want IS NULL OR t.want = batched.prio
+        GROUP BY attribute, json_type
+    ), tots AS (
+        SELECT attribute,
+               sum(n_a) AS tot_a, sum(n_b) AS tot_b
+        FROM rows_out GROUP BY attribute
+    )
+    SELECT r.attribute, r.json_type,
+           CAST(r.n_a AS BIGINT) AS n_a,
+           CAST(r.n_b AS BIGINT) AS n_b,
+           abs(r.n_a * t.tot_b - r.n_b * t.tot_a) * {den}
+               > {num} * t.tot_a * t.tot_b AS drifted
+    FROM rows_out r JOIN tots t ON t.attribute = r.attribute
+""".format(batch="(o_orderkey * 2654435761) % 2",
+           den=DRIFT_THRESH_DEN, num=DRIFT_THRESH_NUM)
+
+
 QUERIES = {
+    "dq_json_type_drift": dq_json_type_drift,
     "dq_chisq_independence": dq_chisq_independence,
     "dq_column_profile": dq_column_profile,
     "dq_null_violations": dq_null_violations,

@@ -71,3 +71,35 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
         "exact heavy set must be NON-EMPTY at the tested SF — an empty set "
         "makes the superset guarantee vacuous (VERDICT r5)")
     assert true_heavy <= candidates
+
+
+def test_json_type_drift_flags_producer_type_change(spark, monkeypatch):
+    """A field that is numeric in batch A (even ids) but string in
+    batch B (odd ids) must flag drifted=true on its type rows, while a
+    stable field stays unflagged. Variant introspection must read the
+    ACTUAL bytes (quoted vs bare numbers)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+        profiling,
+        transform_queries,
+    )
+
+    rows = []
+    for i in range(20):
+        price = "123.5" if i % 2 == 0 else '"123.5"'  # number vs string
+        rows.append((
+            '{"o_orderkey": %d, "o_orderstatus": "F", "o_totalprice": %s, '
+            '"o_orderdate": "2024-01-01T00:00:00", "o_orderpriority": "3-MEDIUM"}'
+            % (i, price),
+        ))
+    docs = spark.createDataFrame(rows, "raw_json string")
+    monkeypatch.setattr(transform_queries, "_orders_as_docs",
+                        lambda sp, sf: docs)
+    got = {(r.attribute, r.json_type): r
+           for r in profiling.dq_json_type_drift(spark, "unused").collect()}
+    assert got[("o_totalprice", "number_float")].drifted
+    assert got[("o_totalprice", "number_float")].n_a == 10
+    assert got[("o_totalprice", "number_float")].n_b == 0
+    assert got[("o_totalprice", "string")].drifted
+    assert got[("o_totalprice", "string")].n_b == 10
+    assert not got[("o_orderstatus", "string")].drifted
+    assert not got[("o_orderkey", "number_int")].drifted
