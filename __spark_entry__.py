@@ -182,18 +182,31 @@ def _drifted(q_raw: dict, o: dict) -> tuple[set[str], set[str]]:
     entry's own source/oracle changed since its green was stamped (or it
     was explicitly marked); weak = only its module file changed (a
     helper it may depend on). Either way the old green no longer
-    vouches for the current code, so the entry re-enters the window."""
+    vouches for the current code, so the entry re-enters the window.
+
+    PENDING-STAMP is not drift (VERDICT r6 task 1): an entry whose
+    latest green round is NEWER than its stamp round — or that has no
+    stamp yet — was just greened by the driver against exactly the code
+    on disk; the stamp simply hasn't been refreshed (stamp_fingerprints
+    runs at round start / via the conftest auto-stamp). Classifying it
+    as drift burned all 50 r7 window slots on yesterday's greens and
+    turned the tripwire test red the moment CORRECTNESS_r06.json landed.
+    Such entries rank in the clean-stale block by their (new) green
+    round — i.e. at its tail, which is where just-greened entries
+    belong."""
     stamps = _stamps()
     if not stamps:
         return set(), set()
     ev = _evidence_latest_green()
     cur = _current_fingerprints(q_raw, o)
     strong, weak = set(), set()
-    for name in ev:
+    for name, rnd in ev.items():
         st, c = stamps.get(name), cur.get(name)
         if c is None:
             continue
-        if st is None or st.get("fn") != c["fn"]:
+        if st is None or st.get("round", -1) < rnd:
+            continue  # pending-stamp: fresh green, stamp not yet refreshed
+        if st.get("fn") != c["fn"]:
             strong.add(name)
         elif st.get("mod") != c["mod"]:
             weak.add(name)

@@ -296,6 +296,56 @@ def test_drifted_code_reenters_the_window(tmp_path, monkeypatch):
         importlib.reload(e)
 
 
+def test_fresh_green_without_stamp_is_pending_not_drifted(tmp_path, monkeypatch):
+    """The r6 failure class (VERDICT r6 task 1): when the driver lands a
+    new CORRECTNESS file, entries whose FIRST (or newest) green postdates
+    their stamp — or that have no stamp at all — are PENDING-STAMP, not
+    drifted. They must not enter the strong/weak drift blocks (which
+    would burn the whole next-round window on just-greened entries and
+    turn the tripwire test red on driver-file arrival); they rank in the
+    clean-stale block at its tail, behind genuinely stale greens.
+    Self-contained fixture: synthesized evidence + stamps."""
+    import importlib
+    import json
+
+    import __spark_entry__ as e
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    stage = tmp_path / "repo_view"
+    stage.mkdir()
+    q_raw, o = e._raw_registries()
+    # r1: everything green and stamped at r1. r2 (the 'driver just
+    # landed' file): j1 re-greened, u1 greened for the first time ever
+    # (no stamp), a2 explicitly marked drifted at r1 then re-greened.
+    json.dump({n: green for n in o if n != "u1_explode_words"},
+              open(stage / "CORRECTNESS_r01.json", "w"))
+    json.dump({"j1_outer_join": green, "u1_explode_words": green,
+               "a2_group_count": green},
+              open(stage / "CORRECTNESS_r02.json", "w"))
+    cur = e._current_fingerprints(q_raw, o)
+    stamps = {n: {**cur[n], "round": 1} for n in o if n != "u1_explode_words"}
+    # j1's stamp is STALE garbage — but its green (r2) postdates it, so
+    # the new evidence vouches for the current code: pending, not drift.
+    stamps["j1_outer_join"] = {"fn": "old", "mod": "old", "round": 1}
+    stamps["a2_group_count"] = {"fn": "drifted", "mod": "drifted", "round": 1}
+    monkeypatch.setattr(e, "_REPO", str(stage))
+    monkeypatch.setattr(e, "_stamps", lambda: stamps)
+    try:
+        strong, weak = e._drifted(q_raw, o)
+        assert strong == set() and weak == set(), (
+            "fresh-green (pending-stamp) entries classified as drift")
+        order = [n for n in e._registries()[2] if n in o]
+        # the three r2-green entries sort AFTER every r1-stale entry
+        r1_tail = max(order.index(n) for n in o
+                      if n not in ("j1_outer_join", "u1_explode_words",
+                                   "a2_group_count"))
+        for n in ("j1_outer_join", "u1_explode_words", "a2_group_count"):
+            assert order.index(n) > r1_tail, f"{n} must rank after stale greens"
+    finally:
+        monkeypatch.undo()
+        importlib.reload(e)
+
+
 def test_stamp_file_matches_current_code_for_undrifted_entries():
     """The committed fingerprint stamps must agree with the code on disk
     for every entry not explicitly marked drifted — catches 'edited an
