@@ -59,6 +59,49 @@ def _init_centroids(vecs: DataFrame, k: int) -> list[list[float]]:
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def _init_farthest(vecs: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic farthest-first (Gonzalez) init: start from the
+    vector with the smallest scrambled key, then k-1 times add the
+    vector farthest (squared L2, ties to lowest vec_id) from the
+    chosen set. On sigma-separated mixtures this provably picks one
+    seed per component (the classic k-center guarantee), which plain
+    sampled init cannot promise — the property the trained-IVFADC
+    fixture relies on. Each step is one distributed max over the
+    corpus: min-distance-to-set via the same consolidated
+    argmax(v.c - |c|^2/2) expression assignment uses, so k passes
+    total. At 100 TB you run this on a driver-sized sample first;
+    here the corpus IS sample-sized."""
+    scram = scrambled_key(F.col("vec_id"))
+    first = (
+        vecs.select("vec_id", "v", scram.alias("sk"))
+        .orderBy("sk", "vec_id")
+        .limit(1)
+        .collect()
+    )[0]
+    chosen = [[float(x) for x in first["v"]]]
+    vsq = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x), F.lit(0.0),
+        lambda a, x: a + x)
+    for _ in range(k - 1):
+        half_norms = [sum(x * x for x in c) / 2.0 for c in chosen]
+        best = F.array_max(
+            F.zip_with(
+                _matrix_dots(F.col("v"), chosen),
+                F.array(*[F.lit(h) for h in half_norms]),
+                lambda d, h: d - h,
+            )
+        )
+        # min_c ||v-c||^2 == |v|^2 - 2 * max_c (v.c - |c|^2/2)
+        row = (
+            vecs.select("vec_id", "v", (vsq - 2.0 * best).alias("mind2"))
+            .orderBy(F.desc("mind2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )[0]
+        chosen.append([float(x) for x in row["v"]])
+    return chosen
+
+
 def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Nearest-centroid assignment as one map-side expression.
 
@@ -82,9 +125,9 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame, k: int) -> list[list[float]]:
+def _update(assigned: DataFrame, k: int, dim: int = DIM) -> list[list[float]]:
     """Mean update: decimal per-(cluster, dim) sums with map-side
-    combine; K*DIM rows back to the driver. Empty clusters keep their
+    combine; K*dim rows back to the driver. Empty clusters keep their
     previous centroid (handled by the caller via the returned dict)."""
     sums = (
         assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
@@ -99,7 +142,7 @@ def _update(assigned: DataFrame, k: int) -> list[list[float]]:
     cnt: dict[int, int] = {}
     for r in sums:
         c = r["cluster_id"] - 1  # array_position is 1-based
-        acc.setdefault(c, [0.0] * DIM)[r["pos"]] = float(r["s"])
+        acc.setdefault(c, [0.0] * dim)[r["pos"]] = float(r["s"])
         cnt[c] = r["n"]
     return [
         [x / cnt[c] for x in acc[c]] if c in cnt else None  # type: ignore[misc]
@@ -143,16 +186,22 @@ def train(
     k: int = K,
     iters: int = ITERS,
     compute_history: bool = True,
+    dim: int = DIM,
+    init: str = "scrambled",
 ) -> tuple[list[list[float]], list[float]]:
     """Lloyd iterations; returns (centroids, per-iteration SSE history,
     measured AFTER each update — pass compute_history=False to skip
-    that extra pass per iteration). ``vecs`` needs (vec_id, v)."""
+    that extra pass per iteration). ``vecs`` needs (vec_id, v) where
+    ``v`` has ``dim`` entries. ``init``: "scrambled" (k smallest
+    scrambled keys — the sampling init) or "farthest" (Gonzalez
+    k-center — one seed per component on separated mixtures)."""
     vecs = vecs.select("vec_id", "v").localCheckpoint(eager=True)
-    centroids = _init_centroids(vecs, k)
+    centroids = (_init_farthest(vecs, k) if init == "farthest"
+                 else _init_centroids(vecs, k))
     history: list[float] = []
     for _ in range(iters):
         assigned = _assign(vecs, centroids)
-        updated = _update(assigned, k)
+        updated = _update(assigned, k, dim)
         centroids = [
             u if u is not None else centroids[i] for i, u in enumerate(updated)
         ]
