@@ -397,6 +397,16 @@ def dq_key_skew(spark, sf_dir):
 # every shipped SF, and the all-integer rational form keeps the threshold
 # comparison exact on both engines (no float boundary).
 HEAVY_MULT_NUM, HEAVY_MULT_DEN = 6, 5
+# freqItems support is clamped at 1e-4 (10k counters per partition), so
+# once users > CLAMP_USERS = 11,000 the adaptive 1.1/users support would
+# fall below the clamp and the no-false-negative guarantee stops covering
+# the 1.2x-average threshold (ADVICE r6). Past the clamp, BOTH the sketch
+# and the exact side switch to the clamped absolute share with the same
+# 12/11 margin ratio: share > (12/11) * 1e-4 = 3/27500 — all-integer
+# rational on the exact side, so the guarantee and the oracle stay
+# aligned at ANY population.
+CLAMP_USERS = 11_000
+CLAMP_HEAVY_NUM, CLAMP_HEAVY_DEN = 3, 27_500
 
 
 def heavy_user_candidates(spark, sf_dir, support=None):
@@ -413,7 +423,10 @@ def heavy_user_candidates(spark, sf_dir, support=None):
     has no SQL oracle; the registry entry is approx_heavy_users
     below. 100 TB note: 1/support counters per partition means the
     adaptive support needs the 1e-4 clamp (10k counters); beyond that
-    population a fixed absolute share is the honest sketch contract."""
+    population (users > CLAMP_USERS) approx_heavy_users switches its
+    exact threshold to the clamped absolute share too, so the
+    no-false-negative guarantee stays aligned with what the sketch can
+    actually promise (ADVICE r6)."""
     tune_for_oracle(spark)
     ev = load_table(spark, sf_dir, "events")
     if support is None:
@@ -446,10 +459,17 @@ def approx_heavy_users(spark, sf_dir):
     total, users = ev.agg(
         F.count("*"), F.count_distinct("user_id")
     ).first()  # two scalars, one job — threshold literals
+    if users > CLAMP_USERS:
+        # adaptive support would clamp at 1e-4: align the exact
+        # threshold with the clamped sketch contract (see CLAMP_USERS)
+        heavy_pred = (F.col("n_events") * CLAMP_HEAVY_DEN
+                      > CLAMP_HEAVY_NUM * total)
+    else:
+        heavy_pred = (F.col("n_events") * HEAVY_MULT_DEN * users
+                      > HEAVY_MULT_NUM * total)
     exact_heavy = (
         ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
-        .where(F.col("n_events") * HEAVY_MULT_DEN * users
-               > HEAVY_MULT_NUM * total)
+        .where(heavy_pred)
     )
     cand = heavy_user_candidates(spark, sf_dir)
     return (
@@ -714,9 +734,14 @@ ORACLE_SQL["approx_heavy_users"] = f"""
            TRUE AS in_sketch_candidates
     FROM events
     GROUP BY user_id
-    HAVING count(*) * {HEAVY_MULT_DEN}
-               * (SELECT count(DISTINCT user_id) FROM events)
-         > {HEAVY_MULT_NUM} * (SELECT count(*) FROM events)
+    HAVING CASE
+        WHEN (SELECT count(DISTINCT user_id) FROM events) > {CLAMP_USERS}
+        THEN count(*) * {CLAMP_HEAVY_DEN}
+                 > {CLAMP_HEAVY_NUM} * (SELECT count(*) FROM events)
+        ELSE count(*) * {HEAVY_MULT_DEN}
+                 * (SELECT count(DISTINCT user_id) FROM events)
+             > {HEAVY_MULT_NUM} * (SELECT count(*) FROM events)
+    END
 """
 
 _depth_probs_sql = "[" + ", ".join(str(p) for p in DEPTH_PROBS) + "]"

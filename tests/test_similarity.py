@@ -24,9 +24,12 @@ def test_ivf_pq_adc_ranks_are_wellformed(spark, sf_dir):
         assert dists == sorted(dists), f"adc not sorted for query {qid}"
         assert all(r.neighbor_id != qid for r in rs)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    join_part = plan.split("BroadcastHashJoin")[1].split("LocalTableScan")[0] \
-        if "BroadcastHashJoin" in plan else plan
-    assert "codes" in plan
+    assert "BroadcastHashJoin" in plan, "probe join must broadcast"
+    # the stream (corpus) side AFTER the broadcast join must carry PQ
+    # codes and never re-read the vector column (ADVICE r6: assert on
+    # the join's downstream slice, not the whole plan string)
+    after_join = plan.split("BroadcastHashJoin", 1)[1]
+    assert "codes" in after_join
 
 
 def test_pq_recall_eval_wellformed(spark, sf_dir):
