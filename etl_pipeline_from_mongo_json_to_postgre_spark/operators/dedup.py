@@ -14,9 +14,12 @@ Scale design (100 TB target):
 
 Oracle-checked variants use the portable polynomial hashes
 (functions/text.py) so DuckDB reproduces every bit; the fast path for
-pure-Spark runs swaps in xxhash64 (dedup_minhash_pairs_fast, rows-only
-check; the oracle-checked dedup_minhash_pairs keeps xxhash64 only as an
-internal band-join key that never reaches the output).
+pure-Spark runs swaps in xxhash64 (dedup_minhash_pairs_fast_raw; its
+registry entry dedup_minhash_pairs_fast is a derived-oracle quality
+gate — exact true-pair count + recall/precision floors — because the
+raw pair list is not SQL-reproducible; the oracle-checked
+dedup_minhash_pairs keeps xxhash64 only as an internal band-join key
+that never reaches the output).
 """
 
 from __future__ import annotations
@@ -231,11 +234,12 @@ def dedup_minhash_canonical(spark, sf_dir):
     )
 
 
-def dedup_minhash_pairs_fast(spark, sf_dir):
+def dedup_minhash_pairs_fast_raw(spark, sf_dir):
     """MinHash-LSH candidate pairs (fast path, xxhash64 end-to-end —
-    Spark-native, not SQL-reproducible; driver records a rows-only
-    check; behavior pinned against the portable variant in
-    tests/test_dedup_behavior.py).
+    Spark-native, not SQL-reproducible; census/test-pinned raw form;
+    the registry entry dedup_minhash_pairs_fast below is the
+    derived-oracle quality gate over this pair list; behavior also
+    pinned against the portable variant in tests/test_dedup_behavior.py).
     """
     d = _docs(spark, sf_dir)
     w = _words(F.col("text"))
@@ -311,6 +315,46 @@ def dedup_minhash_pairs_fast(spark, sf_dir):
     ) / F.lit(16.0)
     return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
         F.col("est_jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+# committed quality floors for the xxhash64 fast path vs the exact truth
+# set — deterministic per dataset (xxhash64 is a fixed function):
+# measured recall 1.000 / precision 0.24-0.31 at sf0.001/0.01/0.1
+FAST_RECALL_FLOOR = 0.9
+FAST_PRECISION_FLOOR = 0.15
+
+
+def dedup_minhash_pairs_fast(spark, sf_dir):
+    """Derived-oracle quality gate for the xxhash64 fast MinHash path
+    (VERDICT r6 task 4, the kmeans/pca/pagerank conversion): the pair
+    LIST depends on xxhash64 (not SQL-portable), so the driver-checked
+    frame is the gate computed in-plan over it — the exact true-pair
+    count (3-shingle Jaccard >= 0.5 via dedup_ngram_jaccard's
+    oracle-checked machinery; DuckDB recomputes the same number) plus
+    recall/precision booleans against committed floors. One row:
+    (true_pairs, recall_ok, precision_ok); the raw pair list stays
+    available as dedup_minhash_pairs_fast_raw (census/test twin), and
+    the fully-portable LSH path remains dedup_minhash_pairs.
+
+    Scale shape: the gate joins two near-dup-sized pair lists (tiny vs
+    corpus) and aggregates to one row; the expensive sides are the
+    candidate generators themselves, both banded/blocked."""
+    found = dedup_minhash_pairs_fast_raw(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("found"))
+    true = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true"))
+    both = true.join(found, ["doc_a", "doc_b"], "full")
+    return both.agg(
+        F.sum("is_true").cast("bigint").alias("true_pairs"),
+        (
+            F.sum(F.col("is_true") * F.coalesce("found", F.lit(0))).cast("double")
+            / F.sum("is_true") >= F.lit(FAST_RECALL_FLOOR)
+        ).alias("recall_ok"),
+        (
+            F.sum(F.coalesce("is_true", F.lit(0)) * F.col("found")).cast("double")
+            / F.sum("found") >= F.lit(FAST_PRECISION_FLOOR)
+        ).alias("precision_ok"),
     )
 
 
@@ -995,6 +1039,15 @@ ORACLE_SQL = {
 
 ORACLE_SQL["dedup_jaccard_prefix"] = ORACLE_SQL["dedup_ngram_jaccard"]
 
+# derived-oracle gate for the xxhash64 fast path: DuckDB recomputes the
+# exact true-pair count through the same ngram-jaccard machinery and
+# asserts the committed recall/precision floors hold
+ORACLE_SQL["dedup_minhash_pairs_fast"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS true_pairs,
+           TRUE AS recall_ok, TRUE AS precision_ok
+    FROM ({ORACLE_SQL["dedup_ngram_jaccard"]})
+"""
+
 # 60-bit signature twin: lo half = the 30-bit terms over wh, hi half =
 # the same majority vote over the affine-rescrambled wh2, weighted into
 # bits 30..59. All sums stay < 2^60 (BIGINT-safe on both engines).
@@ -1262,5 +1315,5 @@ QUERIES = {
     "inc_dedup_merge": inc_dedup_merge,
     "dedup_lsh_eval": dedup_lsh_eval,
     "corpus_curation_pipeline": corpus_curation_pipeline,
-    "dedup_minhash_pairs_fast": dedup_minhash_pairs_fast,  # rows-only (xxhash64)
+    "dedup_minhash_pairs_fast": dedup_minhash_pairs_fast,  # derived oracle (quality gate)
 }

@@ -73,6 +73,73 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
     assert true_heavy <= candidates
 
 
+def test_heavy_users_clamped_population_stays_aligned(spark, monkeypatch):
+    """ADVICE r6: once distinct users exceed CLAMP_USERS (11k), the
+    adaptive freqItems support clamps at 1e-4 and the old 1.2x-average
+    exact threshold was no longer covered by the sketch guarantee. The
+    exact side must switch to the clamped absolute share (3/27500 =
+    (12/11) * 1e-4) so no true heavy can be silently dropped: on a
+    12,001-user frame where u0 has 5 events and everyone else 1, the
+    result is exactly u0."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import profiling
+
+    n = 12_001
+    ev = (
+        spark.range(n + 4)
+        .select(
+            F.when(F.col("id") >= n, F.lit(0)).otherwise(F.col("id"))
+            .alias("user_id"),
+            F.lit("click").alias("event_type"),
+        )
+    )
+    monkeypatch.setattr(profiling, "load_table", lambda sp, sf, t: ev)
+    rows = profiling.approx_heavy_users(spark, "unused").collect()
+    assert [(r.user_id, r.n_events) for r in rows] == [(0, 5)]
+    assert rows[0].in_sketch_candidates
+
+
+def test_sketch_gates_hold_and_raw_plans_stay_sketch_only(spark, sf_dir, duck):
+    """The derived-oracle conversions (VERDICT r6 task 4): the
+    merge/rollup-consistency gates are all-TRUE and hash-match their
+    DuckDB oracles, while the RAW production forms keep the scale
+    property — no exact distinct aggregate anywhere in their plans."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import analytics
+    from tests.oracle_compare import compare
+
+    for name in ("approx_distinct_users_sketch", "approx_distinct_rollup_sketch"):
+        df = analytics.QUERIES[name](spark, sf_dir)
+        rows = df.collect()
+        assert rows, name
+        for r in rows:
+            assert r[1] and r[2], f"{name}: gate boolean false for {r}"
+        ok, msg = compare(df, duck, analytics.ORACLE_SQL[name])
+        assert ok, f"{name}: {msg}"
+    for raw in (analytics.approx_distinct_users_sketch_raw,
+                analytics.approx_distinct_rollup_sketch_raw):
+        df = raw(spark, sf_dir)
+        assert all(r["approx_users"] > 0 for r in df.collect())
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "count(distinct" not in plan.lower(), (
+            "raw sketch plan must carry no exact distinct aggregate")
+
+
+def test_minhash_fast_gate_matches_oracle(spark, sf_dir, duck):
+    """dedup_minhash_pairs_fast conversion: the quality-gate frame
+    (exact true-pair count + committed recall/precision floors) is
+    all-green and hash-matches DuckDB."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import dedup
+    from tests.oracle_compare import compare
+
+    df = dedup.dedup_minhash_pairs_fast(spark, sf_dir)
+    row = df.collect()[0]
+    assert row.true_pairs > 0
+    assert row.recall_ok and row.precision_ok
+    ok, msg = compare(df, duck, dedup.ORACLE_SQL["dedup_minhash_pairs_fast"])
+    assert ok, msg
+
+
 def test_json_type_drift_flags_producer_type_change(spark, monkeypatch):
     """A field that is numeric in batch A (even ids) but string in
     batch B (odd ids) must flag drifted=true on its type rows, while a

@@ -60,7 +60,7 @@ def test_minhash_signature_identical_for_dups(spark, near_dup_df, monkeypatch):
     assert agree_far <= 2
 
 
-@pytest.mark.parametrize("variant", ["dedup_minhash_pairs", "dedup_minhash_pairs_fast"])
+@pytest.mark.parametrize("variant", ["dedup_minhash_pairs", "dedup_minhash_pairs_fast_raw"])
 def test_minhash_pairs_find_exact_and_near_dups(spark, near_dup_df, monkeypatch, variant):
     """Both LSH pair variants (portable-hash oracle path and the
     xxhash64 fast path) must surface the exact-dup pair at est=1.0 and
