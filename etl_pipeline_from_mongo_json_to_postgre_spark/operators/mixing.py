@@ -70,8 +70,8 @@ _DUCK_BUCKETS = f"""
 def sample_importance_weights(spark, sf_dir):
     """DSIR importance weight per document: log p_target(doc) -
     log p_raw(doc) under hashed-unigram models of the target domain
-    (lang = 'en' here) vs the whole corpus, add-1 smoothed over the
-    full bucket space. Documents that look like the target domain get
+    (lang = 'en' here) vs the whole corpus, Jelinek-Mercer smoothed
+    with the uniform. Documents that look like the target domain get
     positive log-weights; resampling by exp(weight) shifts the mixture
     toward the target (Xie et al. 2023, arXiv:2302.03169).
 
@@ -293,6 +293,80 @@ _DUCK_BUCKETS_SRC = f"""
 """
 
 
+N_MIX_SHARDS = 16
+
+
+def _mixture_selected(spark, sf_dir):
+    """Per-document training-mix selection (doc_id, source, n_tokens):
+    classifier-kept docs, greedily admitted per source in scrambled-key
+    order until the domain's tempered token budget is exhausted — the
+    deterministic quota sampler the manifest and the shard writer both
+    derive from. Greedy-prefix semantics: a doc whose tokens would
+    cross the budget is dropped (cumulative sum <= budget)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.sampling import scrambled_key
+
+    budgets = mixture_plan_summary(spark, sf_dir).select(
+        "source", "budget_tokens")
+    scored = text_classifier_score(spark, sf_dir).where(F.col("label_hq"))
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    kept = scored.join(src, "doc_id").select("doc_id", "source", "n_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(scrambled_key(F.col("doc_id")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        kept.withColumn("cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets), "source")
+        .where(F.col("cum") <= F.col("budget_tokens"))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+def mixture_shard_manifest(spark, sf_dir):
+    """The last mile of the training-data pipeline (VERDICT r6 task 5):
+    the budget-respecting mix MANIFEST — per (source, shard): how many
+    docs and tokens the quota sampler admitted, with shard membership
+    the SAME pure function storage.write_training_shards uses
+    (scrambled doc_id mod N_MIX_SHARDS), so the manifest IS the
+    contract for the files write_mixture_shards lays down (pinned in
+    tests/test_mixing.py: written shard directories reproduce these
+    counts exactly).
+
+    Scale shape: selection is one window cumsum per domain over the
+    kept-doc frame (doc-sized, text never enters), budgets ride a
+    broadcast; the manifest is |sources x shards| rows."""
+    from ..functions.sampling import scrambled_key
+
+    sel = _mixture_selected(spark, sf_dir)
+    return (
+        sel.groupBy(
+            "source",
+            scrambled_key(F.col("doc_id"), N_MIX_SHARDS).alias("shard"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def write_mixture_shards(spark, sf_dir, path: str) -> None:
+    """Materialize the selected mixture as deterministic training
+    shards (path/shard=K/*.parquet) via storage.write_training_shards —
+    same scrambled-key shard function as the manifest, text re-attached
+    by a doc_id join only at write time."""
+    from ..storage import write_training_shards
+
+    sel = _mixture_selected(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    out = sel.join(docs, "doc_id").select(
+        "doc_id", "source", "lang", "n_tokens", "text")
+    write_training_shards(out, path, key="doc_id", n_shards=N_MIX_SHARDS)
+
+
 ORACLE_SQL = {
     "sample_importance_weights": f"""
         WITH toks AS ({_DUCK_BUCKETS}
@@ -422,9 +496,41 @@ ORACLE_SQL["mixture_plan_summary"] = f"""
     FROM srcs, tot
 """
 
+from ..functions.sampling import scrambled_key_sql  # noqa: E402
+
+ORACLE_SQL["mixture_shard_manifest"] = f"""
+    WITH scored AS ({ORACLE_SQL["text_classifier_score"]}),
+    budgets AS (
+        SELECT source, budget_tokens
+        FROM ({ORACLE_SQL["mixture_plan_summary"]})
+    ), kept AS (
+        SELECT s.doc_id, d.source, s.n_tokens
+        FROM scored s JOIN documents d USING (doc_id)
+        WHERE s.label_hq
+    ), cum AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY {scrambled_key_sql('doc_id')}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM kept
+    ), sel AS (
+        SELECT c.doc_id, c.source, c.n_tokens
+        FROM cum c JOIN budgets b USING (source)
+        WHERE c.cum <= b.budget_tokens
+    )
+    SELECT source,
+           {scrambled_key_sql('doc_id', N_MIX_SHARDS)} AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM sel GROUP BY 1, 2
+"""
+
 QUERIES = {
     "sample_importance_weights": sample_importance_weights,
     "text_classifier_score": text_classifier_score,
     "sample_temperature_mix": sample_temperature_mix,
     "mixture_plan_summary": mixture_plan_summary,
+    "mixture_shard_manifest": mixture_shard_manifest,
 }
