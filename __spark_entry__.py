@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     analytics,
+    ann_trained,
     association,
     corpus,
     curation_ext,
@@ -39,6 +40,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     text_queries,
     tpch_suite,
     transform_queries,
+    variant_ingest,
 )
 from etl_pipeline_from_mongo_json_to_postgre_spark.sources import (
     csv_source,
@@ -51,7 +53,7 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
             profiling, corpus, incremental, kmeans, timeseries, pca,
             association, graph, tpch_suite, curation_ext, csv_source,
-            orc_source, mixing)
+            orc_source, mixing, ann_trained, variant_ingest)
 
 # The driver evaluates registry entries in dict order and hash-checks the
 # first 50 per round. Ordering rule (VERDICT r4 tasks 1+7): derived from

@@ -44,6 +44,15 @@ HEADLINE = [
     "sim_cosine_pairs_lsh",
     "dedup_embedding_cosine",
     "mm_binary_stats",
+    # census-tail additions (VERDICT r6 task 6): the registry's slowest
+    # entries — iteration-bound graph/cluster algorithms and the trained
+    # IVFADC gate — were invisible to BENCH_r*.json and guarded only by
+    # census budgets; r7 times are the round-over-round baseline.
+    "graph_pagerank_parts",
+    "graph_label_propagation",
+    "kmeans_train",
+    "graph_kcore_parts",
+    "ann_pq_trained_recall",
 ]
 
 
