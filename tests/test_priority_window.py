@@ -77,14 +77,18 @@ def test_evidenced_entries_sort_stalest_first():
 
 
 def test_rows_only_sort_last():
+    """Since the r7 derived-oracle conversions the registry has ZERO
+    rows-only entries (every entry carries a DuckDB oracle) — if one
+    ever reappears it must sort after every hash-backed entry."""
     import __spark_entry__ as e
 
     q, o, order = e._registries()
     tail = order[len([n for n in order if n in o]):]
     assert all(n not in o for n in tail)
-    first_rows_only = min(order.index(n) for n in q if n not in o)
-    assert all(n not in o for n in order[first_rows_only:]), (
-        "a hash-oracle entry sorts after a rows-only entry")
+    rows_only_idx = [order.index(n) for n in q if n not in o]
+    if rows_only_idx:
+        assert all(n not in o for n in order[min(rows_only_idx):]), (
+            "a hash-oracle entry sorts after a rows-only entry")
 
 
 def test_round5_window_composition():
