@@ -509,11 +509,11 @@ ORACLE_SQL["mixture_shard_manifest"] = f"""
         WHERE s.label_hq
     ), cum AS (
         SELECT doc_id, source, n_tokens,
-               sum(n_tokens) OVER (
+               CAST(sum(n_tokens) OVER (
                    PARTITION BY source
                    ORDER BY {scrambled_key_sql('doc_id')}, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS cum
+               ) AS BIGINT) AS cum
         FROM kept
     ), sel AS (
         SELECT c.doc_id, c.source, c.n_tokens
