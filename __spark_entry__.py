@@ -23,6 +23,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     analytics,
     ann_trained,
     association,
+    chunking,
     corpus,
     curation_ext,
     dedup,
@@ -53,7 +54,7 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             similarity, skew, multimodal, streaming_events, mongo_datasource,
             profiling, corpus, incremental, kmeans, timeseries, pca,
             association, graph, tpch_suite, curation_ext, csv_source,
-            orc_source, mixing, ann_trained, variant_ingest)
+            orc_source, mixing, ann_trained, variant_ingest, chunking)
 
 # The driver evaluates registry entries in dict order and hash-checks the
 # first 50 per round. Ordering rule (VERDICT r4 tasks 1+7): derived from

@@ -1,0 +1,68 @@
+"""RAG chunking operators: window geometry, overlap identity, and the
+chunk-level dedup signal (crafted frames; registry parity covers the
+real tables)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_from_mongo_json_to_postgre_spark.operators import chunking
+
+
+@pytest.fixture()
+def docs(spark, monkeypatch):
+    def _install(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        monkeypatch.setattr(chunking, "load_table", lambda sp, sf, t: df)
+        return df
+    return _install
+
+
+def test_window_geometry(spark, docs):
+    """A 100-token doc with STRIDE=48/CHUNK=64 yields starts 0/48/96
+    with lengths 64/52/4; a 10-token doc yields one short chunk; an
+    empty doc yields none."""
+    docs([(1, " ".join(f"t{i}" for i in range(100)), "en", "s"),
+          (2, " ".join(f"t{i}" for i in range(10)), "en", "s"),
+          (3, "", "en", "s")])
+    rows = chunking.text_chunk_windows(spark, "unused").collect()
+    got = {(r.doc_id, r.chunk_id): (r.start_tok, r.n_tokens) for r in rows}
+    assert got == {
+        (1, 0): (0, 64), (1, 1): (48, 52), (1, 2): (96, 4),
+        (2, 0): (0, 10),
+    }
+
+
+def test_identical_windows_hash_identically_across_docs(spark, docs):
+    """The dedup property: the same 64-token span in two different
+    documents produces the same chunk_hash regardless of position
+    context, and different spans differ."""
+    span = " ".join(f"w{i}" for i in range(64))
+    other = " ".join(f"x{i}" for i in range(64))
+    docs([(1, span, "en", "s"), (2, span, "de", "s2"), (3, other, "en", "s")])
+    rows = chunking.text_chunk_windows(spark, "unused").collect()
+    h = {r.doc_id: r.chunk_hash for r in rows if r.chunk_id == 0}
+    assert h[1] == h[2]
+    assert h[1] != h[3]
+    census = {r.occurrences: (r.n_chunks, r.n_docs_max)
+              for r in chunking.chunk_dup_census(spark, "unused").collect()}
+    assert census[2] == (1, 2)   # the shared span: 1 hash seen twice, 2 docs
+    assert census[1] == (1, 1)   # the unique span
+
+
+def test_chunk_plan_is_shuffle_free(spark, sf_dir):
+    """text_chunk_windows must be a pure map-side pass: no Exchange
+    other than the scan fan-out repartition, no join."""
+    df = chunking.text_chunk_windows(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # fan_out adds exactly one round-robin Exchange after the scan
+    assert plan.count("Exchange") <= 1
+
+
+def test_chunking_matches_oracle(spark, sf_dir, duck):
+    from tests.oracle_compare import compare
+
+    for name, fn in chunking.QUERIES.items():
+        ok, msg = compare(fn(spark, sf_dir), duck, chunking.ORACLE_SQL[name])
+        assert ok, f"{name}: {msg}"

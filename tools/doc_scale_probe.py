@@ -66,6 +66,11 @@ DOC_FAMILY = [
     "mixture_plan_summary",
     "mm_byte_entropy",
     "mm_magic_byte_census",
+    # round-7 additions that scale on documents
+    "mixture_shard_manifest",
+    "dedup_minhash_pairs_fast",
+    "text_chunk_windows",
+    "chunk_dup_census",
 ]
 
 
