@@ -222,9 +222,12 @@ def ann_ivf_pq_trained_topk(spark, sf_dir):
     query recomputes its 4x8 table against each probed cell's
     centroid), candidates scored with 4 table lookups + 3 adds, corpus
     side of the probe join carries only (vec_id, cell, codes)."""
+    return _topk_from_base(_trained_base(spark, sf_dir))
+
+
+def _topk_from_base(base):
     from pyspark.sql.window import Window
 
-    base = _trained_base(spark, sf_dir)
     cand = base.select("vec_id", "cell", "codes")
 
     cent_lit = F.array(*[_plane_lit(c) for c in TRAINED_CENTROIDS])
@@ -279,10 +282,14 @@ def ann_pq_trained_recall(spark, sf_dir):
     ann_pq_recall_eval (untrained codebooks, recall ~0.01) exists to
     fail and this trained build exists to pass (>= 0.7 pinned in
     tests/test_ann_trained.py; the driver hash-checks exactness of the
-    whole train->index->search->evaluate pipeline)."""
+    whole train->index->search->evaluate pipeline).
+
+    The exact baseline and the ADC path share ONE checkpointed base:
+    the planted corpus is materialized once, not once per side."""
     from pyspark.sql.window import Window
 
-    vecs = planted_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    base = _trained_base(spark, sf_dir)
+    vecs = base.select("vec_id", "v")
     queries = vecs.where(F.col("vec_id") < T_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     l2 = _fold_sum(F.zip_with(F.col("qv"), F.col("v"),
@@ -297,8 +304,7 @@ def ann_pq_trained_recall(spark, sf_dir):
         .where(F.col("rank") <= T_TOPK)
         .select("query_id", "neighbor_id")
     )
-    pq = ann_ivf_pq_trained_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id")
+    pq = _topk_from_base(base).select("query_id", "neighbor_id")
     hitcnt = (
         pq.join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")
