@@ -1,0 +1,97 @@
+"""Streaming document chunking (SURVEY §2.8 extension x RAG family).
+
+The landing-zone shape of a retrieval pipeline: documents arrive as
+files, each is chunked into overlapping token windows ON ARRIVAL
+(stateless map — chunking needs no cross-document state), and a
+running census aggregates downstream. This module runs the SAME chunk
+expression as operators/chunking.py through the real streaming engine
+(file source, availableNow trigger, memory sink), so the batch oracle
+checks the streaming execution path bit-for-bit.
+
+Scale note: stateless per-document chunking keeps streaming state at
+exactly the census aggregate (|distinct n_tokens| rows — at most
+CHUNK_TOKENS); the chunk table itself would flow straight to a sink in
+production (foreachBatch parquet/JDBC), never through state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import word_hashes
+from ..operators.chunking import _DUCK_CHUNKS, _WORDS, CHUNK_STRIDE, CHUNK_TOKENS
+from ..session import tune_for_oracle
+from ..sources.parquet import load_table
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (symlink-dir pattern of
+    streaming/events.events_stream: the file source watches a
+    directory; in production this is the landing path)."""
+    load_table(spark, sf_dir, "documents")  # sets nanos/NTZ confs
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    watch_dir = tempfile.mkdtemp(prefix="documents_stream_")
+    os.symlink(src, os.path.join(watch_dir, "documents.parquet"))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+
+
+def stream_chunk_length_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: chunk-length census through the streaming
+    engine — documents chunked on arrival with the SAME window
+    geometry and tokenization constants as the batch operator (the
+    batch path reads through load_table + fan_out, so the streaming
+    frame substitutes the scan and the projection above it is
+    rebuilt identically here), one complete-mode aggregate over
+    n_tokens. Oracle = the same census in batch SQL over the chunk
+    CTE."""
+    tune_for_oracle(spark)
+    stream = documents_stream(spark, sf_dir)
+    w = _WORDS(F.col("text"))
+    staged = stream.where(F.size(w) > 0).select(
+        "doc_id", word_hashes(w).alias("wh"))
+    wh = F.col("wh")
+    n = F.size(wh)
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE)),
+        lambda s: F.struct(
+            F.least(n - s, F.lit(CHUNK_TOKENS)).cast("bigint")
+            .alias("n_tokens"),
+        ),
+    )
+    census = (
+        staged.select(F.explode(chunk_structs).alias("c"))
+        .groupBy(F.col("c.n_tokens").alias("n_tokens"))
+        .agg(F.count("*").alias("n_chunks"))
+    )
+    q = (
+        census.writeStream.format("memory")
+        .queryName("stream_chunk_census")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_chunk_census")
+
+
+ORACLE_SQL = {
+    "stream_chunk_length_census": f"""
+        SELECT n_tokens, count(*) AS n_chunks
+        FROM ({_DUCK_CHUNKS})
+        GROUP BY n_tokens
+    """,
+}
+
+QUERIES = {
+    "stream_chunk_length_census": stream_chunk_length_census,
+}

@@ -66,3 +66,17 @@ def test_chunking_matches_oracle(spark, sf_dir, duck):
     for name, fn in chunking.QUERIES.items():
         ok, msg = compare(fn(spark, sf_dir), duck, chunking.ORACLE_SQL[name])
         assert ok, f"{name}: {msg}"
+
+
+def test_streaming_chunk_census_matches_batch_oracle(spark, sf_dir, duck):
+    """The streaming execution path (file source, availableNow,
+    complete-mode agg) must produce the identical chunk-length census
+    as the batch SQL — documents chunked on arrival, stateless map,
+    state bounded by the census width."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import doc_chunks
+    from tests.oracle_compare import compare
+
+    df = doc_chunks.stream_chunk_length_census(spark, sf_dir)
+    ok, msg = compare(df, duck,
+                      doc_chunks.ORACLE_SQL["stream_chunk_length_census"])
+    assert ok, msg
