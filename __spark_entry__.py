@@ -32,6 +32,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     kmeans,
     mixing,
     pca,
+    repetition,
     timeseries,
     multimodal,
     profiling,
@@ -58,7 +59,7 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             profiling, corpus, incremental, kmeans, timeseries, pca,
             association, graph, tpch_suite, curation_ext, csv_source,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
-            streaming_doc_chunks)
+            streaming_doc_chunks, repetition)
 
 # The driver evaluates registry entries in dict order and hash-checks the
 # first 50 per round. Ordering rule (VERDICT r4 tasks 1+7): derived from

@@ -17,6 +17,25 @@ def _evidence():
     return e._evidence_latest_green()
 
 
+def test_no_duplicate_entry_names_across_modules():
+    """Registry assembly is dict.update over _MODULES: a module
+    registering a name another module already owns SILENTLY shadows it
+    (caught live in r7: a new Gopher-repetition operator reused
+    corpus.text_repetition_stats' name and displaced an r3-green
+    entry). Every (module, name) must be globally unique."""
+    import __spark_entry__ as e
+
+    owners: dict[str, list[str]] = {}
+    for mod in e._MODULES:
+        for name in mod.QUERIES:
+            owners.setdefault(name, []).append(mod.__name__)
+        for name in mod.ORACLE_SQL:
+            assert name in mod.QUERIES or any(
+                name in m.QUERIES for m in e._MODULES), name
+    dupes = {n: ms for n, ms in owners.items() if len(ms) > 1}
+    assert not dupes, f"entry names registered by multiple modules: {dupes}"
+
+
 def test_ordering_covers_registry_exactly():
     import __spark_entry__ as e
 
