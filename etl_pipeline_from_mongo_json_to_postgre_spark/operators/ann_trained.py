@@ -116,13 +116,11 @@ def _g_expr(s: int):
     return F.expr(f"CAST(((vec_id div {NB}) div {TCODES ** s}) % {TCODES} AS INT)")
 
 
-def planted_vectors(spark, sf_dir):
-    """(vec_id, v): the planted-structure corpus on the embeddings
-    spine. Column-pruned scan (vec_id only); v is one map-side
-    expression — additions parenthesized (blob + pattern) + noise so
-    DuckDB mirrors the float order exactly."""
-    tune_for_oracle(spark)
-    spine = fan_out(spark, load_table(spark, sf_dir, "embeddings")).select("vec_id")
+def planted_v_column():
+    """The planted vector as a Column over ANY frame carrying a
+    ``vec_id`` column — the ONE definition shared by the batch fixture
+    below and the streaming ingest twin
+    (streaming/doc_chunks.stream_ann_cell_assign)."""
     blob = F.element_at(
         F.array(*[_plane_lit(b) for b in BLOBS]),
         (F.col("vec_id") % NB).cast("int") + 1,
@@ -132,7 +130,7 @@ def planted_vectors(spark, sf_dir):
                      _g_expr(s) + 1)
         for s in range(TSUB)
     ])
-    v = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), F.lit(DIM)),
         # noise fully parenthesized ((x/m)*0.02 - 0.01) so the float
         # grouping matches the DuckDB text exactly
@@ -145,7 +143,16 @@ def planted_vectors(spark, sf_dir):
             - 0.01
         ),
     )
-    return spine.select("vec_id", v.alias("v"))
+
+
+def planted_vectors(spark, sf_dir):
+    """(vec_id, v): the planted-structure corpus on the embeddings
+    spine. Column-pruned scan (vec_id only); v is one map-side
+    expression — additions parenthesized (blob + pattern) + noise so
+    DuckDB mirrors the float order exactly."""
+    tune_for_oracle(spark)
+    spine = fan_out(spark, load_table(spark, sf_dir, "embeddings")).select("vec_id")
+    return spine.select("vec_id", planted_v_column().alias("v"))
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,78 @@ def stream_chunk_length_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_chunk_census")
 
 
+def stream_ann_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: IVF index maintenance at ingest — embedding
+    vectors are assigned to their TRAINED coarse cell as they arrive
+    (stateless map against the broadcast trained centroids; exactly
+    what keeps an IVFADC index current as new vectors land), with a
+    complete-mode per-cell occupancy census. Planted-corpus vectors
+    are derived from the arriving vec_ids the same way the batch
+    ann_trained fixture derives them, so the oracle is the batch cell
+    census in SQL. State = one row per cell (16)."""
+    from ..operators.ann_trained import (
+        _coarse_scores,
+        _require_trained,
+        planted_v_column,
+    )
+
+    _require_trained()
+    tune_for_oracle(spark)
+    load_table(spark, sf_dir, "embeddings")  # sets reader confs
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(src).schema
+    watch_dir = tempfile.mkdtemp(prefix="embeddings_stream_")
+    os.symlink(src, os.path.join(watch_dir, "embeddings.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+        .select("vec_id")
+    )
+    # ONE definition of the planted vector, shared with the batch path
+    v = planted_v_column()
+    assigned = stream.select(
+        F.array_position(
+            _coarse_scores(v), F.array_max(_coarse_scores(v))
+        ).cast("bigint").alias("cell")
+    )
+    census = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    q = (
+        census.writeStream.format("memory")
+        .queryName("stream_ann_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_ann_cells")
+
+
+def _ann_cell_oracle() -> str:
+    from ..operators.ann_trained import (
+        TRAINED_CENTROIDS,
+        _duck_planted,
+    )
+    from ..operators.similarity import _duck_fold_sum, _duck_list
+
+    if TRAINED_CENTROIDS is None:  # bootstrap before training artifact
+        return ""
+    half = [sum(x * x for x in c) / 2.0 for c in TRAINED_CENTROIDS]
+    scores = "[" + ", ".join(
+        f"({_duck_fold_sum(f'list_transform(range(1, 65), d -> v[d] * ({_duck_list(c)})[d])')}) - {half[i]!r}"
+        for i, c in enumerate(TRAINED_CENTROIDS)
+    ) + "]"
+    return f"""
+        WITH planted AS ({_duck_planted()})
+        SELECT CAST(list_position(scores, list_max(scores)) AS BIGINT)
+                   AS cell,
+               count(*) AS n_vecs
+        FROM (SELECT vec_id, {scores} AS scores FROM planted)
+        GROUP BY 1
+    """
+
+
 ORACLE_SQL = {
     "stream_chunk_length_census": f"""
         SELECT n_tokens, count(*) AS n_chunks
@@ -95,3 +167,8 @@ ORACLE_SQL = {
 QUERIES = {
     "stream_chunk_length_census": stream_chunk_length_census,
 }
+
+_cell_sql = _ann_cell_oracle()
+if _cell_sql:
+    ORACLE_SQL["stream_ann_cell_assign"] = _cell_sql
+    QUERIES["stream_ann_cell_assign"] = stream_ann_cell_assign

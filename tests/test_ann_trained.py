@@ -112,6 +112,21 @@ def test_trained_topk_plan_and_contract(spark, sf_dir):
     assert "codes" in after_join
 
 
+def test_streaming_cell_assign_matches_batch(spark, sf_dir, duck):
+    """Index maintenance at ingest: the streaming path assigns arriving
+    vectors to the SAME trained cells the batch path does — 16 cells,
+    counts summing to the corpus, hash-equal to the batch SQL census."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import doc_chunks
+    from tests.oracle_compare import compare
+
+    df = doc_chunks.stream_ann_cell_assign(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == NB
+    assert sum(r.n_vecs for r in rows) == planted_vectors(spark, sf_dir).count()
+    ok, msg = compare(df, duck, doc_chunks.ORACLE_SQL["stream_ann_cell_assign"])
+    assert ok, msg
+
+
 def test_trained_entries_match_oracle(spark, sf_dir, duck):
     from tests.oracle_compare import compare
 
