@@ -50,6 +50,41 @@ def test_identical_windows_hash_identically_across_docs(spark, docs):
     assert census[1] == (1, 1)   # the unique span
 
 
+def test_window_geometry_property(spark, docs):
+    """Property over arbitrary doc lengths (one Spark pass, 60 docs of
+    every length 1..60): chunk count == ceil(len/STRIDE), starts are
+    exactly 0, STRIDE, 2*STRIDE...; every token is covered; consecutive
+    full windows overlap by CHUNK-STRIDE tokens."""
+    import math
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.chunking import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    rows = [(n, " ".join(f"t{n}_{i}" for i in range(n)), "en", "s")
+            for n in range(1, 61)]
+    docs(rows)
+    got = {}
+    for r in chunking.text_chunk_windows(spark, "unused").collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for n in range(1, 61):
+        chunks = sorted(got[n], key=lambda r: r.chunk_id)
+        assert len(chunks) == math.ceil(n / CHUNK_STRIDE), n
+        for j, c in enumerate(chunks):
+            assert c.chunk_id == j
+            assert c.start_tok == j * CHUNK_STRIDE
+            assert c.n_tokens == min(n - j * CHUNK_STRIDE, CHUNK_TOKENS)
+        # coverage: the last chunk reaches the final token
+        last = chunks[-1]
+        assert last.start_tok + last.n_tokens == n
+        # overlap between consecutive windows (when both are full)
+        for a, b in zip(chunks, chunks[1:]):
+            if a.n_tokens == CHUNK_TOKENS:
+                assert (a.start_tok + a.n_tokens) - b.start_tok \
+                    == CHUNK_TOKENS - CHUNK_STRIDE
+
+
 def test_chunk_plan_is_shuffle_free(spark, sf_dir):
     """text_chunk_windows must be a pure map-side pass: no Exchange
     other than the scan fan-out repartition, no join."""
