@@ -112,12 +112,14 @@ def stream_ann_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(watch_dir)
         .select("vec_id")
     )
-    # ONE definition of the planted vector, shared with the batch path
-    v = planted_v_column()
+    # ONE definition of the planted vector, shared with the batch path;
+    # scores staged as a column so the 16x64 dot block evaluates once
+    # per row (CollapseProject keeps multi-referenced columns staged)
     assigned = stream.select(
-        F.array_position(
-            _coarse_scores(v), F.array_max(_coarse_scores(v))
-        ).cast("bigint").alias("cell")
+        _coarse_scores(planted_v_column()).alias("scores")
+    ).select(
+        F.array_position("scores", F.array_max("scores"))
+        .cast("bigint").alias("cell")
     )
     census = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
     q = (
