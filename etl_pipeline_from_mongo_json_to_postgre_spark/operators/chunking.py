@@ -108,6 +108,45 @@ def chunk_dup_census(spark, sf_dir):
     )
 
 
+def inc_chunk_dedup(spark, sf_dir):
+    """Incremental chunk dedup — the arrival-time question a RAG
+    ingest pipeline asks before paying for embeddings: of the NEW
+    batch's full chunks, which content hashes are already in the
+    index? Fixture split (the inc_dedup_merge convention): even doc_id
+    = already-indexed corpus, odd doc_id = arriving batch. Output per
+    arriving document: chunk counts, how many are novel vs already
+    indexed (dedup against the index OR repeated within the batch
+    itself counts as skippable), and the novel share — the fraction of
+    embedding spend that remains.
+
+    Scale shape: the index side reduces to DISTINCT 8-byte hashes
+    (bucketed/bloom-backed at 100 TB); the classification is one
+    hash-keyed left join carrying (doc_id, hash) — vectors and text
+    never move."""
+    chunks = text_chunk_windows(spark, sf_dir).where(
+        F.col("n_tokens") == CHUNK_TOKENS)
+    idx = (
+        chunks.where(F.col("doc_id") % 2 == 0)
+        .select("chunk_hash").distinct()
+        .withColumn("indexed", F.lit(1))
+    )
+    new = chunks.where(F.col("doc_id") % 2 == 1)
+    classified = new.join(idx, "chunk_hash", "left")
+    return (
+        classified.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("indexed").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_novel",
+            F.round(F.col("n_novel") / F.col("n_chunks"), 6)
+            .alias("novel_share"),
+        )
+    )
+
+
 _DUCK_CHUNKS = f"""
         SELECT doc_id,
                CAST(start_tok / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
@@ -143,7 +182,25 @@ ORACLE_SQL = {
     """,
 }
 
+ORACLE_SQL["inc_chunk_dedup"] = f"""
+    WITH chunks AS (
+        SELECT * FROM ({_DUCK_CHUNKS}) WHERE n_tokens = {CHUNK_TOKENS}
+    ), idx AS (
+        SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 2 = 0
+    )
+    SELECT n.doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN i.chunk_hash IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN i.chunk_hash IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) / CAST(count(*) AS BIGINT), 6)
+               AS novel_share
+    FROM chunks n LEFT JOIN idx i ON i.chunk_hash = n.chunk_hash
+    WHERE n.doc_id % 2 = 1
+    GROUP BY n.doc_id
+"""
+
 QUERIES = {
     "text_chunk_windows": text_chunk_windows,
     "chunk_dup_census": chunk_dup_census,
+    "inc_chunk_dedup": inc_chunk_dedup,
 }
