@@ -72,6 +72,7 @@ DOC_FAMILY = [
     "text_chunk_windows",
     "chunk_dup_census",
     "text_gopher_repetition",
+    "inc_chunk_dedup",
 ]
 
 
