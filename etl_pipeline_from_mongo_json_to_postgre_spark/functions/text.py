@@ -25,6 +25,20 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda x: x != "")
 
 
+def ws_tokens(col: Column) -> Column:
+    """SINGLE-SPACE tokenization, empty tokens dropped — the ONE
+    definition the corpus-curation family (dedup / mixing / chunking /
+    repetition) hashes over; its DuckDB twin is DUCK_WS_TOKENS. The
+    copies these modules carried were bit-identical but private —
+    consolidated r7 so a tokenizer tweak cannot silently diverge the
+    portable-hash families (gram/chunk hashes must agree across
+    operators AND with the oracles)."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+DUCK_WS_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
 def chars(col: Column) -> Column:
     """Character array with the empty-string artifact of split removed."""
     return F.filter(F.split(col, ""), lambda x: x != "")

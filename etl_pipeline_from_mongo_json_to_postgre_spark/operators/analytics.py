@@ -233,9 +233,9 @@ def approx_distinct_rollup_sketch_raw(spark, sf_dir):
     """The PRODUCTION form of approx_distinct_rollup: daily sketches
     merged per type, NO exact count anywhere in the plan — the shuffle
     carries |days x types| fixed-size sketches, then |types| merged
-    ones. Estimates are engine-specific, so this raw form is
-    census/test-pinned; the registry entry is the derived-oracle gate
-    below."""
+    ones. Estimates are engine-specific, so this raw form is pinned by
+    tests/test_approx.py (sketch-only plan + positive estimates); the
+    registry entry is the derived-oracle gate below."""
     events = _t(spark, sf_dir, "events")
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")

@@ -28,15 +28,23 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.text import MOD, WORD_COMBINE, CHAR_SEED, duck_word_hashes, word_hashes
+from ..functions.text import (
+    CHAR_SEED,
+    DUCK_WS_TOKENS,
+    MOD,
+    WORD_COMBINE,
+    duck_word_hashes,
+    word_hashes,
+    ws_tokens,
+)
 from ..session import tune_for_oracle
 from ..sources.parquet import fan_out, load_table
 
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
-_WORDS = lambda col: F.filter(F.split(col, " "), lambda x: x != "")  # noqa: E731
-_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_WORDS = ws_tokens          # canonical curation tokenizer (functions/text.py)
+_DUCK_WORDS = DUCK_WS_TOKENS
 
 
 def _docs(spark, sf_dir):
@@ -114,15 +122,18 @@ def inc_chunk_dedup(spark, sf_dir):
     batch's full chunks, which content hashes are already in the
     index? Fixture split (the inc_dedup_merge convention): even doc_id
     = already-indexed corpus, odd doc_id = arriving batch. Output per
-    arriving document: chunk counts, how many are novel vs already
-    indexed (dedup against the index OR repeated within the batch
-    itself counts as skippable), and the novel share — the fraction of
-    embedding spend that remains.
+    arriving document: chunk counts, how many are NOVEL — absent from
+    the index AND the first occurrence within the batch itself (a hash
+    repeated across arriving docs is embedded once, by its
+    deterministically-first occurrence: lowest (doc_id, chunk_id)) —
+    and the novel share, the fraction of embedding spend that remains.
 
     Scale shape: the index side reduces to DISTINCT 8-byte hashes
     (bucketed/bloom-backed at 100 TB); the classification is one
-    hash-keyed left join carrying (doc_id, hash) — vectors and text
-    never move."""
+    hash-keyed left join plus one hash-keyed first-occurrence window,
+    both carrying (doc_id, hash) — vectors and text never move."""
+    from pyspark.sql.window import Window
+
     chunks = text_chunk_windows(spark, sf_dir).where(
         F.col("n_tokens") == CHUNK_TOKENS)
     idx = (
@@ -131,13 +142,20 @@ def inc_chunk_dedup(spark, sf_dir):
         .withColumn("indexed", F.lit(1))
     )
     new = chunks.where(F.col("doc_id") % 2 == 1)
-    classified = new.join(idx, "chunk_hash", "left")
+    first_w = Window.partitionBy("chunk_hash").orderBy(
+        F.asc("doc_id"), F.asc("chunk_id"))
+    classified = (
+        new.withColumn("occ_rank", F.row_number().over(first_w))
+        .join(idx, "chunk_hash", "left")
+    )
+    novel = F.when(
+        F.col("indexed").isNull() & (F.col("occ_rank") == 1), 1
+    ).otherwise(0)
     return (
         classified.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
-            F.sum(F.when(F.col("indexed").isNull(), 1).otherwise(0))
-            .cast("bigint").alias("n_novel"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
         )
         .select(
             "doc_id", "n_chunks", "n_novel",
@@ -187,15 +205,20 @@ ORACLE_SQL["inc_chunk_dedup"] = f"""
         SELECT * FROM ({_DUCK_CHUNKS}) WHERE n_tokens = {CHUNK_TOKENS}
     ), idx AS (
         SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 2 = 0
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY chunk_hash
+                   ORDER BY doc_id, chunk_id) AS occ_rank
+        FROM chunks WHERE doc_id % 2 = 1
     )
     SELECT n.doc_id, count(*) AS n_chunks,
-           CAST(sum(CASE WHEN i.chunk_hash IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_novel,
-           round(CAST(sum(CASE WHEN i.chunk_hash IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN i.chunk_hash IS NULL AND n.occ_rank = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN i.chunk_hash IS NULL AND n.occ_rank = 1
+                              THEN 1 ELSE 0 END)
                       AS BIGINT) / CAST(count(*) AS BIGINT), 6)
                AS novel_share
-    FROM chunks n LEFT JOIN idx i ON i.chunk_hash = n.chunk_hash
-    WHERE n.doc_id % 2 = 1
+    FROM ranked n LEFT JOIN idx i ON i.chunk_hash = n.chunk_hash
     GROUP BY n.doc_id
 """
 

@@ -68,9 +68,11 @@ def _init_farthest(vecs: DataFrame, k: int) -> list[list[float]]:
     sampled init cannot promise — the property the trained-IVFADC
     fixture relies on. Each step is one distributed max over the
     corpus: min-distance-to-set via the same consolidated
-    argmax(v.c - |c|^2/2) expression assignment uses, so k passes
-    total. At 100 TB you run this on a driver-sized sample first;
-    here the corpus IS sample-sized."""
+    argmax(v.c - |c|^2/2) expression assignment uses. Pass i scores
+    against all i chosen seeds (O(k^2 * n * d) total — fine at k=16;
+    a running-min column against just the newest seed would make it
+    O(k * n * d) if k ever grows). At 100 TB you run this on a
+    driver-sized sample first; here the corpus IS sample-sized."""
     scram = scrambled_key(F.col("vec_id"))
     first = (
         vecs.select("vec_id", "v", scram.alias("sk"))

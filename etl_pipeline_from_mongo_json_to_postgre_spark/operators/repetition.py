@@ -30,7 +30,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.text import duck_shingle_hashes, duck_word_hashes, shingle_hashes, word_hashes
+from ..functions.text import (
+    DUCK_WS_TOKENS,
+    duck_shingle_hashes,
+    duck_word_hashes,
+    shingle_hashes,
+    word_hashes,
+    ws_tokens,
+)
 from ..session import tune_for_oracle
 from ..sources.parquet import fan_out, load_table
 
@@ -39,8 +46,8 @@ TOP3_MAX = 0.18
 DUP5_MAX = 0.15
 _NS = (2, 3, 5)
 
-_WORDS = lambda col: F.filter(F.split(col, " "), lambda x: x != "")  # noqa: E731
-_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_WORDS = ws_tokens          # canonical curation tokenizer (functions/text.py)
+_DUCK_WORDS = DUCK_WS_TOKENS
 
 
 def text_gopher_repetition(spark, sf_dir):

@@ -30,8 +30,6 @@ from pyspark.sql import functions as F
 from ..session import tune_for_oracle
 from .transform_queries import _orders_as_docs
 
-_OBJECT_NAME = "public.orders_docs"
-
 
 def p1_variant_projection(spark, sf_dir):
     """Mapped projection over the VARIANT ingest path: parse_json once,

@@ -136,6 +136,7 @@ def stream_ann_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_cell_oracle() -> str:
     from ..operators.ann_trained import (
+        DIM,
         TRAINED_CENTROIDS,
         _duck_planted,
     )
@@ -145,7 +146,7 @@ def _ann_cell_oracle() -> str:
         return ""
     half = [sum(x * x for x in c) / 2.0 for c in TRAINED_CENTROIDS]
     scores = "[" + ", ".join(
-        f"({_duck_fold_sum(f'list_transform(range(1, 65), d -> v[d] * ({_duck_list(c)})[d])')}) - {half[i]!r}"
+        f"({_duck_fold_sum(f'list_transform(range(1, {DIM} + 1), d -> v[d] * ({_duck_list(c)})[d])')}) - {half[i]!r}"
         for i, c in enumerate(TRAINED_CENTROIDS)
     ) + "]"
     return f"""

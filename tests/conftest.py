@@ -23,7 +23,12 @@ def pytest_sessionstart(session):
 
         ev = e._evidence_latest_green()
         stamps = e._stamps()
-        if any(stamps.get(n, {}).get("round", -1) < r for n, r in ev.items()):
+        q_raw, _ = e._raw_registries()
+        # filter to entries still in the registry: evidence for a
+        # removed/renamed entry can never be stamped, and without the
+        # filter it would re-trigger the tool on every session forever
+        if any(stamps.get(n, {}).get("round", -1) < r
+               for n, r in ev.items() if n in q_raw):
             from tools import stamp_fingerprints as tool
 
             argv, sys.argv = sys.argv, ["stamp_fingerprints.py"]

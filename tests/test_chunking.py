@@ -105,21 +105,24 @@ def test_chunking_matches_oracle(spark, sf_dir, duck):
 
 def test_inc_chunk_dedup_classifies_novelty(spark, docs):
     """An arriving doc that copies an indexed doc's text contributes
-    ZERO novel chunks; an arriving doc with fresh text is all-novel;
-    within-batch repeats of an indexed chunk stay non-novel."""
+    ZERO novel chunks; a fresh span repeated across TWO arriving docs
+    is novel exactly once, attributed to the lowest doc_id (the
+    deterministically-first occurrence that actually gets embedded)."""
     span_a = " ".join(f"a{i}" for i in range(64))
     span_b = " ".join(f"b{i}" for i in range(64))
     docs([
         (0, span_a, "en", "s"),            # indexed
         (1, span_a, "en", "s"),            # arriving copy -> 0 novel
-        (3, span_b, "en", "s"),            # arriving fresh -> all novel
+        (3, span_b, "en", "s"),            # arriving fresh -> novel here
+        (5, span_b, "en", "s"),            # within-batch repeat -> 0 novel
     ])
     got = {r.doc_id: r for r in
            chunking.inc_chunk_dedup(spark, "unused").collect()}
-    assert set(got) == {1, 3}
+    assert set(got) == {1, 3, 5}
     assert got[1].n_novel == 0 and got[1].novel_share == 0.0
     assert got[3].n_novel == got[3].n_chunks == 1
     assert got[3].novel_share == 1.0
+    assert got[5].n_novel == 0 and got[5].novel_share == 0.0
 
 
 def test_streaming_chunk_census_matches_batch_oracle(spark, sf_dir, duck):

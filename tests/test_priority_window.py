@@ -29,9 +29,12 @@ def test_no_duplicate_entry_names_across_modules():
     for mod in e._MODULES:
         for name in mod.QUERIES:
             owners.setdefault(name, []).append(mod.__name__)
-        for name in mod.ORACLE_SQL:
-            assert name in mod.QUERIES or any(
-                name in m.QUERIES for m in e._MODULES), name
+        # oracles must belong to the SAME module's queries — a module
+        # publishing SQL under another module's entry name would
+        # silently displace the real oracle (same dict.update shadowing,
+        # on the oracle half of the registry)
+        foreign = [n for n in mod.ORACLE_SQL if n not in mod.QUERIES]
+        assert not foreign, f"{mod.__name__} defines foreign oracles: {foreign}"
     dupes = {n: ms for n, ms in owners.items() if len(ms) > 1}
     assert not dupes, f"entry names registered by multiple modules: {dupes}"
 
@@ -388,6 +391,42 @@ def test_stamp_file_matches_current_code_for_undrifted_entries():
     assert not unexplained, (
         f"entries drifted without a --mark-drifted record: {unexplained}; "
         "either re-stamp (round start) or mark them drifted")
+
+
+def test_stamp_tool_refuses_to_bless_code_the_driver_never_saw(tmp_path, monkeypatch):
+    """Anti-laundering guard (r7 review finding): a stamp refresh must
+    bless CURRENT code only when the entry's module file matches the
+    tree the driver actually tested (parent of the evidence commit).
+    Real-history fixture: profiling.py changed after the r6 close
+    (clamp guard), so re-stamping approx_heavy_users' r6 green from
+    scratch must stamp it DRIFTED (re-window), while
+    p1_mapped_projection (transform_queries.py untouched since the r6
+    close) is blessed with current fingerprints."""
+    import json
+
+    import __spark_entry__ as e
+    from tools import stamp_fingerprints as tool
+
+    real = e._stamps()
+    if ("approx_heavy_users" not in real or "p1_mapped_projection" not in real
+            or e._evidence_latest_green().get("approx_heavy_users") != 6):
+        import pytest
+
+        pytest.skip("repo history moved past the r6/r7 shape this pins")
+    stamps = {k: v for k, v in real.items()
+              if k not in ("approx_heavy_users", "p1_mapped_projection")}
+    stamp_path = tmp_path / "stamps.json"
+    json.dump(stamps, open(stamp_path, "w"))
+    monkeypatch.setattr(e, "_stamps", lambda: json.load(open(stamp_path)))
+    monkeypatch.setattr(tool, "STAMP_PATH", str(stamp_path))
+    monkeypatch.setattr("sys.argv", ["stamp_fingerprints.py"])
+    assert tool.main() == 0
+    out = json.load(open(stamp_path))
+    assert out["approx_heavy_users"]["fn"] == "drifted", (
+        "edited-after-test module must not be blessed")
+    q_raw, o = e._raw_registries()
+    cur = e._current_fingerprints(q_raw, o)
+    assert out["p1_mapped_projection"]["fn"] == cur["p1_mapped_projection"]["fn"]
 
 
 def test_stamp_tool_updates_on_fresh_green_and_preserves_marks(tmp_path, monkeypatch):

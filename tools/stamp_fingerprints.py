@@ -22,14 +22,54 @@ later would bless in-round edits with evidence that never saw them.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAMP_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "tools", "entry_fingerprints.json")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STAMP_PATH = os.path.join(REPO, "tools", "entry_fingerprints.json")
+
+
+def _git(*args: str) -> str | None:
+    try:
+        r = subprocess.run(["git", "-C", REPO, *args],
+                           capture_output=True, timeout=20)
+        return r.stdout.decode() if r.returncode == 0 else None
+    except Exception:  # noqa: BLE001 - git absence degrades gracefully
+        return None
+
+
+def _tested_module_hash(rnd: int, relpath: str, evidence_dir: str,
+                        _cache: dict = {}) -> str | None:
+    """sha256[:16] of ``relpath`` AS THE DRIVER TESTED IT for round
+    ``rnd``: the parent tree of the commit that introduced
+    CORRECTNESS_r{rnd}.json in ``evidence_dir`` (the driver runs
+    against the previous round's close commit, then commits the
+    evidence on top). None when git can't answer — no repo, the
+    evidence file isn't tracked (e.g. fixture-synthesized evidence in
+    tests), or the path is absent at the tested tree; callers bless on
+    None because the working tree then IS the only code the evidence
+    can refer to."""
+    ev_file = os.path.join(evidence_dir, f"CORRECTNESS_r{rnd:02d}.json")
+    ev_rel = os.path.relpath(ev_file, REPO)
+    if ev_rel.startswith(".."):
+        return None  # evidence outside the repo: synthesized fixture
+    if ("ev", ev_rel) not in _cache:
+        out = _git("rev-list", "-1", "HEAD", "--", ev_rel)
+        _cache[("ev", ev_rel)] = out.strip() if out else None
+    commit = _cache[("ev", ev_rel)]
+    if not commit:
+        return None
+    key = (commit, relpath)
+    if key not in _cache:
+        blob = _git("show", f"{commit}^:{relpath}")
+        _cache[key] = (hashlib.sha256(blob.encode()).hexdigest()[:16]
+                       if blob is not None else None)
+    return _cache[key]
 
 
 def main() -> int:
@@ -38,6 +78,9 @@ def main() -> int:
                     help="entries to force-mark as drifted (re-window)")
     args = ap.parse_args()
 
+    import functools
+    import inspect
+
     import __spark_entry__ as e
 
     q_raw, o = e._raw_registries()
@@ -45,12 +88,37 @@ def main() -> int:
     ev = e._evidence_latest_green()
     stamps = e._stamps()
 
-    updated, marked = [], []
+    def _relpath(name: str) -> str | None:
+        f = inspect.unwrap(q_raw[name])
+        while isinstance(f, functools.partial):
+            f = f.func
+        path = getattr(inspect.getmodule(f), "__file__", None)
+        return os.path.relpath(path, REPO) if path else None
+
+    updated, marked, refused = [], [], []
     for name, rnd in sorted(ev.items()):
         if name not in cur:
             continue
         st = stamps.get(name)
         if st is None or st.get("round", -1) < rnd:
+            # Anti-laundering guard (r7 review): a stamp asserts "this
+            # is the code the driver's green row vouches for". Bless
+            # only when the entry's module file matches the TESTED tree
+            # (parent of the evidence commit); an entry edited after
+            # the driver ran — committed or not — is stamped DRIFTED
+            # instead, so it re-enters the window rather than carrying
+            # evidence that never saw its current code. None (git
+            # can't answer, e.g. the driver hasn't committed the
+            # evidence file yet) blesses: the working tree then IS the
+            # tested code.
+            rel = _relpath(name)
+            tested = (_tested_module_hash(rnd, rel, e._REPO)
+                      if rel else None)
+            if tested is not None and tested != cur[name]["mod"]:
+                stamps[name] = {"fn": "drifted", "mod": "drifted",
+                                "round": rnd}
+                refused.append(name)
+                continue
             stamps[name] = {**cur[name], "round": rnd}
             updated.append(name)
     for name in args.mark_drifted:
@@ -67,10 +135,13 @@ def main() -> int:
     with open(STAMP_PATH, "w") as fh:
         json.dump(stamps, fh, indent=1, sort_keys=True)
     print(f"stamped {len(updated)} updated, {len(marked)} marked drifted, "
+          f"{len(refused)} refused (module differs from tested tree), "
           f"{len(stamps)} total -> {STAMP_PATH}")
     if updated:
         print("updated:", ", ".join(updated[:20]),
               "..." if len(updated) > 20 else "")
+    if refused:
+        print("refused (stamped drifted):", ", ".join(refused[:20]))
     return 0
 
 
