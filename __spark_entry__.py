@@ -233,11 +233,16 @@ def _priority(q_raw: dict, o: dict) -> list[str]:
                    key=lambda n: (born.get(n, 99), n))
     drift_s = [n for _, n in sorted((ev[n], n) for n in hash_backed
                                     if n in strong)]
-    drift_w = [n for _, n in sorted((ev[n], n) for n in hash_backed
-                                    if n in weak)]
-    stale = [n for _, n in sorted((ev[n], n) for n in hash_backed
-                                  if n in ev and n not in strong and n not in weak)]
-    return regressed + never + drift_s + drift_w + stale + sorted(
+    # Weak drift (module helper changed, own code untouched) does NOT
+    # outrank older clean evidence (VERDICT r7 task 1): weak-drifted
+    # entries are re-verified by the local full-registry parity sweep
+    # every round, whereas evidence AGE is the one thing only a driver
+    # slot can fix. Merge weak + clean into a single stalest-first
+    # block (weak ahead of clean at the same evidence round).
+    merged = [n for _, _, n in sorted(
+        (ev[n], 0 if n in weak else 1, n)
+        for n in hash_backed if n in ev and n not in strong)]
+    return regressed + never + drift_s + merged + sorted(
         rows_only, key=lambda n: (ev.get(n, 0), n))
 
 

@@ -44,10 +44,16 @@ HEADLINE = [
     "sim_cosine_pairs_lsh",
     "dedup_embedding_cosine",
     "mm_binary_stats",
-    # census-tail additions (VERDICT r6 task 6): the registry's slowest
-    # entries — iteration-bound graph/cluster algorithms and the trained
-    # IVFADC gate — were invisible to BENCH_r*.json and guarded only by
-    # census budgets; r7 times are the round-over-round baseline.
+]
+
+# census-tail additions (VERDICT r6 task 6): the registry's slowest
+# entries — iteration-bound graph/cluster algorithms and the trained
+# IVFADC gate — were invisible to BENCH_r*.json and guarded only by
+# census budgets; r7 times are the round-over-round baseline. Kept as a
+# SEPARATE metric (VERDICT r7 task 2): folding them into the headline
+# sum made BENCH_r07 read 51 s vs r6's 25 s — a fake regression every
+# consumer had to correct by hand.
+CENSUS_TAIL = [
     "graph_pagerank_parts",
     "graph_label_propagation",
     "kmeans_train",
@@ -70,7 +76,7 @@ def main() -> None:
     from __spark_entry__ import queries
 
     registry = queries()
-    names = [n for n in HEADLINE if n in registry]
+    names = [n for n in HEADLINE + CENSUS_TAIL if n in registry]
     timings: dict[str, float] = {}
 
     # warm the JVM + parquet footers once so timings measure the query
@@ -91,15 +97,22 @@ def main() -> None:
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
-    total = round(sum(timings.values()), 3)
+    headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    census = round(sum(timings[n] for n in CENSUS_TAIL if n in timings), 3)
     wall = round(time.time() - t_all, 3)
 
+    # `value` stays the BASELINE.md-comparable 27-query headline sum so
+    # BENCH_r08+ compares mechanically to r1-r6 AND to the reference;
+    # the census tail rides in its own field (r7's combined value is
+    # decomposed in BASELINE.md).
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall",
-                "value": total,
+                "metric": "headline_27_wall",
+                "value": headline,
                 "unit": "sec",
+                "census_tail_wall": census,
+                "combined_wall": round(headline + census, 3),
                 "queries": timings,
                 "sf": sf,
                 "wall_2x": wall,

@@ -30,6 +30,42 @@ PR_ITERS = 5
 CHECKPOINT_EVERY = 3
 
 
+def checkpoint_partitioned(df: DataFrame, *keys: str) -> DataFrame:
+    """Eager localCheckpoint that PRESERVES hash partitioning on ``keys``
+    (VERDICT r7 task 5).
+
+    A plain ``localCheckpoint`` materializes through AQE, whose final
+    plan reports ``UnknownPartitioning`` — so every later join against
+    the checkpointed frame re-shuffles it (measured: one extra Exchange
+    of the full edge list per pagerank/label-prop round). Disabling AQE
+    for just this materialization makes the LogicalRDD advertise
+    ``hashpartitioning(keys, spark.sql.shuffle.partitions)``, which
+    ENSURE_REQUIREMENTS then accepts on every per-round equi-join: the
+    big, reused side of an iterative computation is shuffled ONCE, and
+    rounds reuse the layout. At 100 TB this is the difference between
+    2N and N edge-list shuffles for an N-round fixed-point.
+
+    Two-step materialization: the input lineage is cut FIRST with a
+    plain eager checkpoint under full AQE (runtime broadcast/coalesce/
+    skew handling for whatever built the frame — measured +3 s on
+    label-prop when the upstream self-join was instead re-planned
+    statically inside the AQE-off window), then the AQE-off pass does
+    exactly ONE shuffle over the materialized rows to lay them out on
+    ``keys``. The partition count is pinned to
+    ``spark.sql.shuffle.partitions`` so it matches the aggregate
+    exchanges on the per-round state side.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = df.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return base.repartition(n, *keys).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def pagerank(edges: DataFrame, damping: float = DAMPING,
              iters: int = PR_ITERS) -> DataFrame:
     """PageRank over an undirected edge list (columns ``src``, ``dst``;
@@ -44,8 +80,9 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
     )
     adj = sym.distinct()
     degree = adj.groupBy("src").agg(F.count("*").alias("deg"))
-    # adjacency annotated with source degree once, reused every round
-    links = adj.join(degree, "src").localCheckpoint(eager=True)
+    # adjacency annotated with source degree once, laid out on the node
+    # key once; every round's rank join reuses the partitioning
+    links = checkpoint_partitioned(adj.join(degree, "src"), "src")
     ranks = degree.select("src", F.lit(1.0).alias("rank"))
     for i in range(iters):
         contribs = (
@@ -58,6 +95,8 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
              + F.lit(damping) * F.sum("c")).alias("rank")
         )
         if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            # plain cut: rounds re-plan under AQE (broadcast + coalesce);
+            # only the REUSED links frame needs preserved partitioning
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("src").alias("node"), "rank")
 
@@ -199,11 +238,10 @@ def graph_label_propagation(spark, sf_dir):
     und = copurchase_pairs(li, min_count=1).select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
-    edges = (
+    edges = checkpoint_partitioned(
         und.union(und.select(F.col("dst").alias("src"),
-                             F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every round
+                             F.col("src").alias("dst"))).distinct(),
+        "src",  # laid out on the join key once, reused every round
     )
     seeds = (
         edges.select(F.col("src").alias("node")).distinct()
@@ -264,8 +302,12 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K,
     every CHECKPOINT_EVERY rounds."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    alive = sym.localCheckpoint(eager=True)
+    )
+    # plain cut (NOT checkpoint_partitioned): unlike pagerank/label-prop,
+    # alive is REBUILT each round and the dst-side semi-join re-keys it
+    # anyway, so a preserved src layout helps only round 1 — measured
+    # +0.4 s at sf0.1 for no per-round saving (r8 A/B)
+    alive = sym.distinct().localCheckpoint(eager=True)
     for i in range(rounds):
         keep = (
             alive.groupBy("src").agg(F.count("*").alias("deg"))

@@ -10,14 +10,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 def pytest_sessionstart(session):
     """Auto-stamp fingerprints when fresh driver evidence postdates the
-    committed stamps (VERDICT r6 task 8): 'run stamp_fingerprints.py
-    first thing each round' kept being a manual step the suite could
-    catch the builder skipping — twice. Now a fresh clone + a new
-    CORRECTNESS_r*.json + pytest is green with no manual tool run, and
-    stamping still happens against the round-start code because this
-    fires before any test (or in-round edit the tests exercise) runs.
-    No-op when every green-evidenced entry already holds a stamp at or
-    after its latest green round."""
+    committed stamps (VERDICT r6 task 8) — but ONLY when the caller opts
+    in with SPARK_GRAFT_AUTOSTAMP=1 (VERDICT r7 task 3 / ADVICE r7): a
+    plain `pytest` run must never rewrite the committed
+    tools/entry_fingerprints.json as a side effect (a reviewer/CI run
+    should leave `git status` clean). The builder's round-start routine
+    sets the env var (or runs tools/stamp_fingerprints.py directly);
+    the pending-stamp logic in __spark_entry__._drifted keeps the
+    unstamped state benign for every test either way. When stamps ARE
+    stale and the var is unset, emit a visible one-line warning instead
+    of silently diverging."""
     try:
         import __spark_entry__ as e
 
@@ -29,6 +31,12 @@ def pytest_sessionstart(session):
         # filter it would re-trigger the tool on every session forever
         if any(stamps.get(n, {}).get("round", -1) < r
                for n, r in ev.items() if n in q_raw):
+            if os.environ.get("SPARK_GRAFT_AUTOSTAMP") != "1":
+                print("[conftest] fingerprint stamps lag driver evidence; "
+                      "run `python tools/stamp_fingerprints.py` or set "
+                      "SPARK_GRAFT_AUTOSTAMP=1 (not auto-stamping: plain "
+                      "pytest stays side-effect-free)", file=sys.stderr)
+                return
             from tools import stamp_fingerprints as tool
 
             argv, sys.argv = sys.argv, ["stamp_fingerprints.py"]

@@ -74,28 +74,31 @@ def test_never_checked_lead_the_window():
 
 
 def test_evidenced_entries_sort_stalest_first():
-    """Within each evidence block (strong-drift, weak-drift, clean) the
-    order is stalest-green-first; drifted entries as a whole outrank
-    clean ones — their green no longer vouches for the current code."""
+    """Strong-drift entries (own code/oracle changed) outrank everything
+    evidenced; weak-drift and clean entries form ONE merged block sorted
+    stalest-green-first (weak ahead of clean at the same round) — module-
+    only drift must not crowd older clean evidence out of the window
+    (VERDICT r7 task 1)."""
     import __spark_entry__ as e
 
     q_raw, o = e._raw_registries()
     _, _, order = e._registries()
     ev = _evidence()
     strong, weak = e._drifted(q_raw, o)
-    blocks = {"strong": [], "weak": [], "clean": []}
+    strong_rounds, merged_keys = [], []
     seq = []
     for n in order:
         if n in o and n in ev:
-            kind = ("strong" if n in strong else
-                    "weak" if n in weak else "clean")
-            blocks[kind].append(ev[n])
-            seq.append(kind)
-    for kind, rounds in blocks.items():
-        assert rounds == sorted(rounds), f"{kind} block must be stalest-first"
-    rank = {"strong": 0, "weak": 1, "clean": 2}
-    assert [rank[k] for k in seq] == sorted(rank[k] for k in seq), (
-        "drifted entries must sort ahead of clean-evidence entries")
+            if n in strong:
+                strong_rounds.append(ev[n])
+                seq.append(0)
+            else:
+                merged_keys.append((ev[n], 0 if n in weak else 1, n))
+                seq.append(1)
+    assert strong_rounds == sorted(strong_rounds), "strong block stalest-first"
+    assert merged_keys == sorted(merged_keys), (
+        "weak+clean must be one stalest-first block, weak first at ties")
+    assert seq == sorted(seq), "strong-drift entries must lead"
 
 
 def test_rows_only_sort_last():
@@ -284,8 +287,10 @@ def test_drifted_code_reenters_the_window(tmp_path, monkeypatch):
     """An entry whose own source/oracle no longer matches the fingerprint
     stamped at green time must re-enter the window ahead of every
     clean-evidence entry (its green no longer vouches for the code);
-    module-file-only drift (a helper changed) re-enters behind own-code
-    drift. Self-contained fixture: synthesized evidence + stamps."""
+    module-file-only drift (a helper changed) merges into the clean
+    block by evidence age — it re-enters ahead of SAME-round clean
+    entries but behind older clean evidence (VERDICT r7 task 1).
+    Self-contained fixture: synthesized evidence + stamps."""
     import importlib
     import json
 
@@ -315,8 +320,10 @@ def test_drifted_code_reenters_the_window(tmp_path, monkeypatch):
         assert weak == {"u1_explode_words"}
         w = e.priority_window(50)
         assert w[0] == "j1_outer_join", "own-code drift leads"
-        assert w[1] == "u1_explode_words", "module drift second"
-        assert w[2] == "a1_pivot_status_count", "then the stalest clean entry"
+        assert w[1] == "a1_pivot_status_count", (
+            "older clean evidence outranks same-age module-only drift")
+        assert w[2] == "u1_explode_words", (
+            "module drift leads its own evidence round's clean entries")
     finally:
         monkeypatch.undo()
         importlib.reload(e)

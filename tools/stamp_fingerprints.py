@@ -59,8 +59,15 @@ def _tested_module_hash(rnd: int, relpath: str, evidence_dir: str,
     if ev_rel.startswith(".."):
         return None  # evidence outside the repo: synthesized fixture
     if ("ev", ev_rel) not in _cache:
-        out = _git("rev-list", "-1", "HEAD", "--", ev_rel)
-        _cache[("ev", ev_rel)] = out.strip() if out else None
+        # The commit that INTRODUCED round rnd's evidence (diff-filter=A),
+        # not the newest commit touching the file: a later reformat /
+        # consolidation commit would otherwise silently shift the
+        # reference tree forward and bless code the driver never tested
+        # (ADVICE r7, medium). --diff-filter=A with the oldest match is
+        # stable against any subsequent edit to the evidence file.
+        out = _git("log", "--diff-filter=A", "--format=%H", "--", ev_rel)
+        lines = out.split() if out else []
+        _cache[("ev", ev_rel)] = lines[-1] if lines else None
     commit = _cache[("ev", ev_rel)]
     if not commit:
         return None
