@@ -23,6 +23,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     analytics,
     ann_trained,
     association,
+    bpe,
     chunking,
     corpus,
     curation_ext,
@@ -52,6 +53,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.sources import (
 from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import (
     doc_chunks as streaming_doc_chunks,
     events as streaming_events,
+    load as streaming_load,
 )
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
@@ -59,7 +61,7 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             profiling, corpus, incremental, kmeans, timeseries, pca,
             association, graph, tpch_suite, curation_ext, csv_source,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
-            streaming_doc_chunks, repetition)
+            streaming_doc_chunks, repetition, bpe, streaming_load)
 
 # The driver evaluates registry entries in dict order and hash-checks the
 # first 50 per round. Ordering rule (VERDICT r4 tasks 1+7): derived from

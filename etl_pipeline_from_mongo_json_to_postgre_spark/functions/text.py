@@ -36,7 +36,16 @@ def ws_tokens(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda x: x != "")
 
 
-DUCK_WS_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+def duck_ws_tokens(col: str = "text") -> str:
+    """DuckDB twin of ws_tokens, column-generic like its Spark pair
+    (ADVICE r7: the old DUCK_WS_TOKENS constant hardcoded the column
+    name 'text', silently reading the wrong column for any future
+    caller tokenizing something else)."""
+    return f"list_filter(string_split({col}, ' '), x -> x <> '')"
+
+
+# legacy alias for the default column; prefer duck_ws_tokens(col)
+DUCK_WS_TOKENS = duck_ws_tokens()
 
 
 def chars(col: Column) -> Column:

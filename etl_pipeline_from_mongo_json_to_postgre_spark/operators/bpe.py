@@ -1,0 +1,198 @@
+"""Iterative BPE tokenizer training (Sennrich et al., ACL'16) — the
+N-merge training loop on top of the single merge step the corpus module
+already ships (corpus.text_bpe_merge_step), with the kmeans/pagerank
+iteration discipline: fixed rounds, vocab-sized state, metadata-scale
+collects, eager lineage cuts (VERDICT r7 task 4).
+
+Scale shape: the corpus is touched EXACTLY once (the word-type count
+aggregate); every training round after that runs over the word-type
+vocabulary — orders of magnitude smaller than the corpus and shrinking
+as merges apply. Per round: one |vocab|-sized adjacent-pair aggregate
+(map-side combined, fixed-width keys), one argmax collect of a single
+row (same discipline as kmeans' k×d centroid pull), one fold-merge
+projection. No pass ever re-reads documents; at 100 TB the type table
+for a 1M-type vocabulary is a few MB per executor.
+
+Oracle: EXACT — the whole training loop unrolls to N rounds of CTEs in
+DuckDB. Each word type is represented as a string of wrapped symbols
+(\\x01 sym \\x02); merging pair (a,b) is then a plain string
+``replace`` of the two adjacent wrapped symbols with the wrapped
+concatenation. Because every symbol occupies its own closed wrapper,
+leftmost non-overlapping replace-all is EXACTLY the greedy
+left-to-right merge the engine's array fold performs (no shared-
+delimiter consumption, the classic single-space-join bug).
+
+Reference parity: the reference has no tokenizer trainer; this extends
+its transform surface with the standard pretraining-pipeline component
+(SURVEY.md §2 LLM-data extensions), reusing the corpus module's
+tokenizer so gram hashes stay portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import chars, duck_ws_tokens, ws_tokens
+from ..session import tune_for_oracle
+from ..sources.parquet import fan_out, load_table
+
+N_MERGES = 6
+_W = "\x01"  # symbol open wrapper (never appears in corpus text)
+_E = "\x02"  # symbol close wrapper
+
+
+def _word_types(spark, sf_dir):
+    """(syms array<string>, cnt bigint): the word-TYPE vocabulary with
+    corpus frequencies — the only corpus-sized pass of the trainer.
+    Single-char words can never merge, so they are dropped here (same
+    filter as corpus.text_bpe_merge_step)."""
+    tune_for_oracle(spark)
+    d = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.length("w") >= 2)
+        .select(chars(F.col("w")).alias("syms"), "cnt")
+    )
+
+
+def _merge_fold(a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a+b as an
+    array fold (closure factory — NOT lambda default args, which pyspark
+    HOFs reinterpret as the two-arg (element, index) form)."""
+    ab = a + b
+
+    def fold(acc, x):
+        last = F.try_element_at(acc, F.lit(-1))  # NULL on empty (ANSI-safe)
+        return F.when(
+            last.eqNullSafe(F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return fold
+
+
+def _pair_counts(types):
+    """Corpus-weighted counts of adjacent symbol pairs — |alphabet + merges|²
+    keys, map-side combined."""
+    adj = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.slice("syms", i, 2),
+    )
+    return (
+        types.where(F.size("syms") >= 2)
+        .select("cnt", F.explode(adj).alias("p"))
+        .groupBy(
+            F.element_at("p", 1).alias("left_sym"),
+            F.element_at("p", 2).alias("right_sym"),
+        )
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def bpe_train(types, n_merges: int = N_MERGES):
+    """Run the merge loop; returns (merge_rows, token_history) where
+    merge_rows = [(rank, left, right, pair_count)] and token_history =
+    corpus token count (sum cnt·|syms|) before training and after each
+    merge — strictly decreasing while merges apply (each selected pair
+    has pair_count > 0, so at least one disjoint application fires)."""
+    types = types.localCheckpoint(eager=True)
+    history = [
+        int(types.select(
+            F.sum(F.col("cnt") * F.size("syms")).alias("t")
+        ).collect()[0]["t"] or 0)
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(types)
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["left_sym"], top[0]["right_sym"], int(
+            top[0]["pair_count"])
+        merges.append((rank, a, b, c))
+        types = types.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                _merge_fold(a, b),
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+        history.append(int(types.select(
+            F.sum(F.col("cnt") * F.size("syms")).alias("t")
+        ).collect()[0]["t"] or 0))
+    return merges, history
+
+
+def text_bpe_train(spark, sf_dir):
+    """Registry entry: the BPE merge table after N_MERGES training
+    rounds — (merge_rank, left_sym, right_sym, pair_count), where
+    pair_count is the corpus-weighted adjacent-pair count at selection
+    time. EXACT DuckDB oracle (the loop unrolled to CTEs; see module
+    docstring for the wrapped-symbol replace equivalence)."""
+    merges, _ = bpe_train(_word_types(spark, sf_dir))
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank int, left_sym string, right_sym string, "
+               "pair_count bigint",
+    )
+
+
+def _bpe_train_sql(n_merges: int = N_MERGES) -> str:
+    """The training loop unrolled: types_k = types_{k-1} with merge k
+    applied via wrapped-symbol string replace; top_k = argmax of the
+    adjacent-pair counts of types_{k-1} (count desc, then left, right —
+    the engine's exact tie-break)."""
+    w, e = _W, _E
+    ctes = [f"""types_0 AS (
+        SELECT array_to_string(
+                 list_transform(string_split(w, ''),
+                                c -> '{w}' || c || '{e}'), '') AS s,
+               cnt
+        FROM (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest({duck_ws_tokens()}) AS w FROM documents)
+            GROUP BY w HAVING length(w) >= 2
+        )
+    )"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(f"""syms_{k} AS (
+        SELECT regexp_extract_all(s, '{w}([^{e}]+){e}', 1) AS syms, cnt
+        FROM types_{p}
+    ), pairs_{k} AS (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(syms)),
+                      i -> [syms[i], syms[i+1]])) AS pr
+        FROM syms_{k}
+    ), top_{k} AS (
+        SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        FROM pairs_{k} GROUP BY pr
+        ORDER BY c DESC, l, r LIMIT 1
+    ), types_{k} AS (
+        SELECT replace(t.s, '{w}' || p.l || '{e}{w}' || p.r || '{e}',
+                       '{w}' || p.l || p.r || '{e}') AS s, t.cnt
+        FROM types_{p} t CROSS JOIN top_{k} p
+    )""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, c AS pair_count FROM top_{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n        {unions}\n        ORDER BY merge_rank")
+
+
+QUERIES = {
+    "text_bpe_train": text_bpe_train,
+}
+
+ORACLE_SQL = {
+    "text_bpe_train": _bpe_train_sql(),
+}

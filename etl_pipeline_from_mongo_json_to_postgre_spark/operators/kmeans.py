@@ -278,8 +278,16 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir).select("vec_id", "v")
     centroids, history = train(vecs, compute_history=True)
     assigned = _assign(vecs, centroids)
-    mono = all(b <= a + 1e-9 for a, b in zip(history, history[1:]))
-    improved = history[-1] <= history[0] + 1e-9
+    # RELATIVE tolerance (ADVICE r7): the free-SSE identity mixes a
+    # decimal-exact Σ||v||² with float-summed n_c·||mean_c||² terms, so
+    # float error grows ~|SSE|·1e-16 with corpus size — an absolute
+    # 1e-9 gate would turn scale-sensitive at much larger fits while
+    # 1e-12·|SSE| keeps ~4 orders of headroom at ANY scale.
+    def _le(b: float, a: float) -> bool:
+        return b <= a + 1e-12 * max(abs(a), 1.0)
+
+    mono = all(_le(b, a) for a, b in zip(history, history[1:]))
+    improved = _le(history[-1], history[0])
     return (
         assigned.groupBy("cluster_id")
         .agg(F.count("*").alias("n_vecs"))

@@ -18,14 +18,18 @@ one transaction per partition).
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.transform import transform_collection
 from ..plans.mapping_plan import MappingPlan
+from ..session import tune_for_oracle
 from ..sinks.jdbc import write_table
+from ..sources.parquet import load_table
 
 AUDIT_TABLE = "doc_audit.ingestion_audit"
 
@@ -73,3 +77,113 @@ def stream_load(stream_df: DataFrame, plan: MappingPlan,
         )
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checked end-to-end entry (VERDICT r7 task 6): the reference's
+# whole job — ingest -> transform -> load -> audit (pipeline.py:188-284)
+# — through the REAL streaming engine, with the audit census recomputed
+# over the WRITTEN sink output. If foreachBatch dropped a micro-batch or
+# wrote one twice, the counts could not match the oracle's census over
+# the raw input: the entry IS the exactly-once-per-batch check (with an
+# availableNow file source, every staged file is processed exactly once
+# per the checkpointed offsets; the parquet writer is the in-sandbox
+# twin of jdbc_batch_writer — swap writers, nothing else changes).
+# ---------------------------------------------------------------------------
+
+RUN_TS = "2024-06-01 00:00:00"
+NCHARS_ERROR_OVER = 300  # docs longer than this poison the bigint cast
+
+_LOAD_PLAN = MappingPlan.from_config(
+    "documents",
+    {
+        "target_table": "public.documents_docs",
+        "object_id_attribute": "doc_id",
+        "mappings": {
+            "doc_id": {"column": "doc_id", "type": "bigint"},
+            "lang": {"column": "lang", "type": "string"},
+            "n_chars": {"column": "n_chars", "type": "bigint"},
+        },
+    },
+)
+
+
+def parquet_batch_writer(out_dir: str) -> BatchWriter:
+    """In-sandbox sink twin of jdbc_batch_writer: append data + audit
+    parquet per micro-batch, batch_id stamped into the rows (the
+    production dedup/upsert key — see module docstring)."""
+
+    def write(data_df: DataFrame, audit_df: DataFrame, batch_id: int) -> None:
+        data_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append").parquet(os.path.join(out_dir, "data"))
+        audit_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append").parquet(os.path.join(out_dir, "audit"))
+
+    return write
+
+
+def stream_load_audit_census(spark, sf_dir):
+    """queries() entry: documents staged as 4 arrival files -> file
+    readStream (one micro-batch per file) -> MappingPlan transform ->
+    foreachBatch parquet sink -> audit census over the WRITTEN audit
+    table. Error path: n_chars > NCHARS_ERROR_OVER is serialized as an
+    uncastable string (processing_status='error'); missing path:
+    lang='es' documents omit the lang key (missing_columns carries it,
+    status stays 'success' — the reference's P2/P3 semantics). The
+    oracle recomputes the same census from the raw documents table, so
+    a dropped or doubled micro-batch hash-mismatches."""
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.to_json(
+            F.struct(
+                "doc_id",
+                # to_json drops null fields -> 'lang' key missing
+                F.when(F.col("lang") != "es", F.col("lang")).alias("lang"),
+                F.when(F.col("n_chars") <= NCHARS_ERROR_OVER,
+                       F.col("n_chars").cast("string"))
+                .otherwise(F.lit("many chars")).alias("n_chars"),
+            )
+        ).alias("raw_json")
+    )
+    stage_dir = tempfile.mkdtemp(prefix="load_stage_")
+    raw.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema("raw_json string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    out_dir = tempfile.mkdtemp(prefix="load_out_")
+    q = stream_load(stream, _LOAD_PLAN, parquet_batch_writer(out_dir),
+                    ingested_at=RUN_TS)
+    q.awaitTermination()
+    audit = spark.read.parquet(os.path.join(out_dir, "audit"))
+    return audit.groupBy("processing_status").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("object_id").cast("bigint").alias("n_distinct_ids"),
+        F.sum(
+            F.array_contains("missing_columns", "lang").cast("bigint")
+        ).alias("n_missing_lang"),
+    )
+
+
+QUERIES = {
+    "stream_load_audit_census": stream_load_audit_census,
+}
+
+ORACLE_SQL = {
+    "stream_load_audit_census": f"""
+        WITH st AS (
+            SELECT CASE WHEN n_chars > {NCHARS_ERROR_OVER} THEN 'error'
+                        ELSE 'success' END AS processing_status,
+                   doc_id, lang
+            FROM documents
+        )
+        SELECT processing_status,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+               CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT)
+                   AS n_missing_lang
+        FROM st GROUP BY processing_status
+    """,
+}
