@@ -92,11 +92,13 @@ def _pair_counts(types):
 
 
 def bpe_train(types, n_merges: int = N_MERGES):
-    """Run the merge loop; returns (merge_rows, token_history) where
-    merge_rows = [(rank, left, right, pair_count)] and token_history =
+    """Run the merge loop; returns (merge_rows, token_history, types)
+    where merge_rows = [(rank, left, right, pair_count)], token_history =
     corpus token count (sum cnt·|syms|) before training and after each
     merge — strictly decreasing while merges apply (each selected pair
-    has pair_count > 0, so at least one disjoint application fires)."""
+    has pair_count > 0, so at least one disjoint application fires) —
+    and types is the final ENCODED vocabulary (the corpus segmented by
+    all n_merges merges, the tokenizer-apply output)."""
     types = types.localCheckpoint(eager=True)
     history = [
         int(types.select(
@@ -127,7 +129,7 @@ def bpe_train(types, n_merges: int = N_MERGES):
         history.append(int(types.select(
             F.sum(F.col("cnt") * F.size("syms")).alias("t")
         ).collect()[0]["t"] or 0))
-    return merges, history
+    return merges, history, types
 
 
 def text_bpe_train(spark, sf_dir):
@@ -136,7 +138,7 @@ def text_bpe_train(spark, sf_dir):
     pair_count is the corpus-weighted adjacent-pair count at selection
     time. EXACT DuckDB oracle (the loop unrolled to CTEs; see module
     docstring for the wrapped-symbol replace equivalence)."""
-    merges, _ = bpe_train(_word_types(spark, sf_dir))
+    merges, _, _ = bpe_train(_word_types(spark, sf_dir))
     return spark.createDataFrame(
         merges,
         schema="merge_rank int, left_sym string, right_sym string, "
@@ -144,11 +146,32 @@ def text_bpe_train(spark, sf_dir):
     )
 
 
-def _bpe_train_sql(n_merges: int = N_MERGES) -> str:
-    """The training loop unrolled: types_k = types_{k-1} with merge k
-    applied via wrapped-symbol string replace; top_k = argmax of the
-    adjacent-pair counts of types_{k-1} (count desc, then left, right —
-    the engine's exact tie-break)."""
+ENCODE_TOP = 30
+
+
+def text_bpe_encode(spark, sf_dir):
+    """Registry entry: tokenizer APPLY — the corpus segmented by the
+    N_MERGES trained merges, summarized as the top-{ENCODE_TOP}
+    token census (token, corpus-weighted occurrence count). The final
+    merged type table IS the encode output (BPE applies merges in rank
+    order to every word; the training loop's last state is exactly
+    that), so train + apply share one pass. EXACT DuckDB oracle: the
+    same unrolled CTEs, censused over types_{N_MERGES}."""
+    _, _, types = bpe_train(_word_types(spark, sf_dir))
+    return (
+        types.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(ENCODE_TOP)
+    )
+
+
+def _bpe_ctes(n_merges: int = N_MERGES) -> str:
+    """The training loop unrolled as a CTE block: types_k = types_{k-1}
+    with merge k applied via wrapped-symbol string replace; top_k =
+    argmax of the adjacent-pair counts of types_{k-1} (count desc, then
+    left, right — the engine's exact tie-break)."""
     w, e = _W, _E
     ctes = [f"""types_0 AS (
         SELECT array_to_string(
@@ -180,19 +203,41 @@ def _bpe_train_sql(n_merges: int = N_MERGES) -> str:
                        '{w}' || p.l || p.r || '{e}') AS s, t.cnt
         FROM types_{p} t CROSS JOIN top_{k} p
     )""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_train_sql(n_merges: int = N_MERGES) -> str:
     unions = "\n        UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS merge_rank, l AS left_sym, "
         f"r AS right_sym, c AS pair_count FROM top_{k}"
         for k in range(1, n_merges + 1)
     )
-    return ("WITH " + ",\n    ".join(ctes)
+    return (_bpe_ctes(n_merges)
             + f"\n        {unions}\n        ORDER BY merge_rank")
+
+
+def _bpe_encode_sql(n_merges: int = N_MERGES) -> str:
+    """Same unrolled training CTEs, censused over the FINAL type table
+    (= the tokenizer-apply output)."""
+    w, e = _W, _E
+    return f"""{_bpe_ctes(n_merges)}
+        SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+        FROM (
+            SELECT cnt,
+                   unnest(regexp_extract_all(s, '{w}([^{e}]+){e}', 1))
+                       AS token
+            FROM types_{n_merges}
+        )
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT {ENCODE_TOP}"""
 
 
 QUERIES = {
     "text_bpe_train": text_bpe_train,
+    "text_bpe_encode": text_bpe_encode,
 }
 
 ORACLE_SQL = {
     "text_bpe_train": _bpe_train_sql(),
+    "text_bpe_encode": _bpe_encode_sql(),
 }

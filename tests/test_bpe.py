@@ -12,7 +12,7 @@ def test_token_count_strictly_decreases_per_merge(spark, sf_dir):
     """Each selected pair has pair_count > 0, so at least one disjoint
     merge applies — the corpus token count must STRICTLY decrease at
     every round (VERDICT r7 task 4's property gate)."""
-    merges, history = bpe.bpe_train(bpe._word_types(spark, sf_dir))
+    merges, history, _ = bpe.bpe_train(bpe._word_types(spark, sf_dir))
     assert len(merges) == bpe.N_MERGES
     assert len(history) == len(merges) + 1
     for before, after in zip(history, history[1:]):

@@ -73,6 +73,8 @@ DOC_FAMILY = [
     "chunk_dup_census",
     "text_gopher_repetition",
     "inc_chunk_dedup",
+    # round-8 additions that scale on documents
+    "text_bpe_train",
 ]
 
 
