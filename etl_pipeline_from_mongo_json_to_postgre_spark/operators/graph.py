@@ -238,10 +238,21 @@ def graph_label_propagation(spark, sf_dir):
     und = copurchase_pairs(li, min_count=1).select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
-    edges = checkpoint_partitioned(
+    # plain cut: at local scale the per-round join BROADCASTS the
+    # node-sized state, so a preserved src layout is never consulted
+    # while the 32-partition RDD scans add ~2 s of task overhead across
+    # the rounds (r8 interleaved A/B: plain 7.0-8.8 s, partitioned
+    # 8.6-9.7 s at sf0.1). At 100 TB — where state outgrows broadcast
+    # and rounds run SMJ — switch to
+    # checkpoint_partitioned(edges, "src") (one line; the plan-shape
+    # reuse is pinned in tests/test_graph_copartition.py via pagerank,
+    # which keeps the partitioned form because its A/B measured
+    # neutral-to-faster).
+    edges = (
         und.union(und.select(F.col("dst").alias("src"),
-                             F.col("src").alias("dst"))).distinct(),
-        "src",  # laid out on the join key once, reused every round
+                             F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round
     )
     seeds = (
         edges.select(F.col("src").alias("node")).distinct()
