@@ -37,6 +37,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     timeseries,
     multimodal,
     profiling,
+    quantile_sketch,
     scalar_funcs,
     similarity,
     skew,
@@ -61,7 +62,8 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             profiling, corpus, incremental, kmeans, timeseries, pca,
             association, graph, tpch_suite, curation_ext, csv_source,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
-            streaming_doc_chunks, repetition, bpe, streaming_load)
+            streaming_doc_chunks, repetition, bpe, streaming_load,
+            quantile_sketch)
 
 # The driver evaluates registry entries in dict order and hash-checks the
 # first 50 per round. Ordering rule (VERDICT r4 tasks 1+7): derived from
