@@ -28,6 +28,13 @@ from ..sources.parquet import load_table
 DAMPING = 0.85
 PR_ITERS = 5
 CHECKPOINT_EVERY = 3
+# pagerank's own cut cadence: at PR_ITERS=5 a mid-loop eager cut COSTS
+# more than the re-planning it saves (r8 interleaved A/B: no-cut
+# 6.55-6.85 s vs cut-at-3 6.36-7.49 s at sf0.1, median -0.5 s) — the
+# rank frame is node-sized and its 5-deep lineage plans fine. Deeper
+# runs still cut every 6 (k-core's 8 un-cut rounds measurably blow up
+# the plan, so the discipline itself stays).
+PR_CHECKPOINT_EVERY = 6
 
 
 def checkpoint_partitioned(df: DataFrame, *keys: str) -> DataFrame:
@@ -94,7 +101,7 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
             (F.lit(1.0 - damping)
              + F.lit(damping) * F.sum("c")).alias("rank")
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+        if (i + 1) % PR_CHECKPOINT_EVERY == 0 and i + 1 < iters:
             # plain cut: rounds re-plan under AQE (broadcast + coalesce);
             # only the REUSED links frame needs preserved partitioning
             ranks = ranks.localCheckpoint(eager=True)
