@@ -95,3 +95,61 @@ def test_oracle_replace_matches_fold_on_edge_cases():
             [s, f"{w}{a}{e}{w}{b}{e}", f"{w}{a}{b}{e}"],
         ).fetchone()[0]
         assert got == ref_merge(syms, a, b), (syms, a, b, got)
+
+
+def test_fold_and_oracle_replace_agree_on_random_sequences(spark):
+    """Property fuzz (hypothesis): for random symbol sequences and random
+    merge pairs, the Spark array fold, the DuckDB wrapped-symbol replace,
+    and the plain-Python greedy reference all agree — the equivalence the
+    text_bpe_* oracles rest on."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def ref_merge(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    w, e = bpe._W, bpe._E
+    con = duckdb.connect()
+    sym = st.text(alphabet="ab", min_size=1, max_size=2)
+    collected: list[tuple[list[str], str, str]] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(sym, min_size=0, max_size=8), sym, sym)
+    def check_duck_and_collect(syms, a, b):
+        s = "".join(f"{w}{x}{e}" for x in syms)
+        got = con.execute(
+            "SELECT regexp_extract_all(replace(?, ?, ?), "
+            f"'{w}([^{e}]+){e}', 1)",
+            [s, f"{w}{a}{e}{w}{b}{e}", f"{w}{a}{b}{e}"],
+        ).fetchone()[0]
+        assert got == ref_merge(syms, a, b), (syms, a, b, got)
+        collected.append((syms, a, b))
+
+    check_duck_and_collect()
+
+    # Spark side: one job over every hypothesis-generated case (a
+    # per-example Spark action would be minutes; the fold is
+    # deterministic so batching loses nothing).
+    cases = collected[:60]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        schema="i int, syms array<string>",
+    )
+    exprs = [
+        F.when(F.col("i") == i,
+               F.aggregate("syms", F.array().cast("array<string>"),
+                           bpe._merge_fold(a, b)))
+        for i, (_, a, b) in enumerate(cases)
+    ]
+    merged = F.coalesce(*exprs) if len(exprs) > 1 else exprs[0]
+    rows = df.select("i", merged.alias("m")).collect()
+    by_i = {r["i"]: r["m"] for r in rows}
+    for i, (syms, a, b) in enumerate(cases):
+        assert by_i[i] == ref_merge(syms, a, b), (i, syms, a, b, by_i[i])
