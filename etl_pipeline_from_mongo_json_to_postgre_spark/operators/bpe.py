@@ -91,20 +91,26 @@ def _pair_counts(types):
     )
 
 
-def bpe_train(types, n_merges: int = N_MERGES):
+def bpe_train(types, n_merges: int = N_MERGES,
+              compute_history: bool = False):
     """Run the merge loop; returns (merge_rows, token_history, types)
-    where merge_rows = [(rank, left, right, pair_count)], token_history =
-    corpus token count (sum cnt·|syms|) before training and after each
-    merge — strictly decreasing while merges apply (each selected pair
-    has pair_count > 0, so at least one disjoint application fires) —
-    and types is the final ENCODED vocabulary (the corpus segmented by
-    all n_merges merges, the tokenizer-apply output)."""
+    where merge_rows = [(rank, left, right, pair_count)], token_history
+    (only when ``compute_history`` — it costs one extra vocab aggregate
+    + driver collect per round, which the registry entries don't need;
+    same flag discipline as kmeans.train) = corpus token count
+    (sum cnt·|syms|) before training and after each merge — strictly
+    decreasing while merges apply (each selected pair has
+    pair_count > 0, so at least one disjoint application fires) — and
+    types is the final ENCODED vocabulary (the corpus segmented by all
+    n_merges merges, the tokenizer-apply output)."""
     types = types.localCheckpoint(eager=True)
-    history = [
-        int(types.select(
+
+    def _tokens() -> int:
+        return int(types.select(
             F.sum(F.col("cnt") * F.size("syms")).alias("t")
         ).collect()[0]["t"] or 0)
-    ]
+
+    history = [_tokens()] if compute_history else []
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -126,9 +132,8 @@ def bpe_train(types, n_merges: int = N_MERGES):
             ).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=True)
-        history.append(int(types.select(
-            F.sum(F.col("cnt") * F.size("syms")).alias("t")
-        ).collect()[0]["t"] or 0))
+        if compute_history:
+            history.append(_tokens())
     return merges, history, types
 
 
@@ -199,9 +204,18 @@ def _bpe_ctes(n_merges: int = N_MERGES) -> str:
         FROM pairs_{k} GROUP BY pr
         ORDER BY c DESC, l, r LIMIT 1
     ), types_{k} AS (
-        SELECT replace(t.s, '{w}' || p.l || '{e}{w}' || p.r || '{e}',
-                       '{w}' || p.l || p.r || '{e}') AS s, t.cnt
-        FROM types_{p} t CROSS JOIN top_{k} p
+        -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus runs out
+        -- of pairs before n_merges, top_k is EMPTY and a cross join
+        -- would annihilate the type table (and every later CTE) while
+        -- the engine's loop breaks and keeps the last state. With the
+        -- left join the row survives and the coalesced pattern chr(3)
+        -- (a char no wrapped symbol can contain) makes replace a no-op.
+        SELECT replace(t.s,
+                       coalesce('{w}' || p.l || '{e}{w}' || p.r || '{e}',
+                                chr(3)),
+                       coalesce('{w}' || p.l || p.r || '{e}', chr(3)))
+                   AS s, t.cnt
+        FROM types_{p} t LEFT JOIN top_{k} p ON TRUE
     )""")
     return "WITH " + ",\n    ".join(ctes)
 

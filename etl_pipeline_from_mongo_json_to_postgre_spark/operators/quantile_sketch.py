@@ -54,11 +54,19 @@ def approx_quantile_sketch(spark, sf_dir):
         )
     )
     cols = [F.col("l_returnflag"), F.col("n_rows")]
+    # Small-group guard (r8 review): the sketch returns an ACTUAL data
+    # value while the exact percentile INTERPOLATES, so when the rank
+    # window n·2ε spans fewer than ~2 rows the interpolated envelope
+    # can exclude every real value (2 rows of {1, 100}: envelope
+    # ~[50.3, 50.7]). The bound is only meaningful when the window is
+    # at least a couple of ranks wide — below that, pass by size, the
+    # same scale-insensitivity discipline as kmeans' relative tolerance.
+    tiny = F.col("n_rows") * F.lit(2.0 * _EPS) < F.lit(2.0)
     for i, p in enumerate(QUANTILES, start=1):
         ok = (
             (F.element_at("qa", i) >= F.element_at("qlo", i))
             & (F.element_at("qa", i) <= F.element_at("qhi", i))
-        )
+        ) | tiny
         cols.append(ok.alias(f"within_bounds_q{int(p * 100)}"))
     return agg.select(*cols).orderBy("l_returnflag")
 

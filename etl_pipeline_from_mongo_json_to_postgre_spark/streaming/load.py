@@ -138,11 +138,18 @@ def stream_load_audit_census(spark, sf_dir):
         F.to_json(
             F.struct(
                 "doc_id",
-                # to_json drops null fields -> 'lang' key missing
+                # to_json drops null fields -> 'lang' key missing (a
+                # NULL source lang therefore also lands in
+                # missing_columns — the oracle counts it the same way)
                 F.when(F.col("lang") != "es", F.col("lang")).alias("lang"),
-                F.when(F.col("n_chars") <= NCHARS_ERROR_OVER,
-                       F.col("n_chars").cast("string"))
-                .otherwise(F.lit("many chars")).alias("n_chars"),
+                # poison ONLY when n_chars is provably over the
+                # threshold: a NULL n_chars stays NULL -> key omitted ->
+                # missing-column semantics, matching the oracle's
+                # CASE WHEN n_chars > T (NULL -> not error)
+                F.when(F.col("n_chars") > NCHARS_ERROR_OVER,
+                       F.lit("many chars"))
+                .otherwise(F.col("n_chars").cast("string"))
+                .alias("n_chars"),
             )
         ).alias("raw_json")
     )
@@ -182,8 +189,8 @@ ORACLE_SQL = {
         SELECT processing_status,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
-               CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT)
-                   AS n_missing_lang
+               CAST(count(*) FILTER (WHERE lang = 'es' OR lang IS NULL)
+                    AS BIGINT) AS n_missing_lang
         FROM st GROUP BY processing_status
     """,
 }

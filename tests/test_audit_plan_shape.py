@@ -11,20 +11,23 @@ the dominant CPU cost of the scan stage. These pins go red on any
 refactor that reintroduces a re-parse."""
 
 
-def _executed_plan(df) -> str:
-    df.write.format("noop").mode("overwrite").save()
+def _physical_plan(df) -> str:
+    """The planned physical tree WITHOUT executing (r8 review: running a
+    noop write plans its own QueryExecution, so executing bought
+    nothing — expression-count pins hold on the initial plan, and the
+    tests drop a full sf-scale execution each)."""
     return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_audit_status_pivot_parses_each_branch_once(spark, sf_dir):
     """Two document branches (orders docs, lineitem docs) -> exactly two
-    from_json evaluations in the WHOLE executed plan; the pivot + count
+    from_json evaluations in the WHOLE physical plan; the pivot + count
     above them must not re-parse."""
     from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
         transform_queries as tq,
     )
 
-    plan = _executed_plan(tq.audit_status_pivot(spark, sf_dir))
+    plan = _physical_plan(tq.audit_status_pivot(spark, sf_dir))
     n = plan.count("from_json")
     assert n == 2, (
         f"expected exactly one from_json per document branch (2), got {n}"
@@ -33,14 +36,14 @@ def test_audit_status_pivot_parses_each_branch_once(spark, sf_dir):
 
 def test_audit_report_assembly_join_arms_share_one_parse(spark, sf_dir):
     """Both outer-join arms derive from ONE materialized (object,
-    collection, day) pre-aggregate, so the final executed plan must
+    collection, day) pre-aggregate, so the final physical plan must
     contain ZERO from_json — the parse happened once, in the
     materialization pass, not once per arm."""
     from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
         transform_queries as tq,
     )
 
-    plan = _executed_plan(tq.audit_report_assembly(spark, sf_dir))
+    plan = _physical_plan(tq.audit_report_assembly(spark, sf_dir))
     n = plan.count("from_json")
     assert n == 0, (
         f"expected the outer-join arms to reuse the materialized "

@@ -12,7 +12,8 @@ def test_token_count_strictly_decreases_per_merge(spark, sf_dir):
     """Each selected pair has pair_count > 0, so at least one disjoint
     merge applies — the corpus token count must STRICTLY decrease at
     every round (VERDICT r7 task 4's property gate)."""
-    merges, history, _ = bpe.bpe_train(bpe._word_types(spark, sf_dir))
+    merges, history, _ = bpe.bpe_train(bpe._word_types(spark, sf_dir),
+                                       compute_history=True)
     assert len(merges) == bpe.N_MERGES
     assert len(history) == len(merges) + 1
     for before, after in zip(history, history[1:]):
@@ -153,3 +154,28 @@ def test_fold_and_oracle_replace_agree_on_random_sequences(spark):
     by_i = {r["i"]: r["m"] for r in rows}
     for i, (syms, a, b) in enumerate(cases):
         assert by_i[i] == ref_merge(syms, a, b), (i, syms, a, b, by_i[i])
+
+
+def test_oracle_survives_merge_exhaustion(spark):
+    """When the corpus runs out of pairs before N_MERGES, the engine's
+    loop breaks and censuses the LAST state; the oracle's per-round
+    LEFT JOIN must keep the type table alive through the empty rounds
+    (a CROSS JOIN annihilated it — r8 review finding). Degenerate
+    corpus: one word type 'ab' -> exactly one merge possible."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 'ab ab ab' AS text")
+    train = con.execute(bpe._bpe_train_sql()).fetchall()
+    assert train == [(1, "a", "b", 3)]
+    encode = con.execute(bpe._bpe_encode_sql()).fetchall()
+    assert encode == [("ab", 3)]
+
+    # engine side on the same degenerate corpus
+    types = spark.createDataFrame([(["a", "b"], 3)],
+                                  schema="syms array<string>, cnt bigint")
+    merges, _, final = bpe.bpe_train(types)
+    assert [(r, a, b, c) for r, a, b, c in merges] == [(1, "a", "b", 3)]
+    rows = (final.select("cnt", F.explode("syms").alias("token"))
+            .groupBy("token").agg(F.sum("cnt").alias("n")).collect())
+    assert [(r["token"], r["n"]) for r in rows] == [("ab", 3)]

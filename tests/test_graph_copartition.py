@@ -87,7 +87,9 @@ def test_pagerank_rounds_reuse_links_layout_in_smj_regime(smj_spark):
             F.col("dst").alias("src"),
             (F.col("rank") / F.col("deg")).alias("c"))
         ranks = contribs.groupBy("src").agg(F.sum("c").alias("rank"))
-    ranks.write.format("noop").mode("overwrite").save()
+    # inspect the planned tree without executing (r8 review: the noop
+    # write runs its own QueryExecution, so execution bought nothing and
+    # the matcher below relies on the un-executed plan's formatting)
     plan = ranks._jdf.queryExecution().executedPlan().toString()
     # links scans carry 3 columns (src, dst, deg); the initial-ranks
     # ExistingRDD (if any) carries 2 — match on deg to pick links only
@@ -98,7 +100,7 @@ def test_pagerank_rounds_reuse_links_layout_in_smj_regime(smj_spark):
             [j for j, l in enumerate(plan.splitlines())
              if "Scan ExistingRDD" in l][i]]
     ]
-    assert link_chains, "no links ExistingRDD scan in the executed plan"
+    assert link_chains, "no links ExistingRDD scan in the physical plan"
     for chain in link_chains:
         for node in chain:
             if node.startswith("SortMergeJoin") or node.startswith(

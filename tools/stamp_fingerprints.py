@@ -63,11 +63,21 @@ def _tested_module_hash(rnd: int, relpath: str, evidence_dir: str,
         # not the newest commit touching the file: a later reformat /
         # consolidation commit would otherwise silently shift the
         # reference tree forward and bless code the driver never tested
-        # (ADVICE r7, medium). --diff-filter=A with the oldest match is
-        # stable against any subsequent edit to the evidence file.
+        # (ADVICE r7, medium). NEWEST add (lines[0]) so a delete +
+        # re-add resolves to the commit that introduced the CURRENT
+        # content. Renames show as R, not A (r8 review finding) — when
+        # no A exists at this path, fall back to the OLDEST commit
+        # touching it (the rename commit, i.e. when the content arrived
+        # here), never to None, so the guard cannot silently
+        # self-disable into bless-everything.
         out = _git("log", "--diff-filter=A", "--format=%H", "--", ev_rel)
         lines = out.split() if out else []
-        _cache[("ev", ev_rel)] = lines[-1] if lines else None
+        commit = lines[0] if lines else None
+        if commit is None:
+            out = _git("log", "--format=%H", "--", ev_rel)
+            lines = out.split() if out else []
+            commit = lines[-1] if lines else None
+        _cache[("ev", ev_rel)] = commit
     commit = _cache[("ev", ev_rel)]
     if not commit:
         return None
