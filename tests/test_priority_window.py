@@ -487,3 +487,64 @@ def test_stamp_tool_updates_on_fresh_green_and_preserves_marks(tmp_path, monkeyp
     finally:
         monkeypatch.undo()
         importlib.reload(e)
+
+
+def test_tested_module_hash_resolves_readds_and_renames(tmp_path):
+    """_tested_module_hash commit resolution (r8 review hardening): a
+    deleted + re-added evidence file resolves to the commit that
+    introduced the CURRENT content (newest A), and a RENAMED evidence
+    file (no A at the new path) falls back to the oldest commit
+    touching that path instead of None — the guard must never silently
+    self-disable into bless-everything. Self-contained temp git repo."""
+    import hashlib
+    import subprocess
+
+    from tools import stamp_fingerprints as tool
+
+    repo = tmp_path / "g"
+    repo.mkdir()
+
+    def git(*a):
+        subprocess.run(["git", "-C", str(repo), *a], check=True,
+                       capture_output=True,
+                       env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                            "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                            "HOME": str(tmp_path), "PATH": "/usr/bin:/bin"})
+
+    git("init", "-q")
+    mod = repo / "mod.py"
+    ev = repo / "CORRECTNESS_r01.json"
+    mod.write_text("v1")
+    ev.write_text("{}")
+    git("add", "-A"); git("commit", "-qm", "add evidence v1")
+    # delete + re-add the evidence with NEW module content in between
+    git("rm", "-q", "CORRECTNESS_r01.json"); git("commit", "-qm", "drop")
+    mod.write_text("v2")
+    ev.write_text("{}")
+    git("add", "-A"); git("commit", "-qm", "re-add evidence")
+    # a later commit edits the module again (must NOT shift the ref tree)
+    mod.write_text("v3")
+    git("add", "-A"); git("commit", "-qm", "later module edit")
+
+    old_repo, tool.REPO = tool.REPO, str(repo)
+    try:
+        # newest ADD's parent tree holds mod.py == v2's parent... the
+        # re-add commit's PARENT carries mod.py == "v2"? No: the parent
+        # of the re-add commit is the "drop" commit, whose tree still
+        # has mod.py == "v1". The guard hashes the parent tree.
+        got = tool._tested_module_hash(1, "mod.py", str(repo), _cache={})
+        want = hashlib.sha256(b"v1").hexdigest()[:16]
+        assert got == want, "newest-A resolution must pick the re-add commit"
+
+        # rename the evidence file: no A at the new path -> fallback
+        git("mv", "CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
+        git("commit", "-qm", "rename to r02")
+        mod.write_text("v4")
+        git("add", "-A"); git("commit", "-qm", "even later module edit")
+        got2 = tool._tested_module_hash(2, "mod.py", str(repo), _cache={})
+        assert got2 is not None, (
+            "renamed evidence must fall back, never disable the guard")
+        want2 = hashlib.sha256(b"v3").hexdigest()[:16]
+        assert got2 == want2, "fallback = oldest commit touching the path"
+    finally:
+        tool.REPO = old_repo
