@@ -32,6 +32,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     incremental,
     kmeans,
     malformed,
+    mm_resize,
     mixing,
     pca,
     repetition,
@@ -64,7 +65,7 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             association, graph, tpch_suite, curation_ext, csv_source,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
             streaming_doc_chunks, repetition, bpe, streaming_load,
-            quantile_sketch, malformed)
+            quantile_sketch, malformed, mm_resize)
 
 # The driver evaluates registry entries in dict order and hash-checks the
 # first 50 per round. Ordering rule (VERDICT r4 tasks 1+7): derived from
