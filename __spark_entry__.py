@@ -57,6 +57,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import (
     doc_chunks as streaming_doc_chunks,
     events as streaming_events,
     load as streaming_load,
+    sessionize_native as streaming_sessionize_native,
 )
 
 _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
@@ -65,7 +66,8 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             association, graph, tpch_suite, curation_ext, csv_source,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
             streaming_doc_chunks, repetition, bpe, streaming_load,
-            quantile_sketch, malformed, mm_resize)
+            quantile_sketch, malformed, mm_resize,
+            streaming_sessionize_native)
 
 # The driver evaluates registry entries in dict order and hash-checks the
 # first 50 per round. Ordering rule (VERDICT r4 tasks 1+7): derived from

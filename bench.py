@@ -33,7 +33,10 @@ HEADLINE = [
     "audit_status_pivot",
     "audit_report_assembly",
     "mm_feature_extract",
-    "stream_sessionize",
+    # r9: headline rides the native session_window form (JVM-side,
+    # codegen); the applyInPandasWithState twin stays in the registry
+    # as the custom-stateful-operator demo (VERDICT r8 task 2)
+    "stream_sessionize_native",
     "dedup_minhash_signature",
     "dedup_minhash_pairs",
     "dedup_simhash",

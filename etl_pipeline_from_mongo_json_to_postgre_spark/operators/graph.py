@@ -61,6 +61,15 @@ def checkpoint_partitioned(df: DataFrame, *keys: str) -> DataFrame:
     ``keys``. The partition count is pinned to
     ``spark.sql.shuffle.partitions`` so it matches the aggregate
     exchanges on the per-round state side.
+
+    Concurrency note (r9 advice): the AQE toggle is a SESSION-global
+    conf flip around the second materialization — any query planned
+    concurrently on the same SparkSession during that window would
+    silently plan with AQE off. The engine's query entry points are
+    single-threaded per session (driver/bench/tests all plan
+    sequentially), so this is safe today; if concurrent planning ever
+    arrives, scope the override via ``SparkSession.newSession()`` (per-
+    session conf view over the shared SparkContext) instead of a lock.
     """
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -81,11 +90,19 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
     Returns (node, rank) with sum(rank) == n_nodes (the classic
     normalization: rank = (1-d) + d * sum(neighbor rank / degree);
     symmetrized graphs have no dangling nodes, so mass is conserved).
+
+    Edge contract: each undirected edge appears EXACTLY once (either
+    orientation) — what copurchase_pairs emits (canonical a < b). The
+    symmetrized union is then duplicate-free BY CONSTRUCTION (a dup
+    would need both orientations in the input), so no distinct pass is
+    spent: the r9 A/B measured the old ``sym.distinct()`` as a pure
+    no-op costing one full |2E|-row shuffle (identical ranks with and
+    without, ~0.4 s at sf0.1 — and at 100 TB a wasted terabyte-scale
+    exchange). Callers with unsanitized edge lists dedup upstream.
     """
-    sym = edges.select("src", "dst").union(
+    adj = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    adj = sym.distinct()
     degree = adj.groupBy("src").agg(F.count("*").alias("deg"))
     # adjacency annotated with source degree once, laid out on the node
     # key once; every round's rank join reuses the partitioning
@@ -258,7 +275,9 @@ def graph_label_propagation(spark, sf_dir):
     edges = (
         und.union(und.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst")))
-        .distinct()
+        # no distinct: copurchase_pairs emits each undirected edge once
+        # (canonical a < b), so the symmetrized union is duplicate-free
+        # by construction — same |2E|-shuffle saving as pagerank (r9)
         .localCheckpoint(eager=True)  # reused every round
     )
     seeds = (
@@ -317,7 +336,11 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K,
     Scale shape per round: one node-keyed degree aggregate + two
     semi-joins of the (shrinking) edge list against the surviving node
     set — id-only shuffles, same discipline as pagerank; lineage is cut
-    every CHECKPOINT_EVERY rounds."""
+    every CHECKPOINT_EVERY rounds.
+
+    Edge contract: same as pagerank — each undirected edge listed
+    exactly once, so the symmetrized union needs no distinct pass
+    (the degree counts would silently double-count otherwise)."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -325,7 +348,7 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K,
     # alive is REBUILT each round and the dst-side semi-join re-keys it
     # anyway, so a preserved src layout helps only round 1 — measured
     # +0.4 s at sf0.1 for no per-round saving (r8 A/B)
-    alive = sym.distinct().localCheckpoint(eager=True)
+    alive = sym.localCheckpoint(eager=True)
     for i in range(rounds):
         keep = (
             alive.groupBy("src").agg(F.count("*").alias("deg"))

@@ -54,14 +54,16 @@ def approx_quantile_sketch(spark, sf_dir):
         )
     )
     cols = [F.col("l_returnflag"), F.col("n_rows")]
-    # Small-group guard (r8 review): the sketch returns an ACTUAL data
-    # value while the exact percentile INTERPOLATES, so when the rank
-    # window n·2ε spans fewer than ~2 rows the interpolated envelope
-    # can exclude every real value (2 rows of {1, 100}: envelope
-    # ~[50.3, 50.7]). The bound is only meaningful when the window is
-    # at least a couple of ranks wide — below that, pass by size, the
-    # same scale-insensitivity discipline as kmeans' relative tolerance.
-    tiny = F.col("n_rows") * F.lit(2.0 * _EPS) < F.lit(2.0)
+    # Small-group guard (r8 review, widened r9 advice): the sketch
+    # returns an ACTUAL data value while the exact percentile
+    # INTERPOLATES, so the [p-1.5ε, p+1.5ε] envelope only provably
+    # brackets a GK value (rank error <= εn) when the 0.5εn rank margin
+    # is itself >= 1 rank, i.e. n >= 2/ε — below that, clustered values
+    # can still flakily escape the interpolated bound (2 rows of
+    # {1, 100}: envelope ~[50.3, 50.7]). Guard on n·ε < 2 (a full
+    # 3εn >= 6-rank window), passing tiny groups by size — the same
+    # scale-insensitivity discipline as kmeans' relative tolerance.
+    tiny = F.col("n_rows") * F.lit(_EPS) < F.lit(2.0)
     for i, p in enumerate(QUANTILES, start=1):
         ok = (
             (F.element_at("qa", i) >= F.element_at("qlo", i))
@@ -71,8 +73,103 @@ def approx_quantile_sketch(spark, sf_dir):
     return agg.select(*cols).orderBy("l_returnflag")
 
 
+GRID_N = 40  # per-shard equi-depth grid resolution (41 quantile points)
+# Per-shard rank-error fraction of the merged CDF: grid quantization
+# (1/GRID_N, the step between persisted grid points) + the GK sketch's
+# own bound (1/ACCURACY). The merge sums these across shards, so the
+# merged estimate's rank error is <= BASE_ERR * n_total.
+_BASE_ERR = 1.0 / GRID_N + 1.0 / ACCURACY
+_EPS_MERGE = 1.5 * _BASE_ERR  # published bound + 50% margin (cf. _EPS)
+
+
+def approx_quantile_rollup(spark, sf_dir):
+    """Shard-merge consistency for rank sketches — the HLL
+    rollup-consistency treatment (analytics.approx_distinct_rollup,
+    VERDICT r7) applied to quantiles. At 100 TB a pipeline persists one
+    compact quantile summary PER SHARD (per day / per source) and
+    answers any rollup from the summaries alone; Spark does not expose
+    percentile sketch bytes for re-aggregation, so the mergeable
+    summary here is the classic equi-depth grid: per
+    (l_returnflag, ship-month) shard, approx_percentile at 41 evenly
+    spaced ranks + the exact shard count.
+
+    Merge (all sketch-sized: |shards| x 41 rows, never raw data): each
+    grid point g[j] (j>=1) becomes a weighted CDF point of weight
+    sn/GRID_N, so the cumulative weight at g[j] is j*sn/GRID_N — the
+    sketch's own rank estimate for g[j]; summing the per-shard step
+    functions estimates the GLOBAL rank of any value with error
+    <= (1/GRID_N + 1/ACCURACY) * n_total. The merged p-quantile is the
+    smallest grid value whose cumulative weight reaches p * n_total.
+
+    Driver-checkable contract (same derived-oracle pattern as
+    approx_quantile_sketch): exact group keys + row counts, plus
+    booleans asserting the MERGED estimate lies inside the exact
+    whole-data percentile envelope [p - 1.5*BASE_ERR, p + 1.5*BASE_ERR]
+    (computed in-plan at test scale; production trusts the bound).
+    Small-group guard mirrors the sketch entry: the interpolated exact
+    envelope only provably brackets an actual grid value when the 0.5*
+    BASE_ERR*n rank margin is >= ~2 ranks."""
+    from pyspark.sql.window import Window
+
+    tune_for_oracle(spark)
+    li = fan_out(spark, load_table(spark, sf_dir, "lineitem"))
+    grid = [j / GRID_N for j in range(GRID_N + 1)]
+    grid_a = "array(" + ",".join(repr(p) for p in grid) + ")"
+    shard = li.groupBy(
+        "l_returnflag", F.trunc("l_shipdate", "month").alias("shard_month")
+    ).agg(
+        F.count("*").cast("double").alias("sn"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, {grid_a}, {ACCURACY})"
+        ).alias("g"),
+    )
+    # right-endpoint weighted CDF points: cumulative weight at g[j] is
+    # exactly j*sn/GRID_N, the sketch's rank estimate for g[j]
+    pts = shard.select(
+        "l_returnflag",
+        F.explode(F.expr(
+            f"transform(sequence(1, {GRID_N}), "
+            f"j -> struct(CAST(element_at(g, j + 1) AS DOUBLE) AS v, "
+            f"sn / {GRID_N} AS w))"
+        )).alias("pt"),
+    ).select("l_returnflag", F.col("pt.v").alias("v"), F.col("pt.w").alias("w"))
+    cum = Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cdf = pts.withColumn("cw", F.sum("w").over(cum))
+    lo = [max(0.0, p - _EPS_MERGE) for p in QUANTILES]
+    hi = [min(1.0, p + _EPS_MERGE) for p in QUANTILES]
+    lo_a = "array(" + ",".join(repr(p) for p in lo) + ")"
+    hi_a = "array(" + ",".join(repr(p) for p in hi) + ")"
+    tot = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr(f"percentile(l_extendedprice, {lo_a})").alias("qlo"),
+        F.expr(f"percentile(l_extendedprice, {hi_a})").alias("qhi"),
+    )
+    m = cdf.join(F.broadcast(tot), "l_returnflag")
+    sel = [
+        F.min(
+            F.when(
+                F.col("cw") >= F.col("n_rows") * F.lit(p) - F.lit(1e-6),
+                F.col("v"),
+            )
+        ).alias(f"mq{int(p * 100)}")
+        for p in QUANTILES
+    ]
+    merged = m.groupBy("l_returnflag", "n_rows", "qlo", "qhi").agg(*sel)
+    tiny = F.col("n_rows") * F.lit(0.5 * _BASE_ERR) < F.lit(2.0)
+    cols = [F.col("l_returnflag"), F.col("n_rows")]
+    for i, p in enumerate(QUANTILES, start=1):
+        mq = F.col(f"mq{int(p * 100)}")
+        ok = (
+            (mq >= F.element_at("qlo", i)) & (mq <= F.element_at("qhi", i))
+        ) | tiny
+        cols.append(ok.alias(f"rollup_within_q{int(p * 100)}"))
+    return merged.select(*cols).orderBy("l_returnflag")
+
+
 QUERIES = {
     "approx_quantile_sketch": approx_quantile_sketch,
+    "approx_quantile_rollup": approx_quantile_rollup,
 }
 
 ORACLE_SQL = {
@@ -83,6 +180,15 @@ ORACLE_SQL = {
                TRUE AS within_bounds_q50,
                TRUE AS within_bounds_q75,
                TRUE AS within_bounds_q95
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "approx_quantile_rollup": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS rollup_within_q25,
+               TRUE AS rollup_within_q50,
+               TRUE AS rollup_within_q75,
+               TRUE AS rollup_within_q95
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }

@@ -153,25 +153,40 @@ def stream_load_audit_census(spark, sf_dir):
             )
         ).alias("raw_json")
     )
+    # All three scratch dirs (staged table copy, parquet sink,
+    # checkpoint) are removed before returning (r9 advice: repeated
+    # census/bench sweeps were accumulating full-table copies in /tmp).
+    # The census is |statuses| rows, so it is materialized eagerly and
+    # re-wrapped as a local DataFrame — a bounded, metadata-sized
+    # collect, after which nothing references the scratch files.
+    import shutil
+
     stage_dir = tempfile.mkdtemp(prefix="load_stage_")
-    raw.repartition(4).write.mode("overwrite").parquet(stage_dir)
-    stream = (
-        spark.readStream.schema("raw_json string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_dir)
-    )
     out_dir = tempfile.mkdtemp(prefix="load_out_")
-    q = stream_load(stream, _LOAD_PLAN, parquet_batch_writer(out_dir),
-                    ingested_at=RUN_TS)
-    q.awaitTermination()
-    audit = spark.read.parquet(os.path.join(out_dir, "audit"))
-    return audit.groupBy("processing_status").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.count_distinct("object_id").cast("bigint").alias("n_distinct_ids"),
-        F.sum(
-            F.array_contains("missing_columns", "lang").cast("bigint")
-        ).alias("n_missing_lang"),
-    )
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_load_")
+    try:
+        raw.repartition(4).write.mode("overwrite").parquet(stage_dir)
+        stream = (
+            spark.readStream.schema("raw_json string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        q = stream_load(stream, _LOAD_PLAN, parquet_batch_writer(out_dir),
+                        checkpoint_dir=ckpt_dir, ingested_at=RUN_TS)
+        q.awaitTermination()
+        audit = spark.read.parquet(os.path.join(out_dir, "audit"))
+        census = audit.groupBy("processing_status").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("object_id").cast("bigint")
+            .alias("n_distinct_ids"),
+            F.sum(
+                F.array_contains("missing_columns", "lang").cast("bigint")
+            ).alias("n_missing_lang"),
+        )
+        return spark.createDataFrame(census.collect(), census.schema)
+    finally:
+        for d in (stage_dir, out_dir, ckpt_dir):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 QUERIES = {

@@ -170,3 +170,28 @@ def test_json_type_drift_flags_producer_type_change(spark, monkeypatch):
     assert got[("o_totalprice", "string")].n_b == 10
     assert not got[("o_orderstatus", "string")].drifted
     assert not got[("o_orderkey", "number_int")].drifted
+
+
+def test_quantile_rollup_gate_holds_and_tiny_guard_is_rank_safe(
+        spark, sf_dir, duck):
+    """approx_quantile_rollup (r9): the per-shard equi-depth-grid merge
+    must land every merged quantile inside the exact whole-data
+    envelope, hash-matching its oracle; and the small-group guard must
+    fire exactly when the 0.5*BASE_ERR*n rank margin drops under ~2
+    ranks (the interpolated-envelope flakiness class from the r9
+    advice on approx_quantile_sketch)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+        quantile_sketch as qs,
+    )
+    from tests.oracle_compare import compare
+
+    df = qs.approx_quantile_rollup(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert all(r[i] for i in range(2, 6)), f"gate boolean false: {r}"
+    ok, msg = compare(df, duck, qs.ORACLE_SQL["approx_quantile_rollup"])
+    assert ok, msg
+    # guard threshold: n * 0.5 * BASE_ERR < 2  <=>  n < 4 / BASE_ERR
+    cutoff = 4.0 / qs._BASE_ERR
+    assert cutoff > 100, "guard must pass groups too small for the bound"

@@ -259,3 +259,24 @@ def test_windowed_distinct_multifile_within_watermark(spark, tmp_path):
         for r in spark.table("multifile_distinct_check").collect()
     }
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_sessionize_native_matches_python_state_twin(spark, sf_dir):
+    """The built-in session_window form (r9, VERDICT r8 task 2) must
+    produce the identical session list to the applyInPandasWithState
+    twin on gap-collision-free data (the fixtures have no exact-30min
+    adjacency at any SF — the two operators' boundary rules differ only
+    at diff == gap, see sessionize_native module docstring), and must
+    restore the shuffle-partition conf it scopes."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import (
+        events as se,
+        sessionize_native as sn,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    native = {tuple(r) for r in sn.stream_sessionize_native(spark, sf_dir).collect()}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev, (
+        "scoped shuffle-partition override leaked")
+    twin = {tuple(r) for r in se.stream_sessionize(spark, sf_dir).collect()}
+    assert native == twin
+    assert native

@@ -66,13 +66,22 @@ def _tested_module_hash(rnd: int, relpath: str, evidence_dir: str,
         # (ADVICE r7, medium). NEWEST add (lines[0]) so a delete +
         # re-add resolves to the commit that introduced the CURRENT
         # content. Renames show as R, not A (r8 review finding) — when
-        # no A exists at this path, fall back to the OLDEST commit
-        # touching it (the rename commit, i.e. when the content arrived
-        # here), never to None, so the guard cannot silently
-        # self-disable into bless-everything.
+        # no A exists at this path, trace THROUGH the rename with
+        # --follow to the commit that originally introduced the content
+        # (r9 advice: the previous oldest-touch-of-the-new-path
+        # fallback resolved to the rename commit itself, whose parent
+        # tree already contains any module edits made after the driver
+        # ran — blessing code the driver never tested). Last resort
+        # stays the oldest commit touching the path, never None, so the
+        # guard cannot silently self-disable into bless-everything.
         out = _git("log", "--diff-filter=A", "--format=%H", "--", ev_rel)
         lines = out.split() if out else []
         commit = lines[0] if lines else None
+        if commit is None:
+            out = _git("log", "--follow", "--diff-filter=A",
+                       "--format=%H", "--", ev_rel)
+            lines = out.split() if out else []
+            commit = lines[0] if lines else None
         if commit is None:
             out = _git("log", "--format=%H", "--", ev_rel)
             lines = out.split() if out else []
