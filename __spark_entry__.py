@@ -32,6 +32,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     incremental,
     kmeans,
     malformed,
+    mm_pack,
     mm_resize,
     mixing,
     pca,
@@ -66,7 +67,7 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             association, graph, tpch_suite, curation_ext, csv_source,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
             streaming_doc_chunks, repetition, bpe, streaming_load,
-            quantile_sketch, malformed, mm_resize,
+            quantile_sketch, malformed, mm_resize, mm_pack,
             streaming_sessionize_native)
 
 # The driver evaluates registry entries in dict order and hash-checks the
