@@ -57,13 +57,15 @@ def approx_quantile_sketch(spark, sf_dir):
     # Small-group guard (r8 review, widened r9 advice): the sketch
     # returns an ACTUAL data value while the exact percentile
     # INTERPOLATES, so the [p-1.5ε, p+1.5ε] envelope only provably
-    # brackets a GK value (rank error <= εn) when the 0.5εn rank margin
-    # is itself >= 1 rank, i.e. n >= 2/ε — below that, clustered values
-    # can still flakily escape the interpolated bound (2 rows of
-    # {1, 100}: envelope ~[50.3, 50.7]). Guard on n·ε < 2 (a full
-    # 3εn >= 6-rank window), passing tiny groups by size — the same
+    # brackets a GK value (rank error <= εn, ε = 1/ACCURACY) when the
+    # 0.5εn rank margin is itself >= 1 rank, i.e. n >= 2/ε — below
+    # that, clustered values can still flakily escape the interpolated
+    # bound (2 rows of {1, 100}: envelope ~[50.3, 50.7]). Guard on the
+    # BASE error ε (not the 1.5ε envelope width — r9 review: using
+    # _EPS here left groups of 1334-1999 rows with a sub-1-rank margin
+    # unguarded), passing tiny groups by size — the same
     # scale-insensitivity discipline as kmeans' relative tolerance.
-    tiny = F.col("n_rows") * F.lit(_EPS) < F.lit(2.0)
+    tiny = F.col("n_rows") * F.lit(1.0 / ACCURACY) < F.lit(2.0)
     for i, p in enumerate(QUANTILES, start=1):
         ok = (
             (F.element_at("qa", i) >= F.element_at("qlo", i))

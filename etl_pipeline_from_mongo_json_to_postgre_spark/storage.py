@@ -40,7 +40,18 @@ def write_bucketed(
 
 
 def physical_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Planned physical tree as text, with maxToStringFields raised so
+    wide projections can't truncate to '... N more fields' and hide
+    operators from substring-counting plan pins (r9 advice — the fix
+    lives HERE so every plan-shape test shares it)."""
+    spark = df.sparkSession
+    key = "spark.sql.debug.maxToStringFields"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
 
 
 def join_is_shuffle_free(spark: SparkSession, left_table: str,

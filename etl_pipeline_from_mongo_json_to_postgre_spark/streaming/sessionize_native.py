@@ -10,13 +10,14 @@ with watermark eviction, and the aggregation participates in
 whole-stage codegen. Measured at sf0.1: ~4x faster end-to-end than the
 Python-state twin (see BASELINE.md r9).
 
-Boundary semantics note: ``session_window(ts, gap)`` assigns each
-event the interval [ts, ts+gap) and merges OVERLAPPING intervals, so a
-successor exactly ``gap`` later starts a NEW session (split at
-diff >= gap), whereas the Python-state twin splits strictly at
-diff > gap. The oracles encode each operator's exact semantics; the
-events fixtures contain no exact-gap adjacency at any shipped SF
-(probed r9), so the two session lists coincide on this data.
+Boundary semantics note (probed live, r9 review): ``session_window``
+treats a successor exactly ``gap`` later as the SAME session — two
+events at 00:00 and 00:30 with a 30-minute gap merge; the split
+happens only at diff > gap. That is byte-identical to the Python-state
+twin's rule, so the two operators share one boundary semantics and the
+oracle below uses the same strict-> split as stream_sessionize's (the
+fixtures additionally contain no exact-gap adjacency at any shipped
+SF, also probed).
 
 Reference parity: the reference has no streaming at all (its only
 incrementality is re-running the batch, etl_pipeline/pipeline.py); this
@@ -102,15 +103,15 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
-    # identical shape to the stream_sessionize oracle, with the native
-    # boundary rule: a new session starts at diff >= gap (see module
-    # docstring)
+    # identical to the stream_sessionize oracle — the native operator's
+    # boundary rule matches the Python twin's exactly (probed: merge at
+    # diff == gap, split at diff > gap; see module docstring)
     "stream_sessionize_native": f"""
         WITH flagged AS (
             SELECT user_id, event_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                             >= {SESSION_GAP_MIN * 60 * 1_000_000}
+                             > {SESSION_GAP_MIN * 60 * 1_000_000}
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

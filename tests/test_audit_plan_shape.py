@@ -11,24 +11,14 @@ the dominant CPU cost of the scan stage. These pins go red on any
 refactor that reintroduces a re-parse."""
 
 
-def _physical_plan(df) -> str:
-    """The planned physical tree WITHOUT executing (r8 review: running a
-    noop write plans its own QueryExecution, so executing bought
-    nothing — expression-count pins hold on the initial plan, and the
-    tests drop a full sf-scale execution each).
-
-    maxToStringFields is raised around the render (r9 advice): Spark
-    truncates long expression lists at the default 25 with
-    '... N more fields', so a wider projection could silently hide
-    from_json occurrences and make the substring counts lie."""
-    spark = df.sparkSession
-    key = "spark.sql.debug.maxToStringFields"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "10000")
-    try:
-        return df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.set(key, prev)
+# the shared helper raises maxToStringFields around the render (r9
+# advice): Spark truncates long expression lists at the default 25 with
+# '... N more fields', so a wider projection could silently hide
+# from_json occurrences and make the substring counts lie — fixed once
+# in storage.physical_plan for every plan-shape test.
+from etl_pipeline_from_mongo_json_to_postgre_spark.storage import (
+    physical_plan as _physical_plan,
+)
 
 
 def test_audit_status_pivot_parses_each_branch_once(spark, sf_dir):

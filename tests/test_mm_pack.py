@@ -10,22 +10,15 @@ key shuffle, and neither grows with a second pipeline stage)."""
 
 from pyspark.sql import functions as F
 
+from etl_pipeline_from_mongo_json_to_postgre_spark.storage import physical_plan
 
-def _plan(df) -> str:
-    spark = df.sparkSession
-    key = "spark.sql.debug.maxToStringFields"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "10000")
-    try:
-        return df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.set(key, prev)
+_JOIN_NODES = ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
 
 
 def test_pack_plan_has_no_shuffle_past_the_join(spark, sf_dir):
     from etl_pipeline_from_mongo_json_to_postgre_spark.operators import mm_pack
 
-    plan = _plan(mm_pack.mm_interleaved_pack(spark, sf_dir))
+    plan = physical_plan(mm_pack.mm_interleaved_pack(spark, sf_dir))
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash == 2, (
         f"expected exactly the two join-input shard exchanges, got "
@@ -33,20 +26,24 @@ def test_pack_plan_has_no_shuffle_past_the_join(spark, sf_dir):
     # the window and the final aggregate must sit directly on the join
     # output: no exchange may appear between them in the tree (the plan
     # prints top-down, so everything before the join line is downstream)
-    join_pos = min(
-        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
-                    plan.find("ShuffledHashJoin")) if p >= 0)
-    downstream = plan[:join_pos]
+    join_positions = [p for p in (plan.find(n) for n in _JOIN_NODES)
+                      if p >= 0]
+    assert join_positions, (
+        f"no known join node ({_JOIN_NODES}) in the plan:\n{plan}")
+    downstream = plan[:min(join_positions)]
     assert "Exchange hashpartitioning" not in downstream, (
         f"shuffle after the doc/media join:\n{plan}")
     assert "Window" in downstream and "HashAggregate" in downstream
 
 
 def test_pack_manifest_invariants(spark, sf_dir):
-    """Every pack except a shard's last must hold >= PACK_LEN total
-    tokens MINUS its last doc's spillover (greedy first-token rule:
-    a pack closes only once its cumulative cost crosses the budget),
-    doc counts must sum to the corpus, and media counts must match the
+    """Greedy first-token packing, checked from the census alone: the
+    cumulative token total BEFORE each pack k (= the stream offset of
+    its first doc) must lie inside bin k's range
+    [k*PACK_LEN, (k+1)*PACK_LEN) — which is exactly the 'a doc belongs
+    to the bin containing its first token' rule, and fails on any
+    early-close bug (cum instead of cum - cost, wrong PACK_LEN). Doc
+    counts must sum to the corpus and media counts must match the
     MEDIA_EVERY rule exactly."""
     from etl_pipeline_from_mongo_json_to_postgre_spark.operators import mm_pack
     from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
@@ -59,10 +56,18 @@ def test_pack_manifest_invariants(spark, sf_dir):
     n_media = docs.where(F.col("doc_id") % mm_pack.MEDIA_EVERY == 0).count()
     assert sum(r["n_docs"] for r in out) == n_docs
     assert sum(r["n_media"] for r in out) == n_media
-    # pack ids are dense non-negative per shard
     by_shard = {}
     for r in out:
-        by_shard.setdefault(r["shard"], []).append(r["pack_id"])
-    for shard, ids in by_shard.items():
-        ids.sort()
-        assert ids == list(range(len(ids))), (shard, ids)
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, packs in by_shard.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        # pack ids dense non-negative per shard
+        assert [r["pack_id"] for r in packs] == list(range(len(packs))), (
+            shard, [r["pack_id"] for r in packs])
+        running = 0
+        for r in packs:
+            k = r["pack_id"]
+            assert k * mm_pack.PACK_LEN <= running < (k + 1) * mm_pack.PACK_LEN, (
+                f"shard {shard} pack {k}: first-doc offset {running} "
+                f"outside bin range")
+            running += r["text_tokens"] + r["media_tokens"]

@@ -124,9 +124,9 @@ def test_no_uncast_integer_window_sum_in_oracles():
     # window sums that never reach the output schema (session-number keys
     # consumed by a downstream GROUP BY, or pre-aggregation staging):
     allow = {
-        "stream_sessionize", "j7_interval_join", "session_top_paths",
-        "sessions_concurrency_daily", "part_abc_classification",
-        "inc_scd2_intervals",
+        "stream_sessionize", "stream_sessionize_native", "j7_interval_join",
+        "session_top_paths", "sessions_concurrency_daily",
+        "part_abc_classification", "inc_scd2_intervals",
     }
     pat = re.compile(r"sum\s*\([^()]*\)\s+OVER", re.IGNORECASE)
     offenders = []

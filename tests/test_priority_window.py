@@ -490,12 +490,15 @@ def test_stamp_tool_updates_on_fresh_green_and_preserves_marks(tmp_path, monkeyp
 
 
 def test_tested_module_hash_resolves_readds_and_renames(tmp_path):
-    """_tested_module_hash commit resolution (r8 review hardening): a
-    deleted + re-added evidence file resolves to the commit that
-    introduced the CURRENT content (newest A), and a RENAMED evidence
-    file (no A at the new path) falls back to the oldest commit
-    touching that path instead of None — the guard must never silently
-    self-disable into bless-everything. Self-contained temp git repo."""
+    """_tested_module_hash commit resolution (r8 review hardening, r9
+    review fix): a deleted + re-added evidence file resolves to the
+    commit that introduced the CURRENT content (newest A), and a
+    RENAMED evidence file traces THROUGH the rename (--follow) to the
+    commit that introduced the content — NOT to the rename commit,
+    whose parent tree would bless module edits made after the driver
+    ran (the r9 plain-A-first bug this test used to pin). The guard
+    must never silently self-disable into bless-everything.
+    Self-contained temp git repo."""
     import hashlib
     import subprocess
 
@@ -536,15 +539,19 @@ def test_tested_module_hash_resolves_readds_and_renames(tmp_path):
         want = hashlib.sha256(b"v1").hexdigest()[:16]
         assert got == want, "newest-A resolution must pick the re-add commit"
 
-        # rename the evidence file: no A at the new path -> fallback
+        # rename the evidence file: --follow must trace through the
+        # rename to the re-add commit (the content's introduction),
+        # NOT resolve to the rename commit whose parent tree holds the
+        # post-driver v3 edit
         git("mv", "CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
         git("commit", "-qm", "rename to r02")
         mod.write_text("v4")
         git("add", "-A"); git("commit", "-qm", "even later module edit")
         got2 = tool._tested_module_hash(2, "mod.py", str(repo), _cache={})
         assert got2 is not None, (
-            "renamed evidence must fall back, never disable the guard")
-        want2 = hashlib.sha256(b"v3").hexdigest()[:16]
-        assert got2 == want2, "fallback = oldest commit touching the path"
+            "renamed evidence must resolve, never disable the guard")
+        assert got2 == want, (
+            "renamed evidence must trace to the content-introducing "
+            "commit (parent tree v1), not the rename commit (v3)")
     finally:
         tool.REPO = old_repo

@@ -264,10 +264,10 @@ def test_windowed_distinct_multifile_within_watermark(spark, tmp_path):
 def test_sessionize_native_matches_python_state_twin(spark, sf_dir):
     """The built-in session_window form (r9, VERDICT r8 task 2) must
     produce the identical session list to the applyInPandasWithState
-    twin on gap-collision-free data (the fixtures have no exact-30min
-    adjacency at any SF — the two operators' boundary rules differ only
-    at diff == gap, see sessionize_native module docstring), and must
-    restore the shuffle-partition conf it scopes."""
+    twin — the two operators share one boundary rule (merge at
+    diff == gap, split at diff > gap; probed live, see
+    sessionize_native module docstring) — and must restore the
+    shuffle-partition conf it scopes."""
     from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import (
         events as se,
         sessionize_native as sn,

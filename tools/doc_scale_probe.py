@@ -75,6 +75,8 @@ DOC_FAMILY = [
     "inc_chunk_dedup",
     # round-8 additions that scale on documents
     "text_bpe_train",
+    # round-9 additions that scale on documents
+    "mm_interleaved_pack",
 ]
 
 

@@ -65,21 +65,27 @@ def _tested_module_hash(rnd: int, relpath: str, evidence_dir: str,
         # reference tree forward and bless code the driver never tested
         # (ADVICE r7, medium). NEWEST add (lines[0]) so a delete +
         # re-add resolves to the commit that introduced the CURRENT
-        # content. Renames show as R, not A (r8 review finding) — when
-        # no A exists at this path, trace THROUGH the rename with
-        # --follow to the commit that originally introduced the content
-        # (r9 advice: the previous oldest-touch-of-the-new-path
-        # fallback resolved to the rename commit itself, whose parent
-        # tree already contains any module edits made after the driver
-        # ran — blessing code the driver never tested). Last resort
-        # stays the oldest commit touching the path, never None, so the
-        # guard cannot silently self-disable into bless-everything.
-        out = _git("log", "--diff-filter=A", "--format=%H", "--", ev_rel)
+        # content. RENAMED evidence (r9 advice + review): --follow must
+        # be the PRIMARY query — a pathspec-limited plain
+        # `--diff-filter=A -- <newpath>` reports the rename commit
+        # ITSELF as an Add (rename detection needs both paths in the
+        # diff; pathspec limiting hides the deletion — verified in a
+        # scratch repo), so plain-A-first resolves renamed evidence to
+        # the rename commit, whose parent tree already contains module
+        # edits made after the driver ran — the bless-untested-code
+        # hazard this guard exists to stop. --follow traces through the
+        # rename to the commit that introduced the CONTENT, and its
+        # newest Add keeps the delete+re-add semantics too. Plain A,
+        # then oldest-touch, remain as fallbacks (--follow can return
+        # nothing for exotic histories), never None, so the guard
+        # cannot silently self-disable into bless-everything.
+        out = _git("log", "--follow", "--diff-filter=A",
+                   "--format=%H", "--", ev_rel)
         lines = out.split() if out else []
         commit = lines[0] if lines else None
         if commit is None:
-            out = _git("log", "--follow", "--diff-filter=A",
-                       "--format=%H", "--", ev_rel)
+            out = _git("log", "--diff-filter=A", "--format=%H",
+                       "--", ev_rel)
             lines = out.split() if out else []
             commit = lines[0] if lines else None
         if commit is None:
