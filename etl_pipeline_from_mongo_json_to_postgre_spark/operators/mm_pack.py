@@ -83,7 +83,17 @@ def mm_interleaved_pack(spark, sf_dir):
     # lay BOTH join inputs out on the shard key: shard is a function of
     # the join key, so equal doc_ids are co-located, and including
     # shard in the equi-join condition lets the planner prove it —
-    # everything downstream (window, aggregate) reuses this layout
+    # everything downstream (window, aggregate) reuses this layout.
+    # The proof reaches a SHUFFLED join only because tune_for_oracle
+    # sets requireAllClusterKeysForCoPartition=false (see session.py:
+    # with the default true, the planner insists children be
+    # partitioned on the FULL join key set and re-shuffles onto
+    # (shard, doc_id), then back onto shard for the window — two extra
+    # |docs| exchanges, plan-pinned in BOTH broadcast and SMJ regimes
+    # in tests/test_mm_pack.py). Subset-key co-partitioning caps join
+    # parallelism at |distinct shards|, so at 100 TB SHARDS is sized to
+    # the cluster (thousands), exactly like pack_sequences' window
+    # parallelism.
     docs = docs.repartition(n_parts, "shard")
     media = media.repartition(n_parts, "m_shard")
     joined = docs.join(

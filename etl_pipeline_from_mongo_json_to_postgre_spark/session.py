@@ -27,6 +27,9 @@ def get_spark(app_name: str = "etl_pipeline_from_mongo_json_to_postgre_spark",
         # shuffle partitions in sort-merge joins — first line of defense
         # before the manual salting in operators/skew.py
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # accept subset-key co-partitioning for shuffled joins (see
+        # tune_for_oracle for the rationale — the mm_pack shard layout)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         # tz-less parquet timestamps read as TIMESTAMP (LTZ, UTC session),
@@ -72,6 +75,23 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     try:
         cores = spark.sparkContext.defaultParallelism
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
+    # Planner default (perf-only, r9): accept SUBSET-key co-partitioning
+    # for shuffled joins. When a join input is already hash-partitioned
+    # on a key that is a pure function of the join key and appears in
+    # the equi-join condition (mm_pack's shard layout), the default
+    # (true) would re-shuffle both sides onto the full key set and then
+    # shuffle AGAIN for any downstream window/aggregate keyed on the
+    # subset — two wasted full-data exchanges. Only relaxes plans whose
+    # children are ALREADY partitioned on a join-key subset; everything
+    # else plans identically (full plan-pin suite + census budgets
+    # re-verified after the flip). The subset key must carry enough
+    # distinct values for parallelism — the caller's contract, see
+    # mm_pack.
+    try:
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "false")
     except Exception:
         pass
     return spark

@@ -195,3 +195,52 @@ def test_quantile_rollup_gate_holds_and_tiny_guard_is_rank_safe(
     # guard threshold: n * 0.5 * BASE_ERR < 2  <=>  n < 4 / BASE_ERR
     cutoff = 4.0 / qs._BASE_ERR
     assert cutoff > 100, "guard must pass groups too small for the bound"
+
+
+def test_quantile_rollup_gate_holds_on_adversarial_distributions(
+        spark, tmp_path):
+    """The merged-CDF rank-error bound must hold on data built to break
+    interpolated envelopes: two-point clusters (the r8 guard's failure
+    class), heavy ties, and a 6-decade geometric spread — each above
+    the small-group cutoff so the gate is ACTIVE, spread over many
+    ship-month shards so the merge path is exercised for real."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+        quantile_sketch as qs,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 6000  # > 4/_BASE_ERR cutoff -> gate active for every flag
+    flags, dates, prices = [], [], []
+    base = np.datetime64("1995-01-01")
+    months = np.arange(36)
+    specs = {
+        "A": np.where(rng.random(n) < 0.5, 1.0, 1e6),          # two-point
+        "B": np.repeat([7.0, 7.0, 7.0, 9.0], n // 4),          # heavy ties
+        "C": 10.0 ** rng.uniform(-3, 3, n),                    # 6 decades
+    }
+    for flag, vals in specs.items():
+        flags += [flag] * n
+        dates += (base + rng.choice(months, n) * np.timedelta64(30, "D")
+                  ).astype("datetime64[D]").tolist()
+        prices += list(np.round(vals[:n], 2))
+    tbl = pa.table({
+        "l_returnflag": pa.array(flags),
+        "l_shipdate": pa.array(dates, pa.date32()),
+        "l_extendedprice": pa.array(prices, pa.float64()),
+    })
+    sf_dir = tmp_path / "adv"
+    sf_dir.mkdir()
+    pq.write_table(tbl, str(sf_dir / "lineitem.parquet"))
+
+    rows = qs.approx_quantile_rollup(spark, str(sf_dir)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_rows"] == n
+        for q in (25, 50, 75, 95):
+            assert r[f"rollup_within_q{q}"], (
+                f"merged q{q} escaped the envelope on flag "
+                f"{r['l_returnflag']}: {r}")

@@ -71,3 +71,30 @@ def test_pack_manifest_invariants(spark, sf_dir):
                 f"shard {shard} pack {k}: first-doc offset {running} "
                 f"outside bin range")
             running += r["text_tokens"] + r["media_tokens"]
+
+
+def test_pack_plan_stays_colocated_in_smj_regime(spark, sf_dir):
+    """The 100 TB story: when the media side is too big to broadcast
+    (autoBroadcastJoinThreshold=-1), the join must run SMJ/SHJ directly
+    on the two shard-keyed exchanges WITHOUT re-shuffling onto the join
+    key — hashpartitioning(shard) satisfies the join's clustering
+    requirement because shard appears in the equi-join condition — and
+    the window + aggregate must still add no exchange."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import mm_pack
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = mm_pack.mm_interleaved_pack(spark, sf_dir)
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 2, (
+        f"SMJ regime must reuse the two shard exchanges (no re-shuffle "
+        f"onto the join key), got {n_hash}:\n{plan}")
+    # result unchanged vs the broadcast-regime run
+    smj = {tuple(r) for r in df.collect()}
+    bhj = {tuple(r) for r in mm_pack.mm_interleaved_pack(spark, sf_dir).collect()}
+    assert smj == bhj

@@ -280,3 +280,55 @@ def test_sessionize_native_matches_python_state_twin(spark, sf_dir):
     twin = {tuple(r) for r in se.stream_sessionize(spark, sf_dir).collect()}
     assert native == twin
     assert native
+
+
+def test_sessionize_boundary_exact_gap_adjacency(spark, tmp_path):
+    """Regression for the r9 review finding: session_window MERGES two
+    events exactly gap apart (split only at diff > gap) — identical to
+    the Python-state twin. The shipped fixtures contain no exact-gap
+    adjacency, so this synthesizes one: per user, events at 0, +30min
+    (== gap, must merge), +60min+1us (> gap from the previous, must
+    split). Both operators must return the same 2-session answer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import (
+        events as se,
+        sessionize_native as sn,
+    )
+
+    base = 1_700_000_000_000_000  # us epoch
+    gap_us = se.SESSION_GAP_MIN * 60 * 1_000_000
+    rows = []
+    eid = 0
+    for u in range(4):
+        u_base = base + u * 10 * gap_us
+        for off in (0, gap_us, 2 * gap_us + 1):
+            rows.append((eid, u_base + off, u))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.5] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    sf_dir = tmp_path / "synth"
+    sf_dir.mkdir()
+    pq.write_table(tbl, str(sf_dir / "events.parquet"))
+
+    native = {tuple(r) for r in
+              sn.stream_sessionize_native(spark, str(sf_dir)).collect()}
+    twin = {tuple(r) for r in
+            se.stream_sessionize(spark, str(sf_dir)).collect()}
+    assert native == twin
+    # exactly 2 sessions per user: [0, +gap] merged, the > gap event alone
+    assert len(native) == 8
+    by_user = {}
+    for (u, start, end, n, vsum) in native:
+        by_user.setdefault(u, []).append((start, end, n))
+    for u, sess in by_user.items():
+        sess.sort()
+        assert sess[0][2] == 2, f"exact-gap successor must merge: {sess}"
+        assert sess[1][2] == 1, f"> gap successor must split: {sess}"
