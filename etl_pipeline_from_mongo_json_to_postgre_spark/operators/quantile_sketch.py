@@ -169,6 +169,56 @@ def approx_quantile_rollup(spark, sf_dir):
     return merged.select(*cols).orderBy("l_returnflag")
 
 
+def approx_quantile_rollup_raw(spark, sf_dir):
+    """The PRODUCTION form of approx_quantile_rollup: per-shard grids
+    merged to per-flag quantiles with NO exact percentile anywhere in
+    the plan — the shuffle carries |shards| 41-point summaries, then
+    |flags| merged rows; this is everything a pipeline persisting
+    per-day sketches would run. Values are grid-quantized, so this raw
+    form is test-pinned (no-exact-aggregate plan + monotone quantiles,
+    tests/test_approx.py); the registry entry is the derived-oracle
+    gate above (same pattern as approx_distinct_rollup_sketch_raw)."""
+    from pyspark.sql.window import Window
+
+    tune_for_oracle(spark)
+    li = fan_out(spark, load_table(spark, sf_dir, "lineitem"))
+    grid = [j / GRID_N for j in range(GRID_N + 1)]
+    grid_a = "array(" + ",".join(repr(p) for p in grid) + ")"
+    shard = li.groupBy(
+        "l_returnflag", F.trunc("l_shipdate", "month").alias("shard_month")
+    ).agg(
+        F.count("*").cast("double").alias("sn"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, {grid_a}, {ACCURACY})"
+        ).alias("g"),
+    )
+    pts = shard.select(
+        "l_returnflag",
+        F.explode(F.expr(
+            f"transform(sequence(1, {GRID_N}), "
+            f"j -> struct(CAST(element_at(g, j + 1) AS DOUBLE) AS v, "
+            f"sn / {GRID_N} AS w))"
+        )).alias("pt"),
+    ).select("l_returnflag", F.col("pt.v").alias("v"), F.col("pt.w").alias("w"))
+    cum = Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cdf = pts.withColumn("cw", F.sum("w").over(cum))
+    tot = shard.groupBy("l_returnflag").agg(
+        F.sum("sn").cast("bigint").alias("n_rows"))
+    m = cdf.join(F.broadcast(tot), "l_returnflag")
+    sel = [
+        F.min(
+            F.when(
+                F.col("cw") >= F.col("n_rows") * F.lit(p) - F.lit(1e-6),
+                F.col("v"),
+            )
+        ).alias(f"q{int(p * 100)}")
+        for p in QUANTILES
+    ]
+    return m.groupBy("l_returnflag", "n_rows").agg(*sel).orderBy(
+        "l_returnflag")
+
+
 QUERIES = {
     "approx_quantile_sketch": approx_quantile_sketch,
     "approx_quantile_rollup": approx_quantile_rollup,

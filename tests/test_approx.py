@@ -244,3 +244,22 @@ def test_quantile_rollup_gate_holds_on_adversarial_distributions(
             assert r[f"rollup_within_q{q}"], (
                 f"merged q{q} escaped the envelope on flag "
                 f"{r['l_returnflag']}: {r}")
+
+
+def test_quantile_rollup_raw_is_sketch_only_and_monotone(spark, sf_dir):
+    """The production rollup twin must carry NO exact percentile in its
+    optimized plan (the whole point: summaries only, never a re-scan),
+    and its merged quantiles must be monotone with positive counts."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+        quantile_sketch as qs,
+    )
+
+    df = qs.approx_quantile_rollup_raw(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_percentile" in plan
+    import re
+    exact = re.findall(r"(?<!approx_)percentile\(", plan)
+    assert not exact, f"exact percentile leaked into the raw plan:\n{plan}"
+    for r in df.collect():
+        assert r["n_rows"] > 0
+        assert r["q25"] <= r["q50"] <= r["q75"] <= r["q95"], tuple(r)
