@@ -341,3 +341,23 @@ def write_training_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy("shard").parquet(path)
+
+
+def analyze_tables(spark: SparkSession, tables: list[str]) -> None:
+    """Compute catalog statistics (table + all-column) for CBO.
+
+    AQE re-plans join STRATEGIES at runtime from observed shuffle sizes,
+    but it cannot reorder the join graph — only the stats-driven
+    cost-based optimizer does that, at logical planning time, and only
+    when the catalog carries statistics. Measured (r9, sf0.1 TPC-H
+    q5 shape written fact-first): with column stats +
+    spark.sql.cbo.{enabled,joinReorder.enabled}=true, Catalyst rewrites
+    lineitem→orders→customer→supplier→nation→region into the
+    selective-dims-first order with the fact joined LAST — at cluster
+    scale the difference between shuffling the unfiltered fact into
+    every join and joining it once against pre-filtered dims. The
+    registry entries read bare parquet paths (no catalog), so CBO stays
+    off by default; pipelines that persist tables should ANALYZE after
+    load and flip the two confs."""
+    for t in tables:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")

@@ -76,3 +76,74 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         .collect()[0]
     )
     assert (got["n"], got["q"]) == (want["n"], want["q"])
+
+
+def test_cbo_join_reorder_with_stats(spark, sf_dir):
+    """CBO + catalog stats must reorder a fact-first join graph so the
+    big fact joins LAST (AQE cannot do this — it only re-plans
+    strategies). Pin: without CBO the optimized plan keeps the
+    syntactic fact-first order; with CBO + ANALYZE the fact moves
+    behind the selective dim chain."""
+    import re
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.storage import (
+        analyze_tables,
+    )
+
+    tables = ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+    for t in tables:
+        # DROP first: a stale warehouse dir from an interrupted run is
+        # not reclaimable by mode("overwrite") when the catalog entry
+        # is gone (LOCATION_ALREADY_EXISTS)
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        import shutil
+        shutil.rmtree(f"spark-warehouse/cbo_{t}", ignore_errors=True)
+        load_table(spark, sf_dir, t).write.mode("overwrite").saveAsTable(
+            f"cbo_{t}")
+    analyze_tables(spark, [f"cbo_{t}" for t in tables])
+    q = """
+        SELECT n_name, count(*) AS n
+        FROM cbo_lineitem
+        JOIN cbo_orders   ON l_orderkey = o_orderkey
+        JOIN cbo_customer ON o_custkey = c_custkey
+        JOIN cbo_supplier ON l_suppkey = s_suppkey
+                          AND c_nationkey = s_nationkey
+        JOIN cbo_nation   ON s_nationkey = n_nationkey
+        JOIN cbo_region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' GROUP BY n_name
+    """
+
+    def first_table(cbo: bool) -> list[str]:
+        spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", str(cbo).lower())
+        try:
+            plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        seen = []
+        for t in re.findall(r"cbo_(\w+)", plan):
+            if t not in seen:
+                seen.append(t)
+        return seen
+
+    plain = first_table(False)
+    reordered = first_table(True)
+    assert plain[0] == "lineitem", plain
+    assert reordered[-1] == "lineitem", (
+        f"CBO with stats should join the fact last, got {reordered}")
+    # results identical either way (same rows, different order)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        a = {tuple(r) for r in spark.sql(q).collect()}
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    b = {tuple(r) for r in spark.sql(q).collect()}
+    assert a == b and a
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
