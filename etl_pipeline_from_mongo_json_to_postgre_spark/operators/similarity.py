@@ -1410,9 +1410,128 @@ ORACLE_SQL["emb_matryoshka_eval"] = f"""
 """
 
 
+N_TRIPLET_ANCHORS = 20
+
+
+def emb_triplet_mining(spark, sf_dir, n_anchors: int = N_TRIPLET_ANCHORS):
+    """Contrastive triplet construction over the labeled embedding
+    corpus (FaceNet batch-hard mining, Schroff CVPR'15): for each
+    anchor (vec_id < n_anchors) emit its HARDEST positive (same label,
+    LOWEST cosine — the in-class example the encoder struggles most to
+    pull in) and HARDEST negative (different label, HIGHEST cosine —
+    the impostor closest to crossing the boundary), plus the margin
+    pos_cos - neg_cos. A negative margin marks a violating triplet —
+    the rows a contrastive fine-tune feeds first.
+
+    Scale shape: the anchor batch is broadcast (guarded by
+    MAX_BRUTE_FORCE_QUERIES, same discipline as ann_cosine_topk) and
+    the corpus streams ONCE; both extremes come from min/max over
+    (cos, id) structs, so the scoring never leaves the map side — the
+    single Exchange carries |anchors| partially-combined rows, not the
+    |anchors| x |corpus| scored set a window-rank formulation would
+    shuffle. Ties break to the lowest vec_id on both sides. Anchors
+    whose label has no other member surface NULL positives rather than
+    vanishing. Same sequential-fold dot products as the rest of the
+    family -> bit-exact oracle."""
+    if n_anchors > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"emb_triplet_mining broadcasts the anchor batch; "
+            f"n_anchors={n_anchors} exceeds MAX_BRUTE_FORCE_QUERIES="
+            f"{MAX_BRUTE_FORCE_QUERIES}. Mine per-shard batches instead."
+        )
+    tune_for_oracle(spark)
+    e = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    # one materialization feeds the anchor slice and the corpus side
+    vecs = e.select(
+        "vec_id",
+        "label",
+        _emb_d(F.col("embedding")).alias("v"),
+        _norm(_emb_d(F.col("embedding"))).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    anchors = vecs.where(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    pairs = F.broadcast(anchors).crossJoin(vecs).where(
+        F.col("vec_id") != F.col("anchor_id")
+    )
+    cos = _dot(F.col("av"), F.col("v")) / (F.col("an") * F.col("nrm"))
+    scored = pairs.select(
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        cos.alias("cos"),
+        (F.col("label") == F.col("anchor_label")).alias("same"),
+    )
+    # min(struct) / max(struct): lexicographic, so cos decides first and
+    # the id field breaks ties; NULL branches are ignored by min/max, so
+    # each side partial-aggregates map-side (no window, no big shuffle).
+    pos = F.min(
+        F.when(
+            F.col("same"),
+            F.struct(F.col("cos").alias("c"), F.col("vec_id").alias("id")),
+        )
+    ).alias("pos")
+    neg = F.max(
+        F.when(
+            ~F.col("same"),
+            F.struct(
+                F.col("cos").alias("c"),
+                (-F.col("vec_id")).alias("nid"),
+                F.col("vec_id").alias("id"),
+            ),
+        )
+    ).alias("neg")
+    return (
+        scored.groupBy("anchor_id", "anchor_label")
+        .agg(pos, neg)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("pos.id").alias("pos_id"),
+            F.col("neg.id").alias("neg_id"),
+            F.round("pos.c", 6).alias("pos_cos"),
+            F.round("neg.c", 6).alias("neg_cos"),
+            F.round(F.col("pos.c") - F.col("neg.c"), 6).alias("margin"),
+        )
+    )
+
+
+ORACLE_SQL["emb_triplet_mining"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, label, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm
+        FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               t.vec_id AS vec_id, t.label = a.label AS same,
+               {_duck_dot('a.v', 't.v')} / (a.nrm * t.nrm) AS cos
+        FROM vecs a JOIN vecs t ON t.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_TRIPLET_ANCHORS}
+    ), pos AS (
+        SELECT anchor_id, vec_id, cos, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos ASC, vec_id ASC) AS rk
+        FROM scored WHERE same
+    ), neg AS (
+        SELECT anchor_id, vec_id, cos, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored WHERE NOT same
+    )
+    SELECT a.anchor_id, a.anchor_label,
+           p.vec_id AS pos_id, n.vec_id AS neg_id,
+           round(p.cos, 6) AS pos_cos, round(n.cos, 6) AS neg_cos,
+           round(p.cos - n.cos, 6) AS margin
+    FROM (SELECT DISTINCT anchor_id, anchor_label FROM scored) a
+    LEFT JOIN pos p ON p.anchor_id = a.anchor_id AND p.rk = 1
+    LEFT JOIN neg n ON n.anchor_id = a.anchor_id AND n.rk = 1
+"""
+
+
 QUERIES = {
     "search_hybrid_rerank": search_hybrid_rerank,
     "emb_matryoshka_eval": emb_matryoshka_eval,
+    "emb_triplet_mining": emb_triplet_mining,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,

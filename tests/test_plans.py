@@ -697,3 +697,51 @@ def test_missing_report_parses_json_once_post_exchange(spark, sf_dir):
     for line in plan.splitlines():
         if "Filter" in line and "from_json" in line:
             raise AssertionError("JSON parse pushed into a Filter: " + line[:120])
+
+
+def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
+    """Semi-join reduction at cluster scale: when a selective dim filter
+    feeds a SHUFFLE join, Spark's InjectRuntimeFilter builds a bloom
+    filter from the filtered dim keys and pushes might_contain(fact_key)
+    into the fact side — the fact shuffle then carries only rows that
+    can possibly match, instead of the whole table. The gate is sized
+    for the 100 TB regime (applicationSideScanSizeThreshold = 10 GiB;
+    a local parquet scan never qualifies, and in the broadcast regime
+    the reduction is moot), so the pin lowers the threshold and forces
+    the SMJ regime to prove the rewrite fires and stays value-correct.
+    A/B numbers at sf0.1 are in BASELINE.md (r9)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+
+    def q17_shape():
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice")
+        pt = load_table(spark, sf_dir, "part").where(
+            F.col("p_brand") == "Brand#23"
+        ).select("p_partkey")
+        return li.join(pt, li.l_partkey == pt.p_partkey).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .alias("rev"),
+        )
+
+    baseline = q17_shape().collect()
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q17_shape()
+        rows = df.collect()
+        plan = physical_plan(df).split("== Initial Plan ==")[0]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    # the runtime filter is a scalar-subquery bloom probe on the fact side
+    assert "might_contain" in plan, "runtime bloom filter did not inject"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert rows == baseline

@@ -48,3 +48,46 @@ def test_pq_recall_eval_wellformed(spark, sf_dir):
     for r in rows:
         assert 0 <= r.hits <= TOPK
         assert r.recall == r.hits / TOPK
+
+
+def test_triplet_mining_semantics_and_plan(spark, sf_dir):
+    """Batch-hard triplet contract: one row per anchor; the positive
+    really is same-label (and the negative different-label) against the
+    source table; margin is the rounded pos-neg difference; neither
+    side is ever the anchor itself. Plan: anchors broadcast, extremes
+    partial-aggregate map-side (partial min/max structs before the ONE
+    hash Exchange, which carries |anchors| rows), and the scoring path
+    stays JVM-side."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        N_TRIPLET_ANCHORS,
+        emb_triplet_mining,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.storage import physical_plan
+
+    df = emb_triplet_mining(spark, sf_dir)
+    rows = df.collect()
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label").collect()
+    }
+    assert len(rows) == N_TRIPLET_ANCHORS
+    assert len({r.anchor_id for r in rows}) == N_TRIPLET_ANCHORS
+    for r in rows:
+        assert r.pos_id != r.anchor_id and r.neg_id != r.anchor_id
+        assert labels[r.anchor_id] == r.anchor_label
+        assert labels[r.pos_id] == r.anchor_label
+        assert labels[r.neg_id] != r.anchor_label
+        # margin computed from unrounded cosines, then rounded — may
+        # differ from the rounded-operand difference by one ulp of 1e-6
+        assert abs(r.margin - round(r.pos_cos - r.neg_cos, 6)) <= 2e-6
+
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan and "partial_max" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan

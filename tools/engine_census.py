@@ -46,6 +46,16 @@ def run_census(sf_dir: str, cpus: int) -> dict[str, object]:
     from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import load_table
 
     load_table(spark, sf_dir, "events").groupBy("event_type").count().collect()
+    # Also warm the Python/Arrow worker path: the FIRST mapInPandas over
+    # a full partition fan spawns one Python worker PER CORE, each paying
+    # pandas/pyarrow import + Arrow serializer init (measured 6-12 s
+    # billed to whichever multimodal entry the rotating window order puts
+    # first — r9: mm_audio_decode_stats breached its floor budget at a
+    # warm 1.5-2 s). A 1-row warm-up is NOT enough (it initializes a
+    # single worker); fan one task to every core so the reuse pool is
+    # fully initialized before timing starts.
+    spark.range(0, cpus, 1, cpus).mapInPandas(
+        lambda it: it, "id long").count()
     times: dict[str, object] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
