@@ -80,7 +80,10 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
 
 
-def _vectors(spark, sf_dir):
+def _vectors(spark, sf_dir, *extra_cols: str):
+    """(vec_id[, *extra_cols], v, nrm) — the family's one embedding
+    projection; every entry goes through here so the cast/norm/fan-out
+    discipline (and thus oracle bit-exactness) stays in one place."""
     tune_for_oracle(spark)
     # fan_out: the single-row-group scan would otherwise run EVERY
     # hyperplane dot product in one task (measured: the whole LSH
@@ -88,6 +91,7 @@ def _vectors(spark, sf_dir):
     e = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     return e.select(
         "vec_id",
+        *extra_cols,
         _emb_d(F.col("embedding")).alias("v"),
         _norm(_emb_d(F.col("embedding"))).alias("nrm"),
     )
@@ -1439,15 +1443,8 @@ def emb_triplet_mining(spark, sf_dir, n_anchors: int = N_TRIPLET_ANCHORS):
             f"n_anchors={n_anchors} exceeds MAX_BRUTE_FORCE_QUERIES="
             f"{MAX_BRUTE_FORCE_QUERIES}. Mine per-shard batches instead."
         )
-    tune_for_oracle(spark)
-    e = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     # one materialization feeds the anchor slice and the corpus side
-    vecs = e.select(
-        "vec_id",
-        "label",
-        _emb_d(F.col("embedding")).alias("v"),
-        _norm(_emb_d(F.col("embedding"))).alias("nrm"),
-    ).localCheckpoint(eager=True)
+    vecs = _vectors(spark, sf_dir, "label").localCheckpoint(eager=True)
     anchors = vecs.where(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),

@@ -54,8 +54,15 @@ def run_census(sf_dir: str, cpus: int) -> dict[str, object]:
     # warm 1.5-2 s). A 1-row warm-up is NOT enough (it initializes a
     # single worker); fan one task to every core so the reuse pool is
     # fully initialized before timing starts.
-    spark.range(0, cpus, 1, cpus).mapInPandas(
-        lambda it: it, "id long").count()
+    # Guarded: a broken Python-worker path must degrade to per-entry ERR
+    # rows in the timing loop (the module's "census reports, not raises"
+    # contract), never abort the census before it starts.
+    try:
+        spark.range(0, cpus, 1, cpus).mapInPandas(
+            lambda it: it, "id long").count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"python-worker warm-up failed (continuing): {exc}",
+              file=sys.stderr)
     times: dict[str, object] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
