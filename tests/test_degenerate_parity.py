@@ -61,3 +61,41 @@ def test_constant_series_zero_variance(spark, tmp_path):
     ]  # two days, two events each -> sample variance 0 -> zscore NULL
     sf = _write_events(tmp_path, rows)
     _check(spark, sf, ["events_anomaly_zscore"])
+
+
+def test_triplet_mining_lone_label_null_sides(spark, tmp_path):
+    """A lone-label anchor has NO positive; the operator contract is a
+    NULL pos side (and a NULL margin), not a dropped row — and the
+    DuckDB oracle must encode the same NULLs so the driver's value hash
+    agrees. Fixture: anchor 0 is the only label-7 vector; every other
+    anchor has both sides."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 6
+    vecs = [[float(x) for x in rng.randn(64)] for _ in range(n)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([7, 1, 1, 2, 2, 2], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    _check(spark, str(tmp_path), ["emb_triplet_mining"])
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        emb_triplet_mining,
+    )
+
+    by_anchor = {
+        r.anchor_id: r
+        for r in emb_triplet_mining(spark, str(tmp_path)).collect()
+    }
+    lone = by_anchor[0]
+    assert lone.pos_id is None and lone.pos_cos is None and lone.margin is None
+    assert lone.neg_id is not None  # negatives exist: other labels present
+    assert all(
+        r.pos_id is not None and r.margin is not None
+        for a, r in by_anchor.items() if a != 0
+    )
