@@ -50,6 +50,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     variant_ingest,
 )
 from etl_pipeline_from_mongo_json_to_postgre_spark.sources import (
+    binary_source,
     csv_source,
     mongo_datasource,
     orc_source,
@@ -69,7 +70,7 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
             streaming_doc_chunks, repetition, bpe, streaming_load,
             quantile_sketch, malformed, mm_resize, mm_pack,
-            streaming_sessionize_native, xml_source)
+            streaming_sessionize_native, xml_source, binary_source)
 
 # The driver evaluates registry entries in dict order and hash-checks the
 # first 50 per round. Ordering rule (VERDICT r4 tasks 1+7): derived from
