@@ -28,7 +28,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BUDGET_FLOOR_S = 3.0
+# Floor raised 3.0 -> 4.5 (r9 continuation): the sandbox host showed
+# ±40% day-scale throughput swings on identical code (census totals
+# 175.6 -> 185 -> 245 -> 264 s across reboots/hours), and sub-2 s
+# entries kept tripping 3 s floors on first-touch + host noise while
+# the 7-45x plan regressions these budgets exist to catch sit far
+# above any floor. 4.5 s = 3x a 1.5 s entry on the slow host.
+BUDGET_FLOOR_S = 4.5
 BUDGET_HEADROOM = 3.0
 
 
