@@ -33,27 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune_for_oracle
+from ._stage import guard_stage_rows, stage_dir
 from .parquet import load_table
 
 CACHE_ROOT = "/tmp/spark_graft_binfile_stage"
 MAX_STAGE_ROWS = 100_000  # one FILE per row: tighter than the csv cap
-
-
-def _source_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the parquet source (names, sizes, mtimes)
-    so a regenerated sf_dir invalidates the stage cache (same discipline
-    as csv_source/xml_source, ADVICE r4)."""
-    import hashlib
-
-    root = os.path.join(sf_dir, "documents.parquet")
-    paths = [root]
-    if os.path.isdir(root):
-        paths = [os.path.join(root, f) for f in sorted(os.listdir(root))]
-    h = hashlib.sha256()
-    for p in paths:
-        st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:16]
 
 
 def stage_document_files(spark: SparkSession, sf_dir: str) -> str:
@@ -62,22 +46,12 @@ def stage_document_files(spark: SparkSession, sf_dir: str) -> str:
     mm_binary_stats uses). Executor-side writes through mapInPandas;
     content is a pure function of the row, so task retries rewrite the
     same bytes (idempotent). Bounded and fingerprint-keyed."""
-    out = os.path.join(
-        CACHE_ROOT,
-        sf_dir.strip("/").replace("/", "_") + "_" + _source_fingerprint(sf_dir),
-    )
+    out = stage_dir(CACHE_ROOT, sf_dir)
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
     d = load_table(spark, sf_dir, "documents")
-    n = d.limit(MAX_STAGE_ROWS + 1).count()
-    if n > MAX_STAGE_ROWS:
-        raise ValueError(
-            f"stage_document_files: refusing to stage >{MAX_STAGE_ROWS} "
-            f"files from {sf_dir} (got at least {n}); staging is a "
-            "bounded harness path, point binaryFile scans at the real "
-            "object-store prefix instead"
-        )
+    guard_stage_rows(d, MAX_STAGE_ROWS, f"stage_document_files({sf_dir})")
     os.makedirs(out, exist_ok=True)
 
     def _write(batches):

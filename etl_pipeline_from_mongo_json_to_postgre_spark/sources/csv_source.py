@@ -27,6 +27,7 @@ from pyspark.sql.types import (
 )
 
 from ..session import tune_for_oracle
+from ._stage import guard_stage_rows, stage_dir
 from .parquet import load_table
 
 CACHE_ROOT = "/tmp/spark_graft_csv_stage"
@@ -48,43 +49,16 @@ DOCUMENTS_CSV_SCHEMA = StructType(
 )
 
 
-def _source_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the parquet source files (names,
-    sizes, mtimes) so a regenerated sf_dir invalidates the stage cache
-    instead of serving stale CSV (ADVICE r4)."""
-    import hashlib
-
-    root = os.path.join(sf_dir, "documents.parquet")
-    paths = [root]
-    if os.path.isdir(root):
-        paths = [os.path.join(root, f) for f in sorted(os.listdir(root))]
-    h = hashlib.sha256()
-    for p in paths:
-        st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:16]
-
-
 def stage_documents_csv(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents table as a header'd CSV directory (idempotent
     per (sf_dir, source fingerprint); executor-side write, no driver
-    collect)."""
-    out = os.path.join(
-        CACHE_ROOT,
-        sf_dir.strip("/").replace("/", "_") + "_" + _source_fingerprint(sf_dir),
-    )
+    collect — shared disciplines in sources/_stage.py)."""
+    out = stage_dir(CACHE_ROOT, sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
     d = load_table(spark, sf_dir, "documents")
-    n = d.limit(MAX_STAGE_ROWS + 1).count()
-    if n > MAX_STAGE_ROWS:
-        raise ValueError(
-            f"stage_documents_csv: refusing to stage >{MAX_STAGE_ROWS} "
-            f"rows from {sf_dir} (got at least {n}); staging is a "
-            "bounded harness path, point real CSV scans at their drop "
-            "location instead"
-        )
+    guard_stage_rows(d, MAX_STAGE_ROWS, f"stage_documents_csv({sf_dir})")
     (
         d.select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite")

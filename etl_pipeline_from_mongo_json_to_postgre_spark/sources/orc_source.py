@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune_for_oracle
-from .csv_source import MAX_STAGE_ROWS, _source_fingerprint
+from ._stage import guard_stage_rows, stage_dir
+from .csv_source import MAX_STAGE_ROWS
 from .parquet import load_table
 
 CACHE_ROOT = "/tmp/spark_graft_orc_stage"
@@ -32,22 +33,14 @@ CACHE_ROOT = "/tmp/spark_graft_orc_stage"
 
 def stage_documents_orc(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents table as a lang-partitioned ORC directory
-    (idempotent per (sf_dir, source fingerprint))."""
-    out = os.path.join(
-        CACHE_ROOT,
-        sf_dir.strip("/").replace("/", "_") + "_" + _source_fingerprint(sf_dir),
-    )
+    (idempotent per (sf_dir, source fingerprint) — shared disciplines
+    in sources/_stage.py)."""
+    out = stage_dir(CACHE_ROOT, sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
     d = load_table(spark, sf_dir, "documents")
-    n = d.limit(MAX_STAGE_ROWS + 1).count()
-    if n > MAX_STAGE_ROWS:
-        raise ValueError(
-            f"stage_documents_orc: refusing to stage >{MAX_STAGE_ROWS} "
-            f"rows from {sf_dir} (got at least {n}); staging is a "
-            "bounded harness path"
-        )
+    guard_stage_rows(d, MAX_STAGE_ROWS, f"stage_documents_orc({sf_dir})")
     (
         d.select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite")

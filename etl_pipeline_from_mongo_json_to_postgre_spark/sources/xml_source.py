@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 )
 
 from ..session import tune_for_oracle
+from ._stage import guard_stage_rows, stage_dir
 from .parquet import load_table
 
 CACHE_ROOT = "/tmp/spark_graft_xml_stage"
@@ -54,44 +55,18 @@ DOCUMENTS_XML_SCHEMA = StructType(
 )
 
 
-def _source_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the parquet source (names, sizes, mtimes)
-    so a regenerated sf_dir invalidates the stage cache (same discipline
-    as csv_source, ADVICE r4)."""
-    import hashlib
-
-    root = os.path.join(sf_dir, "documents.parquet")
-    paths = [root]
-    if os.path.isdir(root):
-        paths = [os.path.join(root, f) for f in sorted(os.listdir(root))]
-    h = hashlib.sha256()
-    for p in paths:
-        st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:16]
-
-
 def stage_documents_xml(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents table as an XML directory (idempotent per
     (sf_dir, source fingerprint); executor-side write, no driver
-    collect). The writer entity-escapes markup inside text nodes, so
-    arbitrary document text is safe in the row elements."""
-    out = os.path.join(
-        CACHE_ROOT,
-        sf_dir.strip("/").replace("/", "_") + "_" + _source_fingerprint(sf_dir),
-    )
+    collect — shared disciplines in sources/_stage.py). The writer
+    entity-escapes markup inside text nodes, so arbitrary document text
+    is safe in the row elements."""
+    out = stage_dir(CACHE_ROOT, sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
     d = load_table(spark, sf_dir, "documents")
-    n = d.limit(MAX_STAGE_ROWS + 1).count()
-    if n > MAX_STAGE_ROWS:
-        raise ValueError(
-            f"stage_documents_xml: refusing to stage >{MAX_STAGE_ROWS} "
-            f"rows from {sf_dir} (got at least {n}); staging is a "
-            "bounded harness path, point real XML scans at their drop "
-            "location instead"
-        )
+    guard_stage_rows(d, MAX_STAGE_ROWS, f"stage_documents_xml({sf_dir})")
     (
         d.select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite")
@@ -109,6 +84,12 @@ def read_documents_xml(spark: SparkSession, path: str) -> DataFrame:
         spark.read.schema(DOCUMENTS_XML_SCHEMA)
         .format("xml")
         .option("rowTag", ROW_TAG)
+        # Spark's XML default (ignoreSurroundingSpaces=true) silently
+        # TRIMS leading/trailing whitespace from text nodes — a padded
+        # document would come back mutated with no corrupt-record audit
+        # (caught by the r9 review, confirmed on 4.1.2). Byte-exact
+        # round trip requires turning it off.
+        .option("ignoreSurroundingSpaces", False)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .load(path)

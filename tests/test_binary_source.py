@@ -26,7 +26,6 @@ def test_content_roundtrips_byte_exact_and_foreign_files_pruned(spark, tmp_path)
     out = stage_document_files(spark, str(sf))
     # foreign files at the prefix must not enter the scan: one wrong
     # extension (glob-pruned) and one wrong name shape (regex-pruned)
-    (tmp_path / "noise").mkdir()
     import shutil
 
     shutil.copy(out + "/doc_1_en.bin", out + "/README.txt")

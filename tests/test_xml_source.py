@@ -44,6 +44,10 @@ def test_markup_and_whitespace_text_roundtrip(spark, tmp_path):
         (2, 'she said "hi, <there> & more"', "en", "s1", 29),
         (3, "plain", "de", "s2", 5),
         (4, "an <doc> inside & an &amp; literal", "fr", "s3", 34),
+        # surrounding whitespace: the reader must NOT trim it (Spark's
+        # ignoreSurroundingSpaces default would; r9 review finding)
+        (5, "  padded on both ends  ", "en", "s1", 23),
+        (6, "trailing newline\n", "de", "s2", 17),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -52,7 +56,7 @@ def test_markup_and_whitespace_text_roundtrip(spark, tmp_path):
     (df.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out))
     back = read_documents_xml(spark, out)
     got = {r.doc_id: r for r in back.collect()}
-    assert len(got) == 4
+    assert len(got) == 6
     assert all(r[CORRUPT_COL] is None for r in got.values())
     for doc_id, text, *_ in rows:
         assert got[doc_id].text == text

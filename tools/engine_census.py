@@ -7,7 +7,7 @@ Usage:
     # CI budget gate (one command; budgets are checked in):
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/engine_census.py \
         --budgets tools/census_budgets_sf001.json
-    # refresh budgets after adding entries (3x headroom, 3 s floor):
+    # refresh budgets after adding entries (3x headroom, 4.5 s floor):
     ... --write-budgets tools/census_budgets_sf001.json
 
 This is the sweep that found the round-4 CollapseProject inlining bug
@@ -97,7 +97,7 @@ def check_budgets(times: dict[str, object], budgets: dict[str, float]) -> list[s
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--budgets", help="budget JSON to enforce (rc=1 on breach)")
-    ap.add_argument("--write-budgets", help="write measured*3 (floor 3s) budgets here")
+    ap.add_argument("--write-budgets", help="write measured*3 (floor 4.5s) budgets here")
     ap.add_argument("--json", help="dump raw per-entry seconds to this path")
     args = ap.parse_args()
 
