@@ -30,10 +30,23 @@ def source_fingerprint(sf_dir: str, table: str = "documents") -> str:
     root = os.path.join(sf_dir, f"{table}.parquet")
     paths = [root]
     if os.path.isdir(root):
-        paths = [os.path.join(root, f) for f in sorted(os.listdir(root))]
+        # Regular files only: marker/crc entries (_SUCCESS, .*.crc) and
+        # nested dirs would otherwise be stat'ed as data, and a dir
+        # mtime is not a content signal (ADVICE r9).
+        paths = [
+            os.path.join(root, f)
+            for f in sorted(os.listdir(root))
+            if os.path.isfile(os.path.join(root, f))
+        ]
     h = hashlib.sha256()
     for p in paths:
-        st = os.stat(p)
+        try:
+            st = os.stat(p)
+        except FileNotFoundError:
+            # Entry vanished between listdir and stat (concurrent
+            # rewrite): skip it — the surviving files still change the
+            # fingerprint vs the old listing.
+            continue
         h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 

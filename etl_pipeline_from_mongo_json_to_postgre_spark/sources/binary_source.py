@@ -45,16 +45,26 @@ def stage_document_files(spark: SparkSession, sf_dir: str) -> str:
     bytes as the stand-in media payload — the same text/plain modality
     mm_binary_stats uses). Executor-side writes through mapInPandas;
     content is a pure function of the row, so task retries rewrite the
-    same bytes (idempotent). Bounded and fingerprint-keyed."""
+    same bytes (idempotent). Bounded and fingerprint-keyed.
+
+    NULL/empty text is SKIPPED, not staged as a 0-byte file: Spark's
+    binaryFile scan silently drops empty files (verified on 4.1.2 —
+    FileSourceScan never creates a task for them), so a 0-byte object
+    is unrepresentable in this source; the oracle mirrors the same
+    filter (ADVICE r9)."""
     out = stage_dir(CACHE_ROOT, sf_dir)
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
     guard_stage_rows(d, MAX_STAGE_ROWS, f"stage_document_files({sf_dir})")
     os.makedirs(out, exist_ok=True)
 
     def _write(batches):
+        import re
+
         import pandas as pd
 
         for pdf in batches:
@@ -62,9 +72,23 @@ def stage_document_files(spark: SparkSession, sf_dir: str) -> str:
             for doc_id, text, lang in zip(
                 pdf["doc_id"], pdf["text"], pdf["lang"]
             ):
+                # The reader parses lang back out of the file NAME with
+                # a [a-z]+ pattern; a lang outside that alphabet (e.g.
+                # 'pt_BR') would stage fine but silently vanish at scan
+                # time, surfacing as a confusing parity break (ADVICE
+                # r9). Fail loudly at stage time instead.
+                if not isinstance(lang, str) or not re.fullmatch(
+                    r"[a-z]+", lang
+                ):
+                    raise ValueError(
+                        f"stage_document_files: lang {lang!r} (doc_id="
+                        f"{doc_id}) is outside [a-z]+; the file-name "
+                        "metadata contract cannot represent it — widen "
+                        "read_media_files' pattern before staging"
+                    )
                 p = os.path.join(out, f"doc_{doc_id}_{lang}.bin")
                 with open(p, "wb") as fh:
-                    fh.write((text or "").encode("utf-8"))
+                    fh.write(text.encode("utf-8"))
                 written.append(int(doc_id))
             yield pd.DataFrame({"doc_id": written})
 
@@ -119,13 +143,18 @@ def s13_binaryfile_media_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL = {
+    # WHERE mirrors the stage convention: NULL/empty text never becomes
+    # a file (binaryFile drops 0-byte objects — verified), so neither
+    # engine counts it (ADVICE r9).
     "s13_binaryfile_media_scan": """
         SELECT lang, count(*) AS n_files,
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS listed_bytes,
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS content_bytes,
                CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
                CAST(sum(length(text)) AS BIGINT) AS chars_measured
-        FROM documents GROUP BY lang
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+        GROUP BY lang
     """,
 }
 

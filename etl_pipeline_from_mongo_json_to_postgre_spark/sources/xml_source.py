@@ -67,6 +67,22 @@ def stage_documents_xml(spark: SparkSession, sf_dir: str) -> str:
         return out
     d = load_table(spark, sf_dir, "documents")
     guard_stage_rows(d, MAX_STAGE_ROWS, f"stage_documents_xml({sf_dir})")
+    # XML 1.0 cannot represent control characters below 0x20 except
+    # tab/newline/CR — a document containing e.g. \x08 would not
+    # round-trip and would surface as a bare value-hash mismatch
+    # against the oracle's malformed=0 assumption (ADVICE r9). Pre-scan
+    # and fail loudly with the offending doc ids instead.
+    illegal = d.where(
+        F.col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    )
+    bad = [r.doc_id for r in illegal.select("doc_id").limit(5).collect()]
+    if bad:
+        raise ValueError(
+            f"stage_documents_xml({sf_dir}): document text contains "
+            "XML-1.0-illegal control characters (first doc_ids: "
+            f"{bad}); these cannot round-trip through the XML source — "
+            "clean or exclude them before staging"
+        )
     (
         d.select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite")

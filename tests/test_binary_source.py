@@ -63,6 +63,57 @@ def test_stage_cache_invalidates_on_source_change(spark, tmp_path):
     assert read_media_files(spark, p2).count() == 2
 
 
+def test_unrepresentable_lang_fails_loudly_at_stage_time(spark, tmp_path):
+    import pytest
+
+    sf = tmp_path / "sfL"
+    sf.mkdir()
+    df = spark.createDataFrame(
+        [(1, "ok", "en", "s", 2), (2, "bad", "pt_BR", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(sf / "documents.parquet"))
+    with pytest.raises(Exception, match=r"pt_BR.*file-name metadata"):
+        stage_document_files(spark, str(sf))
+
+
+def test_null_and_empty_text_skipped_consistently_with_oracle(spark, tmp_path):
+    """binaryFile silently drops 0-byte files (verified on 4.1.2), so
+    NULL/empty text must be skipped at stage time AND filtered in the
+    oracle — neither engine counts the row (ADVICE r9 asymmetry)."""
+    import duckdb
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.binary_source import (
+        ORACLE_SQL,
+    )
+
+    sf = tmp_path / "sfN"
+    sf.mkdir()
+    df = spark.createDataFrame(
+        [(1, None, "xx", "s", 0), (2, "", "yy", "s", 0), (3, "ab", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(sf / "documents.parquet"))
+    got = {r.lang: r for r in s13_binaryfile_media_scan(spark, str(sf)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    ora = {
+        r[0]: r
+        for r in con.execute(ORACLE_SQL["s13_binaryfile_media_scan"]).fetchall()
+    }
+    assert set(got) == set(ora) == {"en"}
+    g = got["en"]
+    assert (
+        g.n_files,
+        g.listed_bytes,
+        g.content_bytes,
+        g.max_bytes,
+        g.chars_measured,
+    ) == tuple(ora["en"][1:])
+
+
 def test_census_reconciles_with_parquet(spark, sf_dir):
     out = {r.lang: r for r in s13_binaryfile_media_scan(spark, sf_dir).collect()}
     direct = {

@@ -555,3 +555,54 @@ def test_tested_module_hash_resolves_readds_and_renames(tmp_path):
             "commit (parent tree v1), not the rename commit (v3)")
     finally:
         tool.REPO = old_repo
+
+
+def test_tested_module_hash_does_not_follow_copies(tmp_path):
+    """--follow's similarity detection chains through COPIES of other
+    still-present files (r10 live failure: CORRECTNESS_r09.json scored
+    C080 vs CORRECTNESS_r03.json, resolving the tested tree to round 3
+    and falsely drift-marking 40 entries). A copy introduces NEW
+    content at the copying commit — resolution must stop there, not
+    trace into the copied-from file's history."""
+    import hashlib
+    import subprocess
+
+    from tools import stamp_fingerprints as tool
+
+    repo = tmp_path / "g"
+    repo.mkdir()
+
+    def git(*a):
+        subprocess.run(["git", "-C", str(repo), *a], check=True,
+                       capture_output=True,
+                       env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                            "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                            "HOME": str(tmp_path), "PATH": "/usr/bin:/bin"})
+
+    git("init", "-q")
+    mod = repo / "mod.py"
+    # round-1 evidence: large, so the near-identical round-2 file
+    # trips git's copy detection the way real round evidence does
+    body = '{"entries": {' + ",".join(
+        f'"e{i}": {{"rows": true, "schema": true, "hash": true}}'
+        for i in range(200)
+    ) + "}"
+    mod.write_text("v1")
+    (repo / "CORRECTNESS_r01.json").write_text(body + ', "round": 1}')
+    git("add", "-A"); git("commit", "-qm", "round 1 evidence")
+    mod.write_text("v2")
+    git("add", "-A"); git("commit", "-qm", "round-2 module work")
+    # round-2 evidence lands as a new file ~99% similar to round 1's,
+    # with r01 still present (copy, not rename)
+    (repo / "CORRECTNESS_r02.json").write_text(body + ', "round": 2}')
+    git("add", "-A"); git("commit", "-qm", "round 2 evidence")
+
+    old_repo, tool.REPO = tool.REPO, str(repo)
+    try:
+        got = tool._tested_module_hash(2, "mod.py", str(repo), _cache={})
+        want = hashlib.sha256(b"v2").hexdigest()[:16]
+        assert got == want, (
+            "copy-detected evidence must resolve to the copying commit "
+            "(tested tree v2), not the copied-from file's add (v1)")
+    finally:
+        tool.REPO = old_repo

@@ -111,3 +111,41 @@ def test_roundtrip_census_matches_parquet(spark, sf_dir):
         assert r.chars_total == direct[lang].chars_total
         assert r.chars_measured == direct[lang].chars_measured
         assert r.malformed == 0
+
+
+def test_xml_illegal_control_chars_fail_loudly_at_stage_time(spark, tmp_path):
+    """Text with XML-1.0-illegal control chars (e.g. \\x08) cannot
+    round-trip; staging must raise descriptively instead of letting the
+    census surface a bare hash mismatch (ADVICE r9)."""
+    import pytest
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.xml_source import (
+        stage_documents_xml,
+    )
+
+    sf = tmp_path / "sfC"
+    sf.mkdir()
+    df = spark.createDataFrame(
+        [(1, "fine", "en", "s", 4), (2, "bad\x08char", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(sf / "documents.parquet"))
+    with pytest.raises(Exception, match=r"XML-1\.0-illegal.*doc_ids.*2"):
+        stage_documents_xml(spark, str(sf))
+
+
+def test_source_fingerprint_ignores_marker_files(tmp_path):
+    """_SUCCESS/.crc marker churn must not change the fingerprint, and
+    a vanished entry must not raise (ADVICE r9)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources._stage import (
+        source_fingerprint,
+    )
+
+    root = tmp_path / "documents.parquet"
+    root.mkdir()
+    (root / "part-0.parquet").write_bytes(b"data")
+    base = source_fingerprint(str(tmp_path))
+    (root / "_SUCCESS").mkdir()  # non-regular entry: skipped entirely
+    assert source_fingerprint(str(tmp_path)) == base
+    (root / "part-1.parquet").write_bytes(b"more")
+    assert source_fingerprint(str(tmp_path)) != base

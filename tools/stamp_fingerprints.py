@@ -59,30 +59,55 @@ def _tested_module_hash(rnd: int, relpath: str, evidence_dir: str,
     if ev_rel.startswith(".."):
         return None  # evidence outside the repo: synthesized fixture
     if ("ev", ev_rel) not in _cache:
-        # The commit that INTRODUCED round rnd's evidence (diff-filter=A),
-        # not the newest commit touching the file: a later reformat /
+        # The commit that INTRODUCED round rnd's evidence, not the
+        # newest commit touching the file: a later reformat /
         # consolidation commit would otherwise silently shift the
         # reference tree forward and bless code the driver never tested
-        # (ADVICE r7, medium). NEWEST add (lines[0]) so a delete +
+        # (ADVICE r7, medium). NEWEST introduction, so a delete +
         # re-add resolves to the commit that introduced the CURRENT
-        # content. RENAMED evidence (r9 advice + review): --follow must
-        # be the PRIMARY query — a pathspec-limited plain
+        # content. RENAMED evidence (r9 advice + review): the walk must
+        # trace THROUGH renames — a pathspec-limited plain
         # `--diff-filter=A -- <newpath>` reports the rename commit
-        # ITSELF as an Add (rename detection needs both paths in the
-        # diff; pathspec limiting hides the deletion — verified in a
-        # scratch repo), so plain-A-first resolves renamed evidence to
-        # the rename commit, whose parent tree already contains module
-        # edits made after the driver ran — the bless-untested-code
-        # hazard this guard exists to stop. --follow traces through the
-        # rename to the commit that introduced the CONTENT, and its
-        # newest Add keeps the delete+re-add semantics too. Plain A,
+        # ITSELF as an Add, whose parent tree already contains module
+        # edits made after the driver ran (bless-untested-code hazard).
+        # But raw `--follow --diff-filter=A` over-follows: git's
+        # similarity detection also chains through COPIES of other
+        # still-present files (r10 live failure: CORRECTNESS_r09.json
+        # scored C080 against CORRECTNESS_r03.json — round evidence
+        # files are structurally similar by construction — resolving
+        # the tested tree to round THREE and falsely drift-marking 40
+        # entries). A copy introduces NEW content at the copying
+        # commit; only a true rename (old path deleted) carries content
+        # history. So: walk `--follow --name-status` newest→oldest,
+        # chaining the tracked path through R entries and stopping at
+        # the first A (added) or C (copied) entry for it. Plain A,
         # then oldest-touch, remain as fallbacks (--follow can return
         # nothing for exotic histories), never None, so the guard
         # cannot silently self-disable into bless-everything.
-        out = _git("log", "--follow", "--diff-filter=A",
-                   "--format=%H", "--", ev_rel)
-        lines = out.split() if out else []
-        commit = lines[0] if lines else None
+        commit = None
+        out = _git("log", "--follow", "--name-status",
+                   "--format=%x00%H", "--", ev_rel)
+        if out:
+            current = ev_rel
+            for block in out.split("\x00"):
+                lines = [ln for ln in block.splitlines() if ln.strip()]
+                if not lines:
+                    continue
+                sha, entries = lines[0], lines[1:]
+                for ent in entries:
+                    parts = ent.split("\t")
+                    status = parts[0]
+                    if status == "A" and parts[-1] == current:
+                        commit = sha
+                        break
+                    if status.startswith(("R", "C")) and parts[-1] == current:
+                        if status.startswith("R"):
+                            current = parts[1]  # trace through rename
+                        else:
+                            commit = sha  # copy = new content here
+                        break
+                if commit:
+                    break
         if commit is None:
             out = _git("log", "--diff-filter=A", "--format=%H",
                        "--", ev_rel)
