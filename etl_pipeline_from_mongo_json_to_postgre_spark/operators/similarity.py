@@ -1441,7 +1441,9 @@ def emb_triplet_mining(spark, sf_dir, n_anchors: int = N_TRIPLET_ANCHORS):
         raise ValueError(
             f"emb_triplet_mining broadcasts the anchor batch; "
             f"n_anchors={n_anchors} exceeds MAX_BRUTE_FORCE_QUERIES="
-            f"{MAX_BRUTE_FORCE_QUERIES}. Mine per-shard batches instead."
+            f"{MAX_BRUTE_FORCE_QUERIES}. Mine per-shard batches instead "
+            "(emb_triplet_mining_sharded — full-corpus anchors, cost "
+            "n x batch, no broadcast bound)."
         )
     # one materialization feeds the anchor slice and the corpus side
     vecs = _vectors(spark, sf_dir, "label").localCheckpoint(eager=True)
@@ -1525,10 +1527,231 @@ ORACLE_SQL["emb_triplet_mining"] = f"""
 """
 
 
+TRIPLET_BATCH_SIZE = 64
+
+
+def emb_triplet_mining_sharded(spark, sf_dir):
+    """Full-corpus batch-hard triplet mining — the sharded path the
+    brute entry's guard points at. emb_triplet_mining broadcasts its
+    anchor slice and scores it against the WHOLE corpus, so its cost is
+    |anchors| x |corpus| and the guard caps anchors at
+    MAX_BRUTE_FORCE_QUERIES. This entry is the training regime Schroff
+    (CVPR'15) actually describes: EVERY corpus vector is an anchor, and
+    'hardest' means hardest WITHIN THE ANCHOR'S MINI-BATCH — anchors
+    are partitioned into contiguous TRIPLET_BATCH_SIZE blocks
+    (batch_id = vec_id div B; at 100 TB the batch COUNT grows with the
+    corpus while per-batch cost stays B^2, so total cost is n x B,
+    linear), each batch self-joins on batch_id (co-partitioned, one
+    corpus shuffle per side, pairs never leave their partition), and
+    per-anchor extremes come from the same struct-min/max map-side
+    aggregation as the brute form — the final Exchange carries
+    |anchors| partially-combined rows, never the n x B scored set.
+
+    NULL contract (superset of the brute form's): an anchor whose batch
+    holds no other member of its label gets a NULL positive; an anchor
+    whose batch is single-label gets a NULL negative; margin is NULL
+    when either side is. Rows are never dropped. Ties break to the
+    lowest vec_id on both sides; same sequential-fold dot products ->
+    bit-exact oracle."""
+    vecs = _vectors(spark, sf_dir, "label")
+    batched = vecs.select(
+        "vec_id", "label", "v", "nrm",
+        (F.col("vec_id") / TRIPLET_BATCH_SIZE).cast("long").alias("batch_id"),
+    ).localCheckpoint(eager=True)  # both join sides read it
+    anchors = batched.select(
+        "batch_id",
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    pairs = anchors.join(batched, "batch_id").where(
+        F.col("vec_id") != F.col("anchor_id")
+    )
+    cos = _dot(F.col("av"), F.col("v")) / (F.col("an") * F.col("nrm"))
+    scored = pairs.select(
+        "batch_id",
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        cos.alias("cos"),
+        (F.col("label") == F.col("anchor_label")).alias("same"),
+    )
+    pos = F.min(
+        F.when(
+            F.col("same"),
+            F.struct(F.col("cos").alias("c"), F.col("vec_id").alias("id")),
+        )
+    ).alias("pos")
+    neg = F.max(
+        F.when(
+            ~F.col("same"),
+            F.struct(
+                F.col("cos").alias("c"),
+                (-F.col("vec_id")).alias("nid"),
+                F.col("vec_id").alias("id"),
+            ),
+        )
+    ).alias("neg")
+    mined = (
+        scored.groupBy("batch_id", "anchor_id", "anchor_label")
+        .agg(pos, neg)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "batch_id",
+            F.col("pos.id").alias("pos_id"),
+            F.col("neg.id").alias("neg_id"),
+            F.round("pos.c", 6).alias("pos_cos"),
+            F.round("neg.c", 6).alias("neg_cos"),
+            F.round(F.col("pos.c") - F.col("neg.c"), 6).alias("margin"),
+        )
+    )
+    # lone-vector batches (no pair rows at all) still owe a NULL row
+    return (
+        batched.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            "batch_id",
+        )
+        .join(mined, ["anchor_id", "anchor_label", "batch_id"], "left")
+    )
+
+
+ORACLE_SQL["emb_triplet_mining_sharded"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, label, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm,
+               CAST(floor(vec_id / {TRIPLET_BATCH_SIZE}) AS BIGINT)
+                   AS batch_id
+        FROM embeddings
+    ), scored AS (
+        SELECT a.batch_id, a.vec_id AS anchor_id, a.label AS anchor_label,
+               t.vec_id AS vec_id, t.label = a.label AS same,
+               {_duck_dot('a.v', 't.v')} / (a.nrm * t.nrm) AS cos
+        FROM vecs a JOIN vecs t
+          ON t.batch_id = a.batch_id AND t.vec_id <> a.vec_id
+    ), pos AS (
+        SELECT anchor_id, vec_id, cos, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos ASC, vec_id ASC) AS rk
+        FROM scored WHERE same
+    ), neg AS (
+        SELECT anchor_id, vec_id, cos, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored WHERE NOT same
+    )
+    SELECT a.vec_id AS anchor_id, a.label AS anchor_label, a.batch_id,
+           p.vec_id AS pos_id, n.vec_id AS neg_id,
+           round(p.cos, 6) AS pos_cos, round(n.cos, 6) AS neg_cos,
+           round(p.cos - n.cos, 6) AS margin
+    FROM vecs a
+    LEFT JOIN pos p ON p.anchor_id = a.vec_id AND p.rk = 1
+    LEFT JOIN neg n ON n.anchor_id = a.vec_id AND n.rk = 1
+"""
+
+
+def dedup_semantic_cells(spark, sf_dir):
+    """Semantic dedup over embedding clusters (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540): cluster FIRST, then prune near-duplicates
+    WITHIN cells only — the published 100 TB semantic-dedup recipe.
+    LSH candidate generation (dedup_embedding_cosine) depends on
+    collision luck; here the candidate set is bounded by cell occupancy
+    by construction: the pair join is keyed on cluster_id, so a
+    cross-cell pair is unrepresentable in the plan. The price is the
+    documented SemDeDup miss class — near-dups that straddle a cell
+    boundary — acceptable when the quantizer is trained (kmeans.train
+    is the trainer; the fixed CENTROID literals stand in for its output
+    exactly as in ann_ivf_topk).
+
+    Shuffle discipline: cell assignment is a map-side expression over
+    broadcast centroid literals (no shuffle); pair generation self-joins
+    (cluster_id, vec_id) ID PAIRS only — the 64-double vectors rejoin
+    the verified-candidate list afterwards, so the quadratic-per-cell
+    stage moves 16-byte rows. Canonical rule: keep-first (smallest
+    vec_id among a vector and its same-cell near-dups) — the reference's
+    keep-first dedup semantics (postgres_audit_repository.py:68-70),
+    same single-hop contract as dedup_embedding_cosine.
+
+    Output: (vec_id, cluster_id, canonical_id, is_duplicate).
+    """
+    vecs = _vectors(spark, sf_dir)
+    assigned = vecs.select(
+        "vec_id", "v", "nrm",
+        _matrix_dots(F.col("v"), CENTROIDS).alias("dots"),
+    ).select(
+        "vec_id", "v", "nrm",
+        F.array_position("dots", F.array_max("dots")).alias("cluster_id"),
+    ).localCheckpoint(eager=True)  # ids + both verify sides read it
+
+    ids = assigned.select("cluster_id", "vec_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    cand = (
+        a.join(b, "cluster_id")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+    )
+    x = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    y = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        cand.join(x, "vec_a").join(y, "vec_b")
+        .where(F.round(cos, 6) >= NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    partner_min = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("min_partner")
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(partner_min, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.least(
+                F.col("vec_id"),
+                F.coalesce(F.col("min_partner"), F.col("vec_id")),
+            ).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col("canonical_id") != F.col("vec_id"))
+    )
+
+
+ORACLE_SQL["dedup_semantic_cells"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, v, nrm,
+               CAST(list_position(dots, list_max(dots)) AS BIGINT)
+                   AS cluster_id
+        FROM (SELECT vec_id, v, nrm, {_DUCK_CENT_DOTS} AS dots FROM vecs)
+    ), pairs AS (
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM assigned x JOIN assigned y
+          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        WHERE round({_duck_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 6)
+              >= {NEAR_DUP_THRESHOLD}
+    ), pm AS (
+        SELECT vec_b AS vec_id, MIN(vec_a) AS min_partner
+        FROM pairs GROUP BY vec_b
+    )
+    SELECT a.vec_id, a.cluster_id,
+           least(a.vec_id, coalesce(pm.min_partner, a.vec_id))
+               AS canonical_id,
+           least(a.vec_id, coalesce(pm.min_partner, a.vec_id)) <> a.vec_id
+               AS is_duplicate
+    FROM assigned a LEFT JOIN pm ON pm.vec_id = a.vec_id
+"""
+
+
 QUERIES = {
     "search_hybrid_rerank": search_hybrid_rerank,
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "emb_triplet_mining": emb_triplet_mining,
+    "emb_triplet_mining_sharded": emb_triplet_mining_sharded,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
@@ -1537,6 +1760,7 @@ QUERIES = {
     "sim_knn_graph": sim_knn_graph,
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic_cells": dedup_semantic_cells,
     "dedup_components": dedup_components,
     "dedup_components_bigstar": dedup_components_bigstar,
     "dedup_cluster_census": dedup_cluster_census,

@@ -99,3 +99,49 @@ def test_triplet_mining_lone_label_null_sides(spark, tmp_path):
         r.pos_id is not None and r.margin is not None
         for a, r in by_anchor.items() if a != 0
     )
+
+
+def test_sharded_triplet_mining_null_contract_per_batch(spark, tmp_path):
+    """The sharded miner's NULL contract is per-BATCH: lone-label-in-
+    batch -> NULL positive; single-label batch -> NULL negative;
+    lone-vector batch -> both NULL (the left-join backfill path). All
+    three cross-engine-proven on one fixture (batches are
+    vec_id div 64, so ids 0-4 / 64-65 / 128 land in three batches)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    ids = [0, 1, 2, 3, 4, 64, 65, 128]
+    labels = [7, 1, 1, 2, 2, 3, 3, 5]
+    vecs = [[float(x) for x in rng.randn(64)] for _ in ids]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    _check(spark, str(tmp_path), ["emb_triplet_mining_sharded"])
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        emb_triplet_mining_sharded,
+    )
+
+    by_anchor = {
+        r.anchor_id: r
+        for r in emb_triplet_mining_sharded(spark, str(tmp_path)).collect()
+    }
+    assert set(by_anchor) == set(ids)  # no row ever dropped
+    lone_label = by_anchor[0]
+    assert lone_label.pos_id is None and lone_label.margin is None
+    assert lone_label.neg_id is not None
+    for a in (64, 65):  # single-label batch: positives only
+        assert by_anchor[a].pos_id is not None
+        assert by_anchor[a].neg_id is None and by_anchor[a].margin is None
+    lone_vec = by_anchor[128]
+    assert lone_vec.pos_id is None and lone_vec.neg_id is None
+    for a in (1, 2, 3, 4):  # full batch: both sides mined in-batch
+        r = by_anchor[a]
+        assert r.pos_id is not None and r.neg_id is not None
+        assert r.batch_id == 0
+        assert r.pos_id // 64 == 0 and r.neg_id // 64 == 0  # never cross-batch

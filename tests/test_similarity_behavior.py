@@ -180,3 +180,124 @@ def test_hybrid_rerank_properties(spark, sf_dir):
         assert [r.rerank for r in rs] == list(range(1, expected_m[q] + 1))
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+class TestSemanticCellDedup:
+    """SemDeDup (cluster-then-prune) semantics: candidates bounded by
+    cell occupancy, cross-cell pairs unrepresentable, keep-first
+    canonical rule consistent with the single-hop contract."""
+
+    @pytest.fixture(scope="class")
+    def sem(self, spark, sf_dir):
+        return similarity.dedup_semantic_cells(spark, sf_dir).collect()
+
+    def test_canonical_invariants(self, sem):
+        by_id = {r["vec_id"]: r for r in sem}
+        assert len(by_id) == len(sem)  # one row per vector
+        for r in sem:
+            assert r["canonical_id"] <= r["vec_id"]
+            assert r["is_duplicate"] == (r["canonical_id"] != r["vec_id"])
+            # single-hop keep-first: the canonical target must live in
+            # the SAME cell (pairs are generated within cells only)
+            assert by_id[r["canonical_id"]]["cluster_id"] == r["cluster_id"]
+
+    def test_within_cell_rule_matches_brute_force(self, spark, sf_dir, sem):
+        """Every marked duplicate must have an exact-cosine >= threshold
+        partner with a smaller id IN ITS CELL, and its canonical must be
+        the smallest such partner — recomputed brute force here."""
+        vecs = similarity._vectors(spark, sf_dir)
+        dots = similarity._matrix_dots(F.col("v"), similarity.CENTROIDS)
+        assigned = vecs.select(
+            "vec_id", "v", "nrm",
+            F.array_position(dots, F.array_max(dots)).alias("cell"),
+        )
+        a = assigned.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+                            F.col("nrm").alias("na"), F.col("cell").alias("ca"))
+        b = assigned.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+                            F.col("nrm").alias("nb"), F.col("cell").alias("cb"))
+        cos = similarity._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        brute_pairs = (
+            a.crossJoin(b)
+            .where((F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
+            .where(F.round(cos, 6) >= similarity.NEAR_DUP_THRESHOLD)
+            .select("ia", "ib")
+            .collect()
+        )
+        min_partner = {}
+        for p in brute_pairs:
+            min_partner[p["ib"]] = min(min_partner.get(p["ib"], p["ia"]), p["ia"])
+        for r in sem:
+            want = min(r["vec_id"], min_partner.get(r["vec_id"], r["vec_id"]))
+            assert r["canonical_id"] == want
+
+    def test_plan_has_no_cross_cell_pair_generation(self, spark, sf_dir):
+        """The pair join must be keyed on cluster_id (a cross-cell pair
+        is unrepresentable) and the plan must contain no cartesian
+        product — the SemDeDup candidate bound is structural, not a
+        filter that an optimizer could reorder away."""
+        from etl_pipeline_from_mongo_json_to_postgre_spark.storage import physical_plan
+
+        plan = physical_plan(similarity.dedup_semantic_cells(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "cluster_id" in plan  # join key reaches the physical join
+
+
+class TestShardedTripletMining:
+    """Batch-hard semantics: extremes are per-BATCH (never global), the
+    pair join is keyed on batch_id, and the full corpus is the anchor
+    set — the guard-free n x B path the brute entry's error points at."""
+
+    @pytest.fixture(scope="class")
+    def mined(self, spark, sf_dir):
+        return similarity.emb_triplet_mining_sharded(spark, sf_dir).collect()
+
+    def test_every_vector_is_an_anchor(self, spark, sf_dir, mined):
+        n = similarity._vectors(spark, sf_dir).count()
+        assert len(mined) == n
+        assert len({r["anchor_id"] for r in mined}) == n
+
+    def test_extremes_match_within_batch_brute_force(self, spark, sf_dir, mined):
+        vecs = similarity._vectors(spark, sf_dir, "label")
+        rows = vecs.collect()
+        import math
+
+        by_batch = {}
+        for r in rows:
+            by_batch.setdefault(r["vec_id"] // similarity.TRIPLET_BATCH_SIZE, []).append(r)
+        by_anchor = {r["anchor_id"]: r for r in mined}
+        checked = 0
+        for batch in list(by_batch.values())[:3]:  # spot-check 3 batches
+            for a in batch:
+                best_pos, best_neg = None, None
+                for t in batch:
+                    if t["vec_id"] == a["vec_id"]:
+                        continue
+                    cos = round(
+                        sum(x * y for x, y in zip(a["v"], t["v"]))
+                        / (a["nrm"] * t["nrm"]), 6)
+                    if t["label"] == a["label"]:
+                        k = (cos, t["vec_id"])
+                        if best_pos is None or k < best_pos:
+                            best_pos = k
+                    else:
+                        k = (-cos, t["vec_id"])
+                        if best_neg is None or k < best_neg:
+                            best_neg = k
+                got = by_anchor[a["vec_id"]]
+                assert (got["pos_id"] is None) == (best_pos is None)
+                assert (got["neg_id"] is None) == (best_neg is None)
+                if best_pos:
+                    assert got["pos_id"] == best_pos[1]
+                    assert math.isclose(got["pos_cos"], best_pos[0], abs_tol=1e-6)
+                if best_neg:
+                    assert got["neg_id"] == best_neg[1]
+                    assert math.isclose(got["neg_cos"], -best_neg[0], abs_tol=1e-6)
+                checked += 1
+        assert checked >= 50
+
+    def test_plan_joins_on_batch_id_no_cartesian(self, spark, sf_dir):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.storage import physical_plan
+
+        plan = physical_plan(similarity.emb_triplet_mining_sharded(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "batch_id" in plan
