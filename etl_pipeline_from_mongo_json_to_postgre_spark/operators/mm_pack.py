@@ -60,12 +60,12 @@ def _doc_media(spark, sf_dir):
     return _payload_table(ids, _ppm_bytes)
 
 
-def mm_interleaved_pack(spark, sf_dir):
-    """Per-(shard, pack) manifest census: doc count, media count, text
-    tokens, media token-equivalents, total tokens. Deterministic: the
-    shard is a pure scramble of doc_id, packing order is doc_id, and
-    the greedy rule is the pack_sequences cumulative-window discipline.
-    """
+def _packed_docs(spark, sf_dir):
+    """Per-document pack assignment (shard, doc_id, pack_id,
+    text_tokens, media_tokens): the shared frame the manifest census
+    aggregates and the shard writer materializes — one packing rule,
+    two consumers, so the written shards can never drift from the
+    audited manifest."""
     tune_for_oracle(spark)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -110,11 +110,23 @@ def mm_interleaved_pack(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(cost).over(win)
+    return joined.select(
+        "shard", "doc_id", "text_tokens", "media_tokens",
+        F.floor((cum - cost) / F.lit(PACK_LEN)).alias("pack_id"),
+    )
+
+
+def mm_interleaved_pack(spark, sf_dir):
+    """Per-(shard, pack) manifest census: doc count, media count, text
+    tokens, media token-equivalents, total tokens. Deterministic: the
+    shard is a pure scramble of doc_id, packing order is doc_id, and
+    the greedy rule is the pack_sequences cumulative-window discipline.
+    """
     return (
-        joined.select(
-            "shard", "text_tokens", "media_tokens",
+        _packed_docs(spark, sf_dir)
+        .select(
+            "shard", "pack_id", "text_tokens", "media_tokens",
             (F.col("media_tokens") > 0).cast("int").alias("has_media"),
-            F.floor((cum - cost) / F.lit(PACK_LEN)).alias("pack_id"),
         )
         .groupBy("shard", "pack_id")
         .agg(
@@ -123,6 +135,48 @@ def mm_interleaved_pack(spark, sf_dir):
             F.sum("text_tokens").alias("text_tokens"),
             F.sum("media_tokens").alias("media_tokens"),
         )
+    )
+
+
+def write_mm_packed_shards(spark, sf_dir, path: str) -> None:
+    """Materialize the interleaved-pack membership as training shards
+    (path/shard=K/*.parquet) — the step the text mixture already has
+    (mixing.write_mixture_shards) applied to the MULTIMODAL stream:
+    each row carries its pack assignment, its text, and its REAL media
+    payload bytes inline (NULL for text-only docs), ordered by
+    (pack_id, doc_id) inside every file so a dataloader streams packs
+    contiguously.
+
+    Layout contract (mirrors storage.write_training_shards): shard
+    membership is the SAME pure function of doc_id the manifest census
+    uses — _packed_docs is the single source of both — so retries,
+    re-runs, and the audited manifest agree; range-partitioning the
+    shard ids gives one writer per shard (no tiny-file spray);
+    maxRecordsPerFile caps file size for loader parallelism while the
+    per-partition sort keeps every file internally pack-ordered. At
+    100 TB: raise SHARDS to O(cluster cores); the payload join is the
+    same shard-aligned join the manifest plan pins — zero shuffle past
+    it, and the writer adds only the range exchange on shard ids."""
+    packed = _packed_docs(spark, sf_dir)
+    text = fan_out(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    payload = _doc_media(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"), "payload"
+    )
+    out = (
+        packed.join(text, "doc_id")
+        .join(payload, "doc_id", "left")
+        .select("shard", "pack_id", "doc_id", "text_tokens",
+                "media_tokens", "text", "payload")
+    )
+    (
+        out.repartitionByRange(SHARDS, "shard")
+        .sortWithinPartitions("shard", "pack_id", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 200)
+        .partitionBy("shard")
+        .parquet(path)
     )
 
 

@@ -98,3 +98,78 @@ def test_pack_plan_stays_colocated_in_smj_regime(spark, sf_dir):
     smj = {tuple(r) for r in df.collect()}
     bhj = {tuple(r) for r in mm_pack.mm_interleaved_pack(spark, sf_dir).collect()}
     assert smj == bhj
+
+
+def test_write_mm_packed_shards_layout_parity_determinism(spark, sf_dir, tmp_path):
+    """write_mm_packed_shards (r10): the manifest reaches disk. One
+    directory per shard, files internally (pack_id, doc_id)-ordered,
+    re-read rows census back to EXACTLY the audited manifest, payloads
+    present iff the doc carries media, and a second write is
+    byte-deterministic."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import mm_pack
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+    )
+
+    out = str(tmp_path / "mm_shards")
+    mm_pack.write_mm_packed_shards(spark, sf_dir, out)
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) == mm_pack.SHARDS
+
+    back = spark.read.parquet(out)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert back.count() == n_docs
+
+    # re-read census == the audited manifest, column for column
+    census = (
+        back.groupBy(F.col("shard").cast("bigint").alias("shard"), "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("media_tokens") > 0).cast("int")).cast("bigint")
+            .alias("n_media"),
+            F.sum("text_tokens").alias("text_tokens"),
+            F.sum("media_tokens").alias("media_tokens"),
+        )
+    )
+    manifest = mm_pack.mm_interleaved_pack(spark, sf_dir)
+    assert census.exceptAll(manifest).count() == 0
+    assert manifest.exceptAll(census).count() == 0
+
+    # payload rides iff the doc carries media, and is real PPM bytes
+    bad = back.where(
+        (F.col("payload").isNotNull()) != (F.col("doc_id") % mm_pack.MEDIA_EVERY == 0)
+    )
+    assert bad.count() == 0
+    sample = back.where(F.col("payload").isNotNull()).limit(3).collect()
+    assert sample and all(bytes(r.payload).startswith(b"P6\n") for r in sample)
+
+    # every file internally ordered by (pack_id, doc_id)
+    def file_hashes(root):
+        hashes = {}
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("shard="):
+                continue
+            for f in sorted(os.listdir(os.path.join(root, d))):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, d, f)
+                t = pq.read_table(p, columns=["pack_id", "doc_id"])
+                keys = list(zip(t.column("pack_id").to_pylist(),
+                                t.column("doc_id").to_pylist()))
+                assert keys == sorted(keys), f"unordered file {p}"
+                content = pq.read_table(p)
+                hashes[(d, len(hashes))] = hashlib.sha256(
+                    str(content.to_pydict()).encode()).hexdigest()
+        return hashes
+
+    h1 = file_hashes(out)
+
+    out2 = str(tmp_path / "mm_shards2")
+    mm_pack.write_mm_packed_shards(spark, sf_dir, out2)
+    assert file_hashes(out2) == h1, "re-run must reproduce identical shards"
