@@ -117,6 +117,114 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_sliding")
 
 
+LATE_PLANT_MOD = 50       # event_id % MOD == 0 rows arrive late
+LATE_PLANT_MIN_AGE_H = 48  # ...but only if >48h older than the corpus max
+LATE_SPLIT_H = 24          # on-time arrival split: older / last-day files
+LATE_DELAY = "2 hours"     # watermark delay
+
+
+def _run_late_drop_stream(spark: SparkSession, sf_dir: str):
+    """Watermark DROP semantics through the real engine: events are
+    staged as three arrival files — (1) on-time rows older than the
+    last LATE_SPLIT_H hours, (2) the on-time last-day tail, (3) PLANTED
+    late rows (event_id % LATE_PLANT_MOD == 0 and event time >
+    LATE_PLANT_MIN_AGE_H older than the corpus max) — and run through
+    an append-mode 1-hour windowed aggregation with a 2-hour watermark.
+
+    Empirically pinned semantics (probed on 4.1.2, see
+    tests/test_streaming.py): the late filter in batch N applies the
+    watermark in effect during batch N-1, so planted rows must arrive
+    one batch AFTER the batch whose data raised the watermark past
+    their windows — hence three files, not two. Every planted row's
+    window end sits >47h below the on-time maximum while the filter
+    watermark is within ~hours of it, so ALL planted rows are dropped
+    (numRowsDroppedByWatermark counts them), and append mode emits
+    exactly the windows whose end <= final watermark = corpus max -
+    2h. The DuckDB oracle recomputes that retained subset from the
+    same rule: a no-drop implementation would re-emit finalized
+    windows with the late contributions and hash-mismatch.
+
+    Returns (census_rows, schema, progress) — the caller materializes;
+    scratch dirs are removed before returning (r9 stream-load advice).
+    """
+    import shutil
+    import time as _time
+
+    from ..session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    events = normalize_timestamps(load_table(spark, sf_dir, "events"))
+    max_ts = events.agg(F.max("ts")).collect()[0][0]  # one scalar
+    is_plant = (F.col("event_id") % LATE_PLANT_MOD == 0) & (
+        F.col("ts") < F.lit(max_ts) - F.expr(
+            f"INTERVAL {LATE_PLANT_MIN_AGE_H} HOURS")
+    )
+    is_tail = F.col("ts") >= F.lit(max_ts) - F.expr(
+        f"INTERVAL {LATE_SPLIT_H} HOURS")
+    waves = [
+        events.where(~is_plant & ~is_tail),
+        events.where(~is_plant & is_tail),
+        events.where(is_plant),
+    ]
+    watch = tempfile.mkdtemp(prefix="late_watch_")
+    scratch = tempfile.mkdtemp(prefix="late_stage_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_late_")
+    try:
+        base = _time.time() - 900
+        for i, wave in enumerate(waves):
+            d = os.path.join(scratch, f"wave{i}")
+            wave.select("event_id", "ts", "event_type", "value").write.mode(
+                "overwrite").parquet(d)
+            for f in os.listdir(d):
+                if not f.endswith(".parquet"):
+                    continue
+                dst = os.path.join(watch, f"wave{i}_{f}")
+                os.replace(os.path.join(d, f), dst)
+                # one arrival instant per wave: the file source orders
+                # by mtime, so every wave-i file precedes wave i+1
+                os.utime(dst, (base + i * 100, base + i * 100))
+        schema = "event_id long, ts timestamp, event_type string, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+        agg = (
+            stream.withWatermark("ts", LATE_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double").alias("value_sum"),
+            )
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "cnt", "value_sum")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_late_drop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table("stream_late_drop")
+        return result.collect(), result.schema, list(q.recentProgress)
+    finally:
+        for d in (watch, scratch, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def stream_late_drop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: the emitted append-mode window census after the
+    watermark dropped the planted late arrivals (bounded state bought
+    by dropped rows — the measured basis events_lateness_census only
+    estimates)."""
+    rows, schema, _ = _run_late_drop_stream(spark, sf_dir)
+    return spark.createDataFrame(rows, schema)
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -541,6 +649,27 @@ def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 ORACLE_SQL = {
+    # retained subset recomputed from the watermark rule: planted rows
+    # (old + event_id mod) are dropped by the stream's late filter, and
+    # append mode only emits windows finalized by the final watermark
+    # (corpus max - delay); <= on the window end mirrors Spark's
+    # eviction predicate
+    "stream_late_drop_census": f"""
+        WITH m AS (SELECT max(ts) AS mx FROM events),
+        ontime AS (
+            SELECT e.* FROM events e, m
+            WHERE NOT (e.event_id % {LATE_PLANT_MOD} = 0
+                       AND e.ts < m.mx - INTERVAL {LATE_PLANT_MIN_AGE_H} HOUR)
+        )
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM ontime, m
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+              <= m.mx - INTERVAL 2 HOUR
+        GROUP BY 1, 2
+    """,
     "stream_windowed_distinct_users": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
@@ -610,6 +739,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "stream_late_drop_census": stream_late_drop_census,
     "stream_windowed_distinct_users": stream_windowed_distinct_users,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sliding_counts": stream_sliding_counts,

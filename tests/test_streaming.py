@@ -332,3 +332,76 @@ def test_sessionize_boundary_exact_gap_adjacency(spark, tmp_path):
         sess.sort()
         assert sess[0][2] == 2, f"exact-gap successor must merge: {sess}"
         assert sess[1][2] == 1, f"> gap successor must split: {sess}"
+
+
+def test_late_drop_census_planted_rows_are_exactly_the_delta(spark, sf_dir):
+    """stream_late_drop_census (r10): the watermark must drop EXACTLY
+    the planted late rows — numRowsDroppedByWatermark equals the plant
+    count, and adding the planted contributions back to the streamed
+    census reproduces the all-rows batch census over the same emitted
+    windows (so the drop is the only difference)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import (
+        load_table,
+        normalize_timestamps,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming.events import (
+        LATE_PLANT_MIN_AGE_H,
+        LATE_PLANT_MOD,
+        _run_late_drop_stream,
+    )
+
+    rows, schema, progress = _run_late_drop_stream(spark, sf_dir)
+    streamed = spark.createDataFrame(rows, schema)
+
+    events = normalize_timestamps(load_table(spark, sf_dir, "events"))
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    is_plant = (F.col("event_id") % LATE_PLANT_MOD == 0) & (
+        F.col("ts") < F.lit(max_ts) - F.expr(
+            f"INTERVAL {LATE_PLANT_MIN_AGE_H} HOURS")
+    )
+    n_plants = events.where(is_plant).count()
+    assert n_plants > 0, "fixture must actually plant late rows"
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in progress for op in p.get("stateOperators", [])
+    )
+    assert dropped == n_plants
+
+    # all-rows batch census over the emitted window set
+    full = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "cnt", "value_sum")
+        .where(F.col("window_start") + F.expr("INTERVAL 3 HOURS")
+               <= F.lit(max_ts))
+    )
+    # delta = planted contributions, window for window
+    plant_census = (
+        events.where(is_plant)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("p_cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "p_cnt")
+    )
+    merged = (
+        full.alias("f")
+        .join(streamed.alias("s"), ["window_start", "event_type"], "full")
+        .join(plant_census, ["window_start", "event_type"], "left")
+        .select(
+            "window_start", "event_type",
+            F.coalesce("f.cnt", F.lit(0)).alias("full_cnt"),
+            F.coalesce("s.cnt", F.lit(0)).alias("stream_cnt"),
+            F.coalesce("p_cnt", F.lit(0)).alias("plant_cnt"),
+        )
+    )
+    bad = merged.where(
+        F.col("full_cnt") != F.col("stream_cnt") + F.col("plant_cnt")
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
