@@ -1649,6 +1649,128 @@ ORACLE_SQL["emb_triplet_mining_sharded"] = f"""
 """
 
 
+def emb_triplet_mining_cells(spark, sf_dir):
+    """Per-IVF-cell approximate batch-hard triplet mining — the
+    practitioner shape: instead of contiguous-id mini-batches
+    (emb_triplet_mining_sharded), each anchor mines within its IVF
+    CELL, so negatives are semantically close by construction (the
+    impostors an ANN index would actually retrieve — hard-negative
+    mining over the index structure, the reason production pipelines
+    keep the quantizer around between searches). Approximate: an
+    anchor whose true hardest negative lives in another cell misses
+    it — the same bounded-candidate tradeoff dedup_semantic_cells
+    documents, and why this is 'approximate batch-hard'.
+
+    Same engine shape as the sharded form: map-side cell assignment
+    over broadcast centroid literals, ONE co-partitioned self-join on
+    cell_id, struct-min/max extremes map-side, final Exchange carries
+    |anchors| rows. Cost bounded by cell occupancy (at 100 TB the
+    quantizer is trained so cells are balanced; a skewed cell is AQE's
+    skew-join case). NULL contract identical to the sharded form,
+    per-cell."""
+    vecs = _vectors(spark, sf_dir, "label")
+    assigned = vecs.select(
+        "vec_id", "label", "v", "nrm",
+        _matrix_dots(F.col("v"), CENTROIDS).alias("dots"),
+    ).select(
+        "vec_id", "label", "v", "nrm",
+        F.array_position("dots", F.array_max("dots")).cast("long")
+        .alias("cell_id"),
+    ).localCheckpoint(eager=True)  # both join sides read it
+    anchors = assigned.select(
+        "cell_id",
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    pairs = anchors.join(assigned, "cell_id").where(
+        F.col("vec_id") != F.col("anchor_id")
+    )
+    cos = _dot(F.col("av"), F.col("v")) / (F.col("an") * F.col("nrm"))
+    scored = pairs.select(
+        "cell_id",
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        cos.alias("cos"),
+        (F.col("label") == F.col("anchor_label")).alias("same"),
+    )
+    pos = F.min(
+        F.when(
+            F.col("same"),
+            F.struct(F.col("cos").alias("c"), F.col("vec_id").alias("id")),
+        )
+    ).alias("pos")
+    neg = F.max(
+        F.when(
+            ~F.col("same"),
+            F.struct(
+                F.col("cos").alias("c"),
+                (-F.col("vec_id")).alias("nid"),
+                F.col("vec_id").alias("id"),
+            ),
+        )
+    ).alias("neg")
+    mined = (
+        scored.groupBy("cell_id", "anchor_id", "anchor_label")
+        .agg(pos, neg)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cell_id",
+            F.col("pos.id").alias("pos_id"),
+            F.col("neg.id").alias("neg_id"),
+            F.round("pos.c", 6).alias("pos_cos"),
+            F.round("neg.c", 6).alias("neg_cos"),
+            F.round(F.col("pos.c") - F.col("neg.c"), 6).alias("margin"),
+        )
+    )
+    return (
+        assigned.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            "cell_id",
+        )
+        .join(mined, ["anchor_id", "anchor_label", "cell_id"], "left")
+    )
+
+
+ORACLE_SQL["emb_triplet_mining_cells"] = f"""
+    WITH base AS (
+        SELECT vec_id, label, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm
+        FROM embeddings
+    ), vecs AS (
+        SELECT vec_id, label, v, nrm,
+               CAST(list_position(dots, list_max(dots)) AS BIGINT)
+                   AS cell_id
+        FROM (SELECT vec_id, label, v, nrm, {_DUCK_CENT_DOTS} AS dots
+              FROM base)
+    ), scored AS (
+        SELECT a.cell_id, a.vec_id AS anchor_id, a.label AS anchor_label,
+               t.vec_id AS vec_id, t.label = a.label AS same,
+               {_duck_dot('a.v', 't.v')} / (a.nrm * t.nrm) AS cos
+        FROM vecs a JOIN vecs t
+          ON t.cell_id = a.cell_id AND t.vec_id <> a.vec_id
+    ), pos AS (
+        SELECT anchor_id, vec_id, cos, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos ASC, vec_id ASC) AS rk
+        FROM scored WHERE same
+    ), neg AS (
+        SELECT anchor_id, vec_id, cos, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored WHERE NOT same
+    )
+    SELECT a.vec_id AS anchor_id, a.label AS anchor_label, a.cell_id,
+           p.vec_id AS pos_id, n.vec_id AS neg_id,
+           round(p.cos, 6) AS pos_cos, round(n.cos, 6) AS neg_cos,
+           round(p.cos - n.cos, 6) AS margin
+    FROM vecs a
+    LEFT JOIN pos p ON p.anchor_id = a.vec_id AND p.rk = 1
+    LEFT JOIN neg n ON n.anchor_id = a.vec_id AND n.rk = 1
+"""
+
+
 def dedup_semantic_cells(spark, sf_dir):
     """Semantic dedup over embedding clusters (SemDeDup, Abbas et al.
     2023, arXiv:2303.09540): cluster FIRST, then prune near-duplicates
@@ -1752,6 +1874,7 @@ QUERIES = {
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "emb_triplet_mining": emb_triplet_mining,
     "emb_triplet_mining_sharded": emb_triplet_mining_sharded,
+    "emb_triplet_mining_cells": emb_triplet_mining_cells,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,

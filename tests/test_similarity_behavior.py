@@ -301,3 +301,80 @@ class TestShardedTripletMining:
         plan = physical_plan(similarity.emb_triplet_mining_sharded(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "batch_id" in plan
+
+
+class TestCellTripletMining:
+    """Per-IVF-cell batch-hard mining: every vector is an anchor, both
+    extremes come from the anchor's OWN cell, and the cell rule is the
+    same max-dot assignment the rest of the IVF family uses."""
+
+    @pytest.fixture(scope="class")
+    def cells(self, spark, sf_dir):
+        return similarity.emb_triplet_mining_cells(spark, sf_dir).collect()
+
+    def test_full_corpus_anchors_and_extremes_stay_in_cell(
+        self, spark, sf_dir, cells
+    ):
+        vecs = similarity._vectors(spark, sf_dir)
+        n = vecs.count()
+        assert len(cells) == n
+        dots = similarity._matrix_dots(F.col("v"), similarity.CENTROIDS)
+        cell_of = {
+            r["vec_id"]: r["cell"]
+            for r in vecs.select(
+                "vec_id",
+                F.array_position(dots, F.array_max(dots)).cast("long")
+                .alias("cell"),
+            ).collect()
+        }
+        for r in cells:
+            assert r["cell_id"] == cell_of[r["anchor_id"]]
+            for side in ("pos_id", "neg_id"):
+                if r[side] is not None:
+                    assert cell_of[r[side]] == r["cell_id"], (
+                        f"{side} of anchor {r['anchor_id']} crossed cells")
+
+    def test_margins_are_batch_hard_within_cell(self, spark, sf_dir, cells):
+        """Spot-check one populated cell brute force: mined pos is the
+        LOWEST same-label cosine, mined neg the HIGHEST other-label
+        cosine, ties to lowest id."""
+        import math
+
+        vecs = similarity._vectors(spark, sf_dir, "label")
+        dots = similarity._matrix_dots(F.col("v"), similarity.CENTROIDS)
+        rows = vecs.select(
+            "vec_id", "label", "v", "nrm",
+            F.array_position(dots, F.array_max(dots)).cast("long")
+            .alias("cell"),
+        ).collect()
+        by_cell = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], []).append(r)
+        cell, members = max(by_cell.items(), key=lambda kv: len(kv[1]))
+        assert len(members) >= 5
+        by_anchor = {r["anchor_id"]: r for r in cells}
+        for a in members:
+            best_pos, best_neg = None, None
+            for t in members:
+                if t["vec_id"] == a["vec_id"]:
+                    continue
+                cos = round(
+                    sum(x * y for x, y in zip(a["v"], t["v"]))
+                    / (a["nrm"] * t["nrm"]), 6)
+                if t["label"] == a["label"]:
+                    k = (cos, t["vec_id"])
+                    best_pos = k if best_pos is None or k < best_pos else best_pos
+                else:
+                    k = (-cos, t["vec_id"])
+                    best_neg = k if best_neg is None or k < best_neg else best_neg
+            got = by_anchor[a["vec_id"]]
+            if best_pos:
+                assert got["pos_id"] == best_pos[1]
+                assert math.isclose(got["pos_cos"], best_pos[0], abs_tol=1e-6)
+            else:
+                assert got["pos_id"] is None
+            if best_neg:
+                assert got["neg_id"] == best_neg[1]
+                assert math.isclose(got["neg_cos"], -best_neg[0], abs_tol=1e-6)
+            else:
+                assert got["neg_id"] is None
