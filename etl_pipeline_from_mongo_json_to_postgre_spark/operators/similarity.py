@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, functions as F
 
+from ..functions.sampling import scrambled_key, scrambled_key_sql
 from ..session import tune_for_oracle
 from ..sources.parquet import fan_out, load_table
 
@@ -1842,6 +1843,90 @@ def dedup_semantic_cells(spark, sf_dir):
     )
 
 
+INC_VEC_BATCH_MOD = 10  # scrambled vec_id % 10 == 0 -> the "new batch"
+
+
+def inc_semantic_dedup(spark, sf_dir):
+    """Incremental semantic dedup: an ARRIVING embedding batch
+    classified against the indexed corpus within IVF cells — the
+    skip-re-embedding / skip-re-training signal a continuously-
+    ingesting pipeline needs, and the incremental twin of
+    dedup_semantic_cells exactly as inc_dedup_merge twins the LSH
+    dedup and inc_chunk_dedup twins chunk dedup.
+
+    The batch is the deterministic scrambled-id 10% slice; everything
+    else is the index. Candidates join BATCH x INDEX on cell_id only —
+    never index x index, so per-batch cost is |batch| x occupancy of
+    the probed cells; at 100 TB the index is a cell-bucketed table
+    (the ann_ivf_topk layout) and this is a bucket-pruned probe.
+    Verify by exact cosine >= NEAR_DUP_THRESHOLD; each batch vector
+    gets is_dup + its canonical (min matching index id, or itself) —
+    the keep-first contract, with the index always winning over the
+    arrival."""
+    vecs = _vectors(spark, sf_dir)
+    assigned = vecs.select(
+        "vec_id", "v", "nrm",
+        _matrix_dots(F.col("v"), CENTROIDS).alias("dots"),
+    ).select(
+        "vec_id", "v", "nrm",
+        F.array_position("dots", F.array_max(F.col("dots"))).cast("long")
+        .alias("cell_id"),
+    ).localCheckpoint(eager=True)  # batch + index slices read it once
+    is_batch = scrambled_key(F.col("vec_id"), INC_VEC_BATCH_MOD) == 0
+    batch = assigned.where(is_batch).select(
+        "cell_id", "vec_id",
+        F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+    )
+    index = assigned.where(~is_batch).select(
+        "cell_id",
+        F.col("vec_id").alias("idx_id"),
+        F.col("v").alias("iv"), F.col("nrm").alias("inrm"),
+    )
+    cos = _dot(F.col("bv"), F.col("iv")) / (F.col("bn") * F.col("inrm"))
+    matches = (
+        batch.join(index, "cell_id")
+        .where(F.round(cos, 6) >= NEAR_DUP_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(F.min("idx_id").alias("min_idx"))
+    )
+    return (
+        assigned.where(is_batch).select("vec_id")
+        .join(matches, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("min_idx").isNotNull().alias("is_dup"),
+            F.coalesce("min_idx", F.col("vec_id")).alias("canonical_id"),
+        )
+    )
+
+
+ORACLE_SQL["inc_semantic_dedup"] = f"""
+    WITH base AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, v, nrm,
+               CAST(list_position(dots, list_max(dots)) AS BIGINT)
+                   AS cell_id,
+               {scrambled_key_sql('vec_id', INC_VEC_BATCH_MOD)} = 0
+                   AS is_batch
+        FROM (SELECT vec_id, v, nrm, {_DUCK_CENT_DOTS} AS dots FROM base)
+    ), matches AS (
+        SELECT b.vec_id, MIN(i.vec_id) AS min_idx
+        FROM assigned b JOIN assigned i
+          ON i.cell_id = b.cell_id AND NOT i.is_batch
+        WHERE b.is_batch
+          AND round({_duck_dot('b.v', 'i.v')} / (b.nrm * i.nrm), 6)
+              >= {NEAR_DUP_THRESHOLD}
+        GROUP BY b.vec_id
+    )
+    SELECT a.vec_id,
+           m.min_idx IS NOT NULL AS is_dup,
+           coalesce(m.min_idx, a.vec_id) AS canonical_id
+    FROM assigned a LEFT JOIN matches m ON m.vec_id = a.vec_id
+    WHERE a.is_batch
+"""
+
+
 ORACLE_SQL["dedup_semantic_cells"] = f"""
     WITH vecs AS (
         SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
@@ -1884,6 +1969,7 @@ QUERIES = {
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_cells": dedup_semantic_cells,
+    "inc_semantic_dedup": inc_semantic_dedup,
     "dedup_components": dedup_components,
     "dedup_components_bigstar": dedup_components_bigstar,
     "dedup_cluster_census": dedup_cluster_census,

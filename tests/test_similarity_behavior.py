@@ -378,3 +378,52 @@ class TestCellTripletMining:
                 assert math.isclose(got["neg_cos"], -best_neg[0], abs_tol=1e-6)
             else:
                 assert got["neg_id"] is None
+
+
+class TestIncSemanticDedup:
+    """Incremental semantic dedup: batch x index within cells only —
+    the canonical is always an INDEX id (never another arrival), and
+    the verdicts match a brute-force within-cell batch-vs-index check."""
+
+    def test_verdicts_match_brute_force_and_index_wins(self, spark, sf_dir):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
+            scrambled_key,
+        )
+
+        got = {
+            r["vec_id"]: r
+            for r in similarity.inc_semantic_dedup(spark, sf_dir).collect()
+        }
+        vecs = similarity._vectors(spark, sf_dir)
+        dots = similarity._matrix_dots(F.col("v"), similarity.CENTROIDS)
+        rows = vecs.select(
+            "vec_id", "v", "nrm",
+            F.array_position(dots, F.array_max(dots)).cast("long")
+            .alias("cell"),
+            (scrambled_key(F.col("vec_id"), similarity.INC_VEC_BATCH_MOD) == 0)
+            .alias("is_batch"),
+        ).collect()
+        batch = [r for r in rows if r["is_batch"]]
+        index_by_cell = {}
+        for r in rows:
+            if not r["is_batch"]:
+                index_by_cell.setdefault(r["cell"], []).append(r)
+        assert set(got) == {r["vec_id"] for r in batch}
+        index_ids = {r["vec_id"] for r in rows if not r["is_batch"]}
+        n_dups = 0
+        for b in batch:
+            want = None
+            for i in index_by_cell.get(b["cell"], []):
+                cos = round(
+                    sum(x * y for x, y in zip(b["v"], i["v"]))
+                    / (b["nrm"] * i["nrm"]), 6)
+                if cos >= similarity.NEAR_DUP_THRESHOLD:
+                    want = i["vec_id"] if want is None else min(want, i["vec_id"])
+            r = got[b["vec_id"]]
+            if want is None:
+                assert not r["is_dup"] and r["canonical_id"] == b["vec_id"]
+            else:
+                assert r["is_dup"] and r["canonical_id"] == want
+                assert r["canonical_id"] in index_ids  # index always wins
+                n_dups += 1
+        assert n_dups > 0, "fixture must produce some incremental dups"
