@@ -60,12 +60,15 @@ def _doc_media(spark, sf_dir):
     return _payload_table(ids, _ppm_bytes)
 
 
-def _packed_docs(spark, sf_dir):
+def _packed_docs(spark, sf_dir, carry_content: bool = False):
     """Per-document pack assignment (shard, doc_id, pack_id,
     text_tokens, media_tokens): the shared frame the manifest census
     aggregates and the shard writer materializes — one packing rule,
     two consumers, so the written shards can never drift from the
-    audited manifest."""
+    audited manifest. With ``carry_content`` the text and payload
+    columns ride the SAME shard-aligned join (the writer's path), so
+    materializing shards costs no second documents scan, no second
+    payload synthesis, and no extra join (r10 review)."""
     tune_for_oracle(spark)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -73,12 +76,14 @@ def _packed_docs(spark, sf_dir):
         "doc_id",
         F.size(_words(F.col("text"))).cast("bigint").alias("text_tokens"),
         scrambled_key(F.col("doc_id"), SHARDS).alias("shard"),
+        *(["text"] if carry_content else []),
     )
     media = _doc_media(spark, sf_dir).select(
         "media_id",
         scrambled_key(F.col("media_id"), SHARDS).alias("m_shard"),
         F.ceil(F.length("payload") / F.lit(BYTES_PER_MEDIA_TOKEN))
         .cast("bigint").alias("media_tokens"),
+        *(["payload"] if carry_content else []),
     )
     # lay BOTH join inputs out on the shard key: shard is a function of
     # the join key, so equal doc_ids are co-located, and including
@@ -103,6 +108,7 @@ def _packed_docs(spark, sf_dir):
     ).select(
         "shard", "doc_id", "text_tokens",
         F.coalesce("media_tokens", F.lit(0)).alias("media_tokens"),
+        *(["text", "payload"] if carry_content else []),
     )
     cost = F.col("text_tokens") + F.col("media_tokens")
     win = (
@@ -113,6 +119,7 @@ def _packed_docs(spark, sf_dir):
     return joined.select(
         "shard", "doc_id", "text_tokens", "media_tokens",
         F.floor((cum - cost) / F.lit(PACK_LEN)).alias("pack_id"),
+        *(["text", "payload"] if carry_content else []),
     )
 
 
@@ -154,21 +161,13 @@ def write_mm_packed_shards(spark, sf_dir, path: str) -> None:
     shard ids gives one writer per shard (no tiny-file spray);
     maxRecordsPerFile caps file size for loader parallelism while the
     per-partition sort keeps every file internally pack-ordered. At
-    100 TB: raise SHARDS to O(cluster cores); the payload join is the
-    same shard-aligned join the manifest plan pins — zero shuffle past
-    it, and the writer adds only the range exchange on shard ids."""
-    packed = _packed_docs(spark, sf_dir)
-    text = fan_out(spark, load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "text"
-    )
-    payload = _doc_media(spark, sf_dir).select(
-        F.col("media_id").alias("doc_id"), "payload"
-    )
-    out = (
-        packed.join(text, "doc_id")
-        .join(payload, "doc_id", "left")
-        .select("shard", "pack_id", "doc_id", "text_tokens",
-                "media_tokens", "text", "payload")
+    100 TB: raise SHARDS to O(cluster cores); text and payload RIDE the
+    manifest's one shard-aligned join (carry_content — no second scan,
+    no second payload synthesis, no extra join; r10 review), so the
+    writer adds only the range exchange on shard ids."""
+    out = _packed_docs(spark, sf_dir, carry_content=True).select(
+        "shard", "pack_id", "doc_id", "text_tokens",
+        "media_tokens", "text", "payload",
     )
     (
         out.repartitionByRange(SHARDS, "shard")

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, functions as F
 
-from ..functions.sampling import scrambled_key, scrambled_key_sql
+from ..functions.sampling import scrambled_bucket, scrambled_bucket_sql
 from ..session import tune_for_oracle
 from ..sources.parquet import fan_out, load_table
 
@@ -1557,7 +1557,11 @@ def emb_triplet_mining_sharded(spark, sf_dir):
     vecs = _vectors(spark, sf_dir, "label")
     batched = vecs.select(
         "vec_id", "label", "v", "nrm",
-        (F.col("vec_id") / TRIPLET_BATCH_SIZE).cast("long").alias("batch_id"),
+        # floor, not cast: cast truncates toward zero, so a negative
+        # vec_id would land in a different batch than the oracle's
+        # floor() (r10 review)
+        F.floor(F.col("vec_id") / TRIPLET_BATCH_SIZE).cast("long")
+        .alias("batch_id"),
     ).localCheckpoint(eager=True)  # both join sides read it
     anchors = batched.select(
         "batch_id",
@@ -1854,7 +1858,10 @@ def inc_semantic_dedup(spark, sf_dir):
     dedup_semantic_cells exactly as inc_dedup_merge twins the LSH
     dedup and inc_chunk_dedup twins chunk dedup.
 
-    The batch is the deterministic scrambled-id 10% slice; everything
+    The batch is a deterministic 10% slice via scrambled_bucket — the
+    two-stage scramble, because scrambled_key's single multiply is the
+    IDENTITY mod 10 (KNUTH_MULT ≡ 1 mod 10, r10 review) and an
+    id-periodic corpus would bias a plain stride slice. Everything
     else is the index. Candidates join BATCH x INDEX on cell_id only —
     never index x index, so per-batch cost is |batch| x occupancy of
     the probed cells; at 100 TB the index is a cell-bucketed table
@@ -1872,7 +1879,7 @@ def inc_semantic_dedup(spark, sf_dir):
         F.array_position("dots", F.array_max(F.col("dots"))).cast("long")
         .alias("cell_id"),
     ).localCheckpoint(eager=True)  # batch + index slices read it once
-    is_batch = scrambled_key(F.col("vec_id"), INC_VEC_BATCH_MOD) == 0
+    is_batch = scrambled_bucket(F.col("vec_id"), INC_VEC_BATCH_MOD) == 0
     batch = assigned.where(is_batch).select(
         "cell_id", "vec_id",
         F.col("v").alias("bv"), F.col("nrm").alias("bn"),
@@ -1907,7 +1914,7 @@ ORACLE_SQL["inc_semantic_dedup"] = f"""
         SELECT vec_id, v, nrm,
                CAST(list_position(dots, list_max(dots)) AS BIGINT)
                    AS cell_id,
-               {scrambled_key_sql('vec_id', INC_VEC_BATCH_MOD)} = 0
+               {scrambled_bucket_sql('vec_id', INC_VEC_BATCH_MOD)} = 0
                    AS is_batch
         FROM (SELECT vec_id, v, nrm, {_DUCK_CENT_DOTS} AS dots FROM base)
     ), matches AS (

@@ -30,14 +30,18 @@ def source_fingerprint(sf_dir: str, table: str = "documents") -> str:
     root = os.path.join(sf_dir, f"{table}.parquet")
     paths = [root]
     if os.path.isdir(root):
-        # Regular files only: marker/crc entries (_SUCCESS, .*.crc) and
-        # nested dirs would otherwise be stat'ed as data, and a dir
-        # mtime is not a content signal (ADVICE r9).
-        paths = [
-            os.path.join(root, f)
-            for f in sorted(os.listdir(root))
-            if os.path.isfile(os.path.join(root, f))
-        ]
+        # Recurse to the actual DATA files (nested partition layouts
+        # like lang=en/part-*.parquet must influence the fingerprint —
+        # r10 review: a flat non-recursive listing fingerprinted them
+        # as nothing at all), excluding marker/crc noise (_SUCCESS,
+        # .crc) whose re-commit churn is not a content change
+        # (ADVICE r9).
+        paths = sorted(
+            os.path.join(dirpath, f)
+            for dirpath, _dirs, files in os.walk(root)
+            for f in files
+            if not (f.startswith("_") or f.endswith(".crc"))
+        )
     h = hashlib.sha256()
     for p in paths:
         try:

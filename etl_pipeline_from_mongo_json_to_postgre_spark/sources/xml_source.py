@@ -73,7 +73,9 @@ def stage_documents_xml(spark: SparkSession, sf_dir: str) -> str:
     # against the oracle's malformed=0 assumption (ADVICE r9). Pre-scan
     # and fail loudly with the offending doc ids instead.
     illegal = d.where(
-        F.col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+        F.col("text").rlike(
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFE\\uFFFF]"
+        )
     )
     bad = [r.doc_id for r in illegal.select("doc_id").limit(5).collect()]
     if bad:

@@ -173,8 +173,13 @@ def _run_late_drop_stream(spark: SparkSession, sf_dir: str):
         base = _time.time() - 900
         for i, wave in enumerate(waves):
             d = os.path.join(scratch, f"wave{i}")
-            wave.select("event_id", "ts", "event_type", "value").write.mode(
-                "overwrite").parquet(d)
+            # ONE file per wave (r10 review): a multi-part wave would
+            # split into several micro-batches with arbitrary content,
+            # and an early part's watermark could drop LATER on-time
+            # parts of the same wave — the oracle only models the
+            # three-wave schedule. Harness staging, row counts bounded.
+            wave.select("event_id", "ts", "event_type", "value").coalesce(
+                1).write.mode("overwrite").parquet(d)
             for f in os.listdir(d):
                 if not f.endswith(".parquet"):
                     continue

@@ -387,7 +387,7 @@ class TestIncSemanticDedup:
 
     def test_verdicts_match_brute_force_and_index_wins(self, spark, sf_dir):
         from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
-            scrambled_key,
+            scrambled_bucket,
         )
 
         got = {
@@ -400,7 +400,7 @@ class TestIncSemanticDedup:
             "vec_id", "v", "nrm",
             F.array_position(dots, F.array_max(dots)).cast("long")
             .alias("cell"),
-            (scrambled_key(F.col("vec_id"), similarity.INC_VEC_BATCH_MOD) == 0)
+            (scrambled_bucket(F.col("vec_id"), similarity.INC_VEC_BATCH_MOD) == 0)
             .alias("is_batch"),
         ).collect()
         batch = [r for r in rows if r["is_batch"]]

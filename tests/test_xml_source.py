@@ -134,9 +134,13 @@ def test_xml_illegal_control_chars_fail_loudly_at_stage_time(spark, tmp_path):
         stage_documents_xml(spark, str(sf))
 
 
-def test_source_fingerprint_ignores_marker_files(tmp_path):
-    """_SUCCESS/.crc marker churn must not change the fingerprint, and
-    a vanished entry must not raise (ADVICE r9)."""
+def test_source_fingerprint_markers_and_nested_partitions(tmp_path):
+    """_SUCCESS/.crc marker churn (REGULAR files, as Spark writes them)
+    must not change the fingerprint, but data files inside nested
+    partition directories MUST (ADVICE r9 + r10 review: the flat
+    listing fingerprinted nested layouts as nothing)."""
+    import os
+
     from etl_pipeline_from_mongo_json_to_postgre_spark.sources._stage import (
         source_fingerprint,
     )
@@ -145,7 +149,16 @@ def test_source_fingerprint_ignores_marker_files(tmp_path):
     root.mkdir()
     (root / "part-0.parquet").write_bytes(b"data")
     base = source_fingerprint(str(tmp_path))
-    (root / "_SUCCESS").mkdir()  # non-regular entry: skipped entirely
+    (root / "_SUCCESS").write_bytes(b"")         # real Spark marker
+    (root / ".part-0.parquet.crc").write_bytes(b"x")
     assert source_fingerprint(str(tmp_path)) == base
-    (root / "part-1.parquet").write_bytes(b"more")
-    assert source_fingerprint(str(tmp_path)) != base
+    # marker mtime churn is also invisible
+    os.utime(root / "_SUCCESS", (1, 1))
+    assert source_fingerprint(str(tmp_path)) == base
+    # nested partition data changes the fingerprint
+    (root / "lang=en").mkdir()
+    (root / "lang=en" / "part-1.parquet").write_bytes(b"nested")
+    with_nested = source_fingerprint(str(tmp_path))
+    assert with_nested != base
+    (root / "lang=en" / "part-1.parquet").write_bytes(b"nested-regen2")
+    assert source_fingerprint(str(tmp_path)) != with_nested
