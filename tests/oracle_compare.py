@@ -38,11 +38,32 @@ def _canon(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        # exact, not through float (r10 review: repr(float(v)) washed
+        # out differences beyond ~17 significant digits, a silent false
+        # PASS for DECIMAL(38,18)-class aggregates); format(.., 'f')
+        # avoids normalize()'s E-notation for integral values
+        if v.is_nan():
+            return "NaN"
+        return format(v.normalize(), "f")
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # a tz-AWARE value (e.g. TIMESTAMPTZ fetched in host-local
+        # time) must be converted to UTC before the naive strip, or
+        # the comparison would read its local wall clock (r10 review)
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if isinstance(v, dict):
+        # duckdb STRUCT/MAP values arrive as dict; Spark MAP too —
+        # key-sorted so engine-side ordering can't leak in
+        return "{" + ",".join(
+            f"{_canon(k)}:{_canon(x)}"
+            for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
+        ) + "}"
+    if isinstance(v, tuple) and hasattr(v, "asDict"):
+        # Spark Row (STRUCT): canonicalize like the duckdb dict form
+        return _canon(v.asDict())
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     if isinstance(v, bytes):

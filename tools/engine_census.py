@@ -51,7 +51,15 @@ def run_census(sf_dir: str, cpus: int) -> dict[str, object]:
     # changes every round; budgets must not depend on it).
     from etl_pipeline_from_mongo_json_to_postgre_spark.sources.parquet import load_table
 
-    load_table(spark, sf_dir, "events").groupBy("event_type").count().collect()
+    # Guarded like the worker warm-up below: a broken reader path or a
+    # mis-pointed sf_dir must degrade to per-entry ERR rows in the
+    # timing loop, never abort the census before it starts (r10 review).
+    try:
+        load_table(spark, sf_dir, "events").groupBy(
+            "event_type").count().collect()
+    except Exception as exc:  # noqa: BLE001
+        print(f"parquet warm-up failed (continuing): {exc}",
+              file=sys.stderr)
     # Also warm the Python/Arrow worker path: the FIRST mapInPandas over
     # a full partition fan spawns one Python worker PER CORE, each paying
     # pandas/pyarrow import + Arrow serializer init (measured 6-12 s
@@ -73,7 +81,15 @@ def run_census(sf_dir: str, cpus: int) -> dict[str, object]:
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).count()
+            # noop sink, not count() (r10 review): count() lets the
+            # optimizer prune the final projection, hiding regressions
+            # that live in projected expressions (p1's mapped
+            # projection measured 4.6x cheaper under count()). The
+            # noop sink evaluates EVERY output column JVM-side and
+            # discards rows — the same work the driver's value-hash
+            # collect pays, for any schema.
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
             times[name] = round(time.time() - t0, 2)
         except Exception as exc:  # noqa: BLE001 - census reports, not raises
             times[name] = f"ERR {str(exc)[:120]}"

@@ -27,9 +27,20 @@ from tests.oracle_compare import compare, duckdb_conn
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    flags = [a for a in sys.argv[1:] if a.startswith("-")]
+    # Loud on bad input (r10 review): a typo'd flag (-all, --sweep)
+    # used to filter to an empty probe set and exit 0 with FAILS=[] —
+    # a parity gate that probed nothing reporting success.
+    unknown_flags = [f for f in flags if f != "--all"]
+    if unknown_flags:
+        print(f"unknown flags: {unknown_flags} (only --all is accepted)")
+        return 2
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = list(queries) if "--all" in sys.argv else args
+    names = list(queries) if "--all" in flags else args
+    if not names:
+        print("no entries to probe: pass entry names or --all")
+        return 2
     unknown = [n for n in names if n not in queries]
     if unknown:
         print(f"unknown entries: {unknown}")
