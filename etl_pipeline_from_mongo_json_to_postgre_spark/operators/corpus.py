@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.sampling import scrambled_key, scrambled_key_sql
-from ..functions.text import duck_shingle_hashes, duck_word_hashes
+from ..functions.text import (
+    duck_shingle_hashes,
+    duck_word_hashes,
+    duck_ws_tokens,
+    ws_tokens,
+)
 from ..session import tune_for_oracle
 from ..sources.parquet import fan_out, load_table
 
@@ -24,11 +29,13 @@ def _docs(spark, sf_dir):
     return fan_out(spark, load_table(spark, sf_dir, "documents"))
 
 
-def _words(col):
-    return F.filter(F.split(col, " "), lambda x: x != "")
-
-
-_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# the canonical tokenizer pair under the module's historic local names
+# (r10 review: the private bit-identical copies functions/text.py was
+# consolidated to REPLACE had survived here and in dedup.py — a future
+# tokenizer tweak would have silently diverged the portable-hash
+# families these modules share with mixing/chunking/repetition)
+_words = ws_tokens
+_DUCK_WORDS = duck_ws_tokens()
 
 # ---------------------------------------------------------------------------
 # Benchmark contamination: exact word-8-gram overlap between the corpus
@@ -102,6 +109,9 @@ def text_repetition_stats(spark, sf_dir):
     """
     d = _docs(spark, sf_dir)
     w = _words(F.col("text"))
+    # barrier: `staged` feeds both the bigram explode and the final
+    # per-doc join — without it the scan+tokenize work runs once per
+    # consumer (r10 review: two documents FileScans in the live plan)
     staged = d.where(F.size(w) >= 2).select(
         "doc_id",
         w.alias("w"),
@@ -109,7 +119,7 @@ def text_repetition_stats(spark, sf_dir):
         F.round(
             1.0 - F.size(F.array_distinct(w)).cast("double") / F.size(w), 4
         ).alias("dup_word_frac"),
-    )
+    ).localCheckpoint(eager=True)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("w") - 1),
         lambda i: F.concat_ws(
@@ -504,17 +514,22 @@ def doc_source_entropy(spark, sf_dir):
     flags monolingual domains vs aggregation hubs when planning
     language-balanced sampling. Two count-sized aggregates on the same
     source key (cell counts, then the entropy fold); shares are exact
-    integer ratios so both engines feed ln identical doubles."""
+    integer ratios so both engines feed ln identical doubles, and each
+    p*ln(p) term is quantized to a nanonat BIGINT before the sum so the
+    fold is order-free (r10 review: a raw double sum is partition-
+    order-dependent in the last ulp — the same bug class the
+    bigram-perplexity NLL quantization exists for)."""
     d = _docs(spark, sf_dir)
     cells = d.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
     totals = cells.groupBy("source").agg(F.sum("cnt").alias("total"))
     p = F.col("cnt").cast("double") / F.col("total")
+    term_q = F.round(p * F.log(p) * F.lit(1e9)).cast("long")
     return (
         cells.join(F.broadcast(totals), "source")
         .groupBy("source")
         .agg(
             F.count("*").cast("int").alias("n_langs"),
-            F.round((-F.sum(p * F.log(p))), 6).alias("lang_entropy"),
+            F.round(-F.sum(term_q) / F.lit(1e9), 6).alias("lang_entropy"),
             F.first("total").alias("n_docs"),
         )
     )
@@ -557,9 +572,14 @@ def text_zipf_fit(spark, sf_dir):
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
+    # barrier: `bucketed` feeds BOTH the rank-offset census and the
+    # ranked join — without it the corpus-wide explode+groupBy pipeline
+    # executes once per consumer (r10 review: two FileScans of the
+    # documents table in the live plan, doubling the only stage that
+    # touches every token)
     bucketed = counts.withColumn(
         "b", F.pmod(F.xxhash64("term"), F.lit(ZIPF_RANK_BUCKETS))
-    )
+    ).localCheckpoint(eager=True)
     census = bucketed.groupBy("freq", "b").agg(F.count("*").alias("n"))
     w_off = Window.orderBy(F.desc("freq"), F.asc("b")).rowsBetween(
         Window.unboundedPreceding, -1
@@ -1201,8 +1221,9 @@ ORACLE_SQL = {
         )
         SELECT source,
                CAST(count(*) AS INT) AS n_langs,
-               round(-sum((CAST(cnt AS DOUBLE) / total)
-                          * ln(CAST(cnt AS DOUBLE) / total)), 6)
+               round(-sum(CAST(round((CAST(cnt AS DOUBLE) / total)
+                                     * ln(CAST(cnt AS DOUBLE) / total)
+                                     * 1e9) AS BIGINT)) / 1e9, 6)
                    AS lang_entropy,
                CAST(any_value(total) AS BIGINT) AS n_docs
         FROM cells JOIN totals USING (source)

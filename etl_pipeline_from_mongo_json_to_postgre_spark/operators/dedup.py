@@ -30,8 +30,10 @@ from ..functions.text import (
     MOD,
     duck_shingle_hashes,
     duck_word_hashes,
+    duck_ws_tokens,
     shingle_hashes,
     word_hashes,
+    ws_tokens,
 )
 from ..session import tune_for_oracle
 from ..sources.parquet import fan_out, load_table
@@ -55,11 +57,10 @@ def _docs(spark, sf_dir):
     return fan_out(spark, load_table(spark, sf_dir, "documents"))
 
 
-def _words(col):
-    return F.filter(F.split(col, " "), lambda x: x != "")
-
-
-_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# canonical tokenizer pair under the historic local names (r10 review:
+# consolidation — see the twin note in corpus.py)
+_words = ws_tokens
+_DUCK_WORDS = duck_ws_tokens()
 
 
 # ---------------------------------------------------------------------------
@@ -1033,9 +1034,16 @@ ORACLE_SQL = {
         FROM common
         JOIN (SELECT doc_id, len(sh) AS n FROM sets) sa ON sa.doc_id = doc_a
         JOIN (SELECT doc_id, len(sh) AS n FROM sets) sb ON sb.doc_id = doc_b
-        WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+        WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6)
+              >= {JACCARD_THRESHOLD}
     """,
 }
+# ^ round BEFORE the threshold, matching the Spark side's filter on the
+#   rounded column (r10 review: the raw-ratio WHERE dropped pairs with
+#   J in [threshold - 5e-7, threshold) that Spark keeps as exactly
+#   threshold after rounding — latent until ~1e6-shingle unions, i.e.
+#   exactly the scale this operator is designed for; the containment
+#   oracle already rounded inside its WHERE)
 
 ORACLE_SQL["dedup_jaccard_prefix"] = ORACLE_SQL["dedup_ngram_jaccard"]
 

@@ -412,6 +412,8 @@ MULTI_CONSUMER_ENTRIES = [
     "emb_matryoshka_eval",
     "sample_perplexity_buckets",
     "graph_kcore_parts",
+    "text_zipf_fit",          # r10 review: census + ranked join consumers
+    "text_repetition_stats",  # r10 review: bigram explode + final join
 ]
 
 _SCAN_TABLE_RE = re.compile(r"FileScan[^\n]*?/(\w+)\.parquet")
