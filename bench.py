@@ -119,6 +119,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "wall_2x": wall,
+                # Host-noise context for the 2x gate (VERDICT r9 task
+                # 2): this box swings 25-45% on IDENTICAL code within a
+                # session (r10: same-tree headline 22.4 -> 35.0 s
+                # across one day, census 181.6 -> 227.9 s; r9: census
+                # 169 -> 264 s in four hours). Compare ratios against
+                # the quiet-host anchors in BASELINE.md, not a single
+                # rep.
+                "host_note": "same-tree spread up to ~1.5x; quiet-host "
+                             "anchors in BASELINE.md (r10: 22.4-24.0s "
+                             "= 0.63-0.67x)",
             }
         )
     )
