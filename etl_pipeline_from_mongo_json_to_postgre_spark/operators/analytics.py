@@ -1045,18 +1045,25 @@ def events_user_gini(spark, sf_dir):
     G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending per-user
     counts: the rank window runs over the AGGREGATE OUTPUT
     (user-cardinality counts, the aggregate-then-window discipline);
-    every term is exact integer until the final division. At extreme
-    user counts swap the exact rank for quantile-bucketed Lorenz
-    points (same aggregates, bounded sort)."""
+    every term is exact integer until the final division — with the
+    rank products routed through DECIMAL(38,0) (r10 review: sum(i*x)
+    and n*sum(x) overflow BIGINT near n_users ~1e8 x 1e12 events, and
+    with ANSI off Spark's long accumulator would WRAP silently while
+    DuckDB promotes to HUGEINT). At extreme user counts swap the exact
+    rank for quantile-bucketed Lorenz points (same aggregates, bounded
+    sort)."""
     events = _t(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count("*").alias("x"))
     w = Window.orderBy(F.asc("x"), F.asc("user_id"))
     ranked = counts.withColumn("i", F.row_number().over(w))
+    dec = "decimal(38,0)"
     return ranked.agg(
         F.count("*").alias("n_users"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("x"))
-            / (F.count("*") * F.sum("x"))
+            # (2.0 * S) / D, left-assoc like the oracle's double math
+            F.lit(2.0)
+            * F.sum((F.col("i") * F.col("x")).cast(dec)).cast("double")
+            / (F.count("*") * F.sum(F.col("x").cast(dec))).cast("double")
             - (F.count("*") + 1) / F.count("*"),
             6,
         ).alias("gini"),
@@ -1459,7 +1466,12 @@ def w3_distribution_funcs(spark, sf_dir):
     two ordering specs (by value, by time) share the Exchange and
     differ only in their local sorts."""
     events = _t(spark, sf_dir, "events")
-    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    # NULLS FIRST pinned explicitly on both engines (r10 review: Spark
+    # defaults ascending NULLS FIRST, DuckDB NULLS LAST — a NULL value
+    # would shift every percent_rank/cume_dist in its partition)
+    w_val = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("value"), "event_id"
+    )
     w_time = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"), "event_id")
@@ -2012,18 +2024,29 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, l_discount
         FROM lineitem WHERE l_discount > 0.05
     """,
+    # TRY_CAST, not CAST (r10 review): Spark's non-ANSI cast returns
+    # NULL on a non-integer props.k while DuckDB's CAST would abort the
+    # whole oracle query with a ConversionException — crash-vs-null
+    # divergence, latent only because the generator emits integer k
     "f5_json_extract": """
         SELECT event_type,
-               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                    AS BIGINT) AS k_sum,
+               CAST(sum(TRY_CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS k_sum,
                count(*) AS cnt
         FROM events GROUP BY event_type
     """,
+    # views deduped to one row per (user_id, ts) keeping max(event_id):
+    # ASOF JOIN documents unique right-side keys and picks an
+    # UNSPECIFIED member at a tie, while the Spark carry-forward ends
+    # deterministically on the largest event_id (r10 review) — the
+    # dedup makes the oracle deterministic AND identical to the Spark
+    # tie-break without touching the engine side
     "j5_asof_join": """
         WITH purchases AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
         ), views AS (
-            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+            SELECT max(event_id) AS event_id, user_id, ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts
         )
         SELECT p.event_id AS purchase_id,
                p.user_id,
@@ -2094,7 +2117,8 @@ ORACLE_SQL: dict[str, str] = {
                        CAST(l_extendedprice AS DOUBLE) AS extendedprice,
                        CAST(l_discount AS DOUBLE) AS discount
                 FROM lineitem
-            ) UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
+            ) UNPIVOT INCLUDE NULLS
+              (value FOR metric IN (quantity, extendedprice, discount))
         )
         SELECT metric, count(*) AS n_values,
                round(min(value), 2) AS min_value,
@@ -2437,7 +2461,8 @@ ORACLE_SQL: dict[str, str] = {
                    OVER w_time AS last_big_value
         FROM events
         WINDOW
-            w_val AS (PARTITION BY user_id ORDER BY value, event_id),
+            w_val AS (PARTITION BY user_id
+                      ORDER BY value NULLS FIRST, event_id),
             w_time AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,

