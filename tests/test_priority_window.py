@@ -176,17 +176,41 @@ def test_never_checked_sort_by_birth_then_name():
     assert keys == sorted(keys), "never-checked block must sort (birth, name)"
 
 
-def test_evidence_parser_matches_driver_files():
-    """The parser must count only fully-green rows."""
+def test_evidence_parser_matches_driver_files(tmp_path, monkeypatch):
+    """The parser must count only fully-green rows — pinned against a
+    FROZEN copy of CORRECTNESS_r01–r04 staged into a tmp dir. The r10
+    judge caught the previous form of this test asserting
+    `inc_scd2_intervals == 4` against the LIVE evidence files: the
+    rotation re-greened the entry in r10 and the pin expired (exactly
+    the self-expiring-assertion class the r7 post-mortem warns about).
+    r01–r04 are immutable history (the driver only ever ADDS new-round
+    files), so this pin can never expire again regardless of how many
+    CORRECTNESS_rN.json files future rounds land."""
+    import importlib
+    import shutil
+
     import __spark_entry__ as e
 
-    ev = e._evidence_latest_green()
-    # inc_scd2_intervals was red in r3 and green in r4
-    assert ev.get("inc_scd2_intervals") == 4
-    r1 = json.load(open(os.path.join(REPO, "CORRECTNESS_r01.json")))
-    for name, res in r1.items():
-        if res.get("rows_match") and res.get("schema_match") and res.get("hash_match", True):
-            assert ev.get(name, 0) >= 1
+    stage = tmp_path / "frozen_r01_r04"
+    stage.mkdir()
+    for rnd in (1, 2, 3, 4):
+        shutil.copy(
+            os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json"),
+            stage / f"CORRECTNESS_r{rnd:02d}.json",
+        )
+    monkeypatch.setattr(e, "_REPO", str(stage))
+    try:
+        ev = e._evidence_latest_green()
+        # inc_scd2_intervals was red in r3 and green in r4 — within the
+        # frozen window its latest green is exactly 4.
+        assert ev.get("inc_scd2_intervals") == 4
+        r1 = json.load(open(os.path.join(REPO, "CORRECTNESS_r01.json")))
+        for name, res in r1.items():
+            if res.get("rows_match") and res.get("schema_match") and res.get("hash_match", True):
+                assert ev.get(name, 0) >= 1
+    finally:
+        monkeypatch.undo()
+        importlib.reload(e)
 
 
 def test_red_driver_rows_reenter_the_window(tmp_path, monkeypatch):
