@@ -1045,11 +1045,13 @@ def events_user_gini(spark, sf_dir):
     G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending per-user
     counts: the rank window runs over the AGGREGATE OUTPUT
     (user-cardinality counts, the aggregate-then-window discipline);
-    every term is exact integer until the final division — with the
-    rank products routed through DECIMAL(38,0) (r10 review: sum(i*x)
-    and n*sum(x) overflow BIGINT near n_users ~1e8 x 1e12 events, and
-    with ANSI off Spark's long accumulator would WRAP silently while
-    DuckDB promotes to HUGEINT). At extreme user counts swap the exact
+    every term is exact integer until the final division — with each
+    rank product COMPUTED in DECIMAL(38,0), not just accumulated (r11
+    ADVICE: casting only sum()'s argument still multiplies i*x in
+    BIGINT first, so one term past 2^63 — huge per-user count at high
+    rank — wraps silently under ANSI-off; the factor cast makes the
+    multiply itself decimal, and the oracle mirrors with HUGEINT so
+    both engines promote before the product). At extreme user counts swap the exact
     rank for quantile-bucketed Lorenz points (same aggregates, bounded
     sort)."""
     events = _t(spark, sf_dir, "events")
@@ -1062,7 +1064,7 @@ def events_user_gini(spark, sf_dir):
         F.round(
             # (2.0 * S) / D, left-assoc like the oracle's double math
             F.lit(2.0)
-            * F.sum((F.col("i") * F.col("x")).cast(dec)).cast("double")
+            * F.sum(F.col("i").cast(dec) * F.col("x")).cast("double")
             / (F.count("*") * F.sum(F.col("x").cast(dec))).cast("double")
             - (F.count("*") + 1) / F.count("*"),
             6,
@@ -2198,7 +2200,7 @@ ORACLE_SQL: dict[str, str] = {
             FROM counts
         )
         SELECT count(*) AS n_users,
-               round(2.0 * sum(i * x) / (count(*) * sum(x))
+               round(2.0 * sum(CAST(i AS HUGEINT) * x) / (count(*) * sum(x))
                      - (count(*) + 1.0) / count(*), 6) AS gini
         FROM ranked
     """,

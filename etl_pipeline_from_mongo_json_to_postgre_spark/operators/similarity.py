@@ -1847,6 +1847,135 @@ def dedup_semantic_cells(spark, sf_dir):
     )
 
 
+SEM_PROBES = 2  # multi-probe width: each vector candidates under its top-2 cells
+
+
+def dedup_semantic_cells_mp(spark, sf_dir):
+    """Multi-probe semantic dedup — closes SemDeDup's documented miss
+    class. dedup_semantic_cells keys the pair join on the single argmax
+    cell, so a near-dup pair STRADDLING a cell boundary is
+    unrepresentable in the plan (the acknowledged SemDeDup residual,
+    Abbas et al. 2023). The standard mitigation is multi-probe
+    assignment (the multi-probe LSH idea, Lv et al. VLDB'07, applied to
+    the IVF quantizer): each vector candidates under its TOP-2 cells,
+    so a boundary pair meets in whichever cell is second-best for one
+    side. Cost is 2x candidate rows — still bounded by cell occupancy,
+    never a cross-cell cartesian.
+
+    Top-2 rule (both engines): rank cells by (dot DESC, cell ASC); the
+    Spark side takes argmax, masks that slot to -inf, and takes argmax
+    again — equivalent to the rank rule for every tie layout, because
+    array_position always returns the FIRST occurrence of the max.
+    A pair sharing BOTH probed cells would double-count, so candidates
+    are distinct id pairs before the vectors rejoin (same 16-byte-row
+    shuffle discipline as the single-probe entry). Canonical rule:
+    keep-first (smallest vec_id), the reference's dedup semantics
+    (postgres_audit_repository.py:68-70). Output schema matches
+    dedup_semantic_cells: (vec_id, cluster_id = PRIMARY cell,
+    canonical_id, is_duplicate)."""
+    vecs = _vectors(spark, sf_dir)
+    dots = _matrix_dots(F.col("v"), CENTROIDS)
+    primary = F.array_position(F.col("dots"), F.array_max(F.col("dots")))
+    masked = F.transform(
+        F.col("dots"),
+        lambda x, i: F.when(
+            (i + 1) == F.col("cluster_id"), F.lit(float("-inf"))
+        ).otherwise(x),
+    )
+    assigned = (
+        vecs.select("vec_id", "v", "nrm", dots.alias("dots"))
+        .withColumn("cluster_id", primary)
+        .withColumn(
+            "cell2", F.array_position(masked, F.array_max(masked))
+        )
+        .drop("dots")
+        .localCheckpoint(eager=True)  # probes + both verify sides read it
+    )
+
+    probes = assigned.select(
+        "vec_id",
+        F.explode(F.array(F.col("cluster_id"), F.col("cell2")))
+        .alias("probe_cell"),
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(b, "probe_cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()  # a pair sharing both probed cells must score once
+    )
+    x = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    y = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        cand.join(x, "vec_a").join(y, "vec_b")
+        .where(F.round(cos, 6) >= NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    partner_min = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("min_partner")
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(partner_min, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.least(
+                F.col("vec_id"),
+                F.coalesce(F.col("min_partner"), F.col("vec_id")),
+            ).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col("canonical_id") != F.col("vec_id"))
+    )
+
+
+ORACLE_SQL["dedup_semantic_cells_mp"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, v, nrm, dots,
+               CAST(list_position(dots, list_max(dots)) AS BIGINT)
+                   AS cluster_id
+        FROM (SELECT vec_id, v, nrm, {_DUCK_CENT_DOTS} AS dots FROM vecs)
+    ), probes AS (
+        -- rank rule (dot DESC, cell ASC) == the Spark mask-then-argmax
+        SELECT vec_id, CAST(ci AS BIGINT) AS probe_cell FROM (
+            SELECT vec_id, ci, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dots[ci] DESC, ci ASC) AS rk
+            FROM (SELECT vec_id, dots,
+                         unnest(range(1, {N_CENTROIDS} + 1)) AS ci
+                  FROM assigned)
+        ) WHERE rk <= {SEM_PROBES}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM probes a JOIN probes b
+          ON a.probe_cell = b.probe_cell AND a.vec_id < b.vec_id
+    ), pairs AS (
+        SELECT vec_a, vec_b
+        FROM cand
+        JOIN assigned x ON x.vec_id = vec_a
+        JOIN assigned y ON y.vec_id = vec_b
+        WHERE round({_duck_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 6)
+              >= {NEAR_DUP_THRESHOLD}
+    ), pm AS (
+        SELECT vec_b AS vec_id, MIN(vec_a) AS min_partner
+        FROM pairs GROUP BY vec_b
+    )
+    SELECT a.vec_id, a.cluster_id,
+           least(a.vec_id, coalesce(pm.min_partner, a.vec_id))
+               AS canonical_id,
+           least(a.vec_id, coalesce(pm.min_partner, a.vec_id)) <> a.vec_id
+               AS is_duplicate
+    FROM assigned a LEFT JOIN pm ON pm.vec_id = a.vec_id
+"""
+
+
 INC_VEC_BATCH_MOD = 10  # scrambled vec_id % 10 == 0 -> the "new batch"
 
 
@@ -1976,6 +2105,7 @@ QUERIES = {
     "sim_cosine_pairs_lsh": sim_cosine_pairs_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_cells": dedup_semantic_cells,
+    "dedup_semantic_cells_mp": dedup_semantic_cells_mp,
     "inc_semantic_dedup": inc_semantic_dedup,
     "dedup_components": dedup_components,
     "dedup_components_bigstar": dedup_components_bigstar,

@@ -145,3 +145,65 @@ def test_sharded_triplet_mining_null_contract_per_batch(spark, tmp_path):
         assert r.pos_id is not None and r.neg_id is not None
         assert r.batch_id == 0
         assert r.pos_id // 64 == 0 and r.neg_id // 64 == 0  # never cross-batch
+
+
+def test_semantic_multiprobe_catches_cell_straddling_pair(spark, tmp_path):
+    """The SemDeDup boundary-miss class, planted (VERDICT r10 task 3):
+    a near-dup pair whose members land in DIFFERENT primary cells is
+    unrepresentable in dedup_semantic_cells' cluster-keyed pair join —
+    single-probe must report both as unique, and that is NOT a bug in
+    single-probe, it is its documented contract. Multi-probe (top-2
+    cells) must catch the same pair, because each member's second-best
+    cell is the other's primary. Fixture: u = 1.1*e0 + e1 and
+    w = e0 + 1.1*e1 (e_i = CENTROIDS[i] normalized by its squared
+    norm) -> primaries split (cell 1 vs cell 2, 1-based), top-2 sets
+    overlap, mutual cosine ~0.997; two far vectors sit in unrelated
+    cells below the 0.35 threshold against everything. Construction
+    verified AFTER float32 storage rounding."""
+    import numpy as np
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        CENTROIDS,
+        dedup_semantic_cells,
+        dedup_semantic_cells_mp,
+    )
+
+    C = np.array(CENTROIDS)
+    e0 = C[0] / np.dot(C[0], C[0])
+    e1 = C[1] / np.dot(C[1], C[1])
+    vecs = [
+        1.1 * e0 + e1,                      # vec 0: primary cell0, 2nd cell1
+        e0 + 1.1 * e1,                      # vec 1: primary cell1, 2nd cell0
+        2.0 * C[5] / np.linalg.norm(C[5]),  # far, cell 5
+        2.0 * C[9] / np.linalg.norm(C[9]),  # far, cell 9
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0, 1, 2], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    single = {r.vec_id: r for r in dedup_semantic_cells(spark, sf).collect()}
+    # the straddle: primaries differ, so single-probe provably misses
+    assert single[0].cluster_id != single[1].cluster_id
+    assert not single[0].is_duplicate and not single[1].is_duplicate
+    assert single[0].canonical_id == 0 and single[1].canonical_id == 1
+
+    multi = {r.vec_id: r for r in dedup_semantic_cells_mp(spark, sf).collect()}
+    # same primary assignment, but the pair meets under the shared top-2 cell
+    assert multi[0].cluster_id == single[0].cluster_id
+    assert multi[1].cluster_id == single[1].cluster_id
+    assert not multi[0].is_duplicate and multi[0].canonical_id == 0
+    assert multi[1].is_duplicate and multi[1].canonical_id == 0
+    # far vectors stay unique under both
+    for k in (2, 3):
+        assert not single[k].is_duplicate and not multi[k].is_duplicate
+
+    # and the oracle replicates the top-2 rule on the planted fixture
+    _check(spark, sf, ["dedup_semantic_cells_mp"])

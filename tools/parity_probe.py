@@ -35,6 +35,12 @@ def main() -> int:
     if unknown_flags:
         print(f"unknown flags: {unknown_flags} (only --all is accepted)")
         return 2
+    if "--all" in flags and args:
+        # r11 ADVICE: '--all foo' used to silently ignore 'foo' and run
+        # the full sweep — the caller believes foo was validated. The
+        # combination is ambiguous; refuse it like any other bad input.
+        print(f"--all cannot be combined with entry names: {args}")
+        return 2
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = list(queries) if "--all" in flags else args
