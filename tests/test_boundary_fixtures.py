@@ -1,0 +1,191 @@
+"""Adversarial oracle-shared-blind-spot fixtures (VERDICT r10 task 4).
+
+Hash parity can never catch a rule BOTH engines encode the same way —
+the r10 `sessions_concurrency_daily` dense-day bug lived in exactly that
+class. Each test here plants a boundary pathology in a tiny events
+table, asserts the HAND-COMPUTED expected output (independent of either
+engine), and then re-checks engine/oracle parity on the same fixture so
+the pinned rule is provably the shared one:
+
+- ts_active_time_coverage: an activity interval spanning midnight must
+  merge across the day boundary (epoch-minute sweep, no day bucketing),
+  and TOUCHING intervals (next start == prior end) merge — the flag is
+  strictly `start > prior_max_end`.
+- events_attribution_last_touch: a touch EXACTLY at the 7-day horizon
+  is attributed (<=, closed boundary); one microsecond past it is
+  'direct'.
+- ts_funnel_stages: stage ordering is STRICT (>) — a click sharing the
+  first view's timestamp does not count, nor a purchase sharing the
+  qualifying click's timestamp.
+- ts_cohort_retention: weeks truncate to ISO Monday in both engines — a
+  Sunday-23:59:59 signup lands in the SAME cohort week as that week's
+  Monday-00:00:00 signup, and the following Monday is offset 1.
+"""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tests.oracle_compare import compare, duckdb_conn
+
+UTC = datetime.timezone.utc
+
+
+def _us(dt: datetime.datetime) -> int:
+    return int(dt.replace(tzinfo=UTC).timestamp() * 1_000_000)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _parity(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    ok, msg = compare(q[name](spark, sf_dir), con := duckdb_conn(sf_dir), o[name])
+    con.close()
+    assert ok, f"{name}: {msg}"
+
+
+def test_coverage_interval_spanning_midnight_merges(spark, tmp_path):
+    """Three planted users, all rules hand-computed:
+    - user 1: events 23:50 and 00:05 (+1 day) — the intervals
+      [23:50, 00:20) and [00:05, 00:35) overlap ACROSS midnight; a
+      day-bucketed implementation would split them. One visit,
+      00:35 - 23:50 = 45 covered minutes.
+    - user 2: second event exactly 30 min after the first — its start
+      EQUALS the prior interval's end; strict `>` means touching
+      intervals MERGE. One visit, 60 minutes.
+    - user 3: second event 31 min after the first — strictly past the
+      end. Two visits, 30 + 30 = 60 minutes."""
+    d1 = datetime.datetime(2024, 3, 1, 23, 50, 0)
+    d2 = datetime.datetime(2024, 3, 2, 0, 5, 0)
+    t = datetime.datetime(2024, 3, 5, 10, 0, 0)
+    rows = [
+        (1, d1, 1, "click", 1.0),
+        (2, d2, 1, "click", 1.0),
+        (3, t, 2, "view", 1.0),
+        (4, t + datetime.timedelta(minutes=30), 2, "view", 1.0),
+        (5, t, 3, "view", 1.0),
+        (6, t + datetime.timedelta(minutes=31), 3, "view", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        ts_active_time_coverage,
+    )
+
+    out = {r.user_id: (r.n_visits, r.covered_minutes)
+           for r in ts_active_time_coverage(spark, sf).collect()}
+    assert out[1] == (1, 45), "midnight-spanning intervals must merge"
+    assert out[2] == (1, 60), "touching intervals (start == prior end) merge"
+    assert out[3] == (2, 60), "a 1-minute gap splits the visit"
+    _parity(spark, sf, "ts_active_time_coverage")
+
+
+def test_attribution_touch_exactly_at_horizon(spark, tmp_path):
+    """The 7-day lookback is CLOSED at the horizon: purchase minus
+    touch == exactly 7 days attributes to the touch; one microsecond
+    more is 'direct'.
+    - user 1: click at t0, purchase (10.0) at t0 + 7d exactly -> click.
+    - user 2: view at t0, purchase (5.0) at t0 + 7d + 1us -> direct."""
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    horizon = datetime.timedelta(days=7)
+    rows = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + horizon, 1, "purchase", 10.0),
+        (3, t0, 2, "view", 1.0),
+        (4, t0 + horizon + datetime.timedelta(microseconds=1), 2,
+         "purchase", 5.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        events_attribution_last_touch,
+    )
+
+    out = {r.channel: (r.n_purchases, r.revenue)
+           for r in events_attribution_last_touch(spark, sf).collect()}
+    assert out == {"click": (1, 10.0), "direct": (1, 5.0)}, (
+        "horizon must be closed (<=): exactly-7d attributes, 7d+1us is direct")
+    _parity(spark, sf, "events_attribution_last_touch")
+
+
+def test_funnel_same_timestamp_stage_ties(spark, tmp_path):
+    """Stage progression is STRICTLY later (>), so a same-timestamp
+    next stage never counts:
+    - user 1: view@t, click@t (tie -> skipped), click@t+2s (counts),
+      purchase@t+2s (ties the qualifying click -> skipped),
+      purchase@t+5s (counts).
+    - user 2: view@t, click@t only -> click NULL, and the purchase@t+10s
+      can never qualify (no qualifying click) -> NULL."""
+    t = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, t, 1, "view", 1.0),
+        (2, t, 1, "click", 1.0),
+        (3, t + 2 * s, 1, "click", 1.0),
+        (4, t + 2 * s, 1, "purchase", 1.0),
+        (5, t + 5 * s, 1, "purchase", 1.0),
+        (6, t, 2, "view", 1.0),
+        (7, t, 2, "click", 1.0),
+        (8, t + 10 * s, 2, "purchase", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        ts_funnel_stages,
+    )
+
+    out = {r.user_id: (r.t_view_us, r.t_click_us, r.t_purchase_us)
+           for r in ts_funnel_stages(spark, sf).collect()}
+    assert out[1] == (_us(t), _us(t + 2 * s), _us(t + 5 * s)), (
+        "tied click/purchase must be skipped; the next strict one counts")
+    assert out[2] == (_us(t), None, None), (
+        "a click tying the first view never qualifies, so neither can "
+        "the purchase")
+    _parity(spark, sf, "ts_funnel_stages")
+
+
+def test_cohort_week_boundary_signup(spark, tmp_path):
+    """2024-03-04 is a Monday. Both a Monday-00:00:00 signup (user 1)
+    and a Sunday-23:59:59 signup SIX DAYS LATER (user 2) belong to the
+    SAME ISO cohort week 2024-03-04; activity on the following Monday
+    00:00:00 is week_offset 1 for both."""
+    mon = datetime.datetime(2024, 3, 4, 0, 0, 0)
+    sun_end = datetime.datetime(2024, 3, 10, 23, 59, 59)
+    next_mon = datetime.datetime(2024, 3, 11, 0, 0, 0)
+    rows = [
+        (1, mon, 1, "view", 1.0),
+        (2, sun_end, 1, "view", 1.0),       # same week -> offset 0
+        (3, next_mon, 1, "view", 1.0),      # offset 1
+        (4, sun_end, 2, "view", 1.0),       # signup at week's last second
+        (5, next_mon, 2, "view", 1.0),      # offset 1
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        ts_cohort_retention,
+    )
+
+    wk = datetime.date(2024, 3, 4)
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in ts_cohort_retention(spark, sf).collect()}
+    assert out == {(wk, 0): 2, (wk, 1): 2}, (
+        "Sunday-23:59:59 and Monday-00:00:00 signups share the ISO "
+        "Monday cohort week; next Monday is offset 1")
+    _parity(spark, sf, "ts_cohort_retention")
