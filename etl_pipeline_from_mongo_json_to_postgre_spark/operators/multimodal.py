@@ -801,7 +801,89 @@ ORACLE_SQL["mm_video_frame_stats"] = """
     GROUP BY doc_id, frame_no
 """
 
+def mm_crossmodal_topk(spark, sf_dir):
+    """Cross-modal retrieval: embedding query -> nearest MEDIA PAYLOAD
+    (VERDICT r10 task 5) — the pair-mining shape a multimodal training
+    pipeline needs, joining the two families that never met: the
+    IVF-pruned ANN probe (similarity.ann_ivf_topk) and the binary
+    payload table (documents_as_media, the mm_payload_dedup frame).
+    Each hit carries its payload's sha2-256 digest + byte length (the
+    bytes themselves never enter a report frame) and its CANONICAL
+    media id — the keep-first representative among ALL media sharing
+    that payload (postgres_audit_repository.py:68-70 dedup semantics),
+    so a re-crawled duplicate clip retrieves as its canonical.
+
+    Scale shape: the hit list is queries x k rows — localCheckpointed
+    (it feeds two consumers) and BROADCAST into the media join, so
+    media bytes never shuffle; the canonical map is computed only over
+    media semi-joined (broadcast again) to the hit digests, then the
+    40-byte digest keys aggregate map-side. At 100 TB: index probe is
+    cell-pruned, media side is a bucketed-by-id probe, canonicalization
+    touches only payloads that actually matched."""
+    from .similarity import ann_ivf_topk
+
+    hits = ann_ivf_topk(spark, sf_dir)
+    media = documents_as_media(spark, sf_dir).select(
+        "media_id",
+        F.sha2("payload", 256).alias("payload_sha256"),
+        "n_bytes",
+    )
+    hit_media = (
+        F.broadcast(hits)
+        .join(media, hits.neighbor_id == media.media_id)
+        .select(
+            "query_id", "rank", "neighbor_id", "cosine",
+            "payload_sha256", "n_bytes",
+        )
+        .localCheckpoint(eager=True)  # digest list + final join read it
+    )
+    hit_digests = hit_media.select("payload_sha256").distinct()
+    canon = (
+        media.join(F.broadcast(hit_digests), "payload_sha256")
+        .groupBy("payload_sha256")
+        .agg(F.min("media_id").alias("canonical_media_id"))
+    )
+    return (
+        hit_media.join(F.broadcast(canon), "payload_sha256")
+        .select(
+            "query_id", "rank", "neighbor_id", "cosine",
+            "canonical_media_id", "n_bytes", "payload_sha256",
+        )
+    )
+
+
+def _mm_crossmodal_oracle() -> str:
+    # DuckDB sha256(VARCHAR) hashes the UTF-8 bytes — verified equal to
+    # Spark's sha2(encode(text,'utf-8'), 256) lowercase hex.
+    from .similarity import ORACLE_SQL as _sim_oracle
+
+    return f"""
+        WITH hits AS ({_sim_oracle["ann_ivf_topk"]}),
+        media AS (
+            SELECT doc_id AS media_id, sha256(text) AS payload_sha256,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        ), hm AS (
+            SELECT h.query_id, h.rank, h.neighbor_id, h.cosine,
+                   m.payload_sha256, m.n_bytes
+            FROM hits h JOIN media m ON m.media_id = h.neighbor_id
+        ), canon AS (
+            SELECT payload_sha256, MIN(media_id) AS canonical_media_id
+            FROM media
+            WHERE payload_sha256 IN (SELECT payload_sha256 FROM hm)
+            GROUP BY 1
+        )
+        SELECT hm.query_id, hm.rank, hm.neighbor_id, hm.cosine,
+               c.canonical_media_id, hm.n_bytes, hm.payload_sha256
+        FROM hm JOIN canon c USING (payload_sha256)
+    """
+
+
+ORACLE_SQL["mm_crossmodal_topk"] = _mm_crossmodal_oracle()
+
+
 QUERIES = {
+    "mm_crossmodal_topk": mm_crossmodal_topk,
     "mm_payload_dedup": mm_payload_dedup,
     "mm_binary_stats": mm_binary_stats,
     "mm_feature_extract": mm_feature_extract,

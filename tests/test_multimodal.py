@@ -286,3 +286,75 @@ def test_binary_column_parquet_roundtrip(spark, sf_dir, tmp_path):
         ).collect()[0]
 
     assert census(media) == census(back)
+
+
+def test_crossmodal_topk_canonicalizes_duplicate_payloads(spark, tmp_path):
+    """mm_crossmodal_topk contract on a planted fixture: docs 2 and 4
+    carry IDENTICAL text, so any hit on doc 4 must retrieve canonical
+    media id 2 with doc 2's digest (keep-first), while unique payloads
+    canonicalize to themselves; n_bytes is the utf-8 byte length
+    (doc 1 is multibyte). All six vectors sit in one IVF cell (tiny
+    perturbations of CENTROIDS[0]) so every query's top-5 is the other
+    five vectors — the hit list provably includes the duplicate."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        mm_crossmodal_topk,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        CENTROIDS,
+    )
+
+    texts = ["alpha", "héllo", "same payload", "unique three",
+             "same payload", "final text"]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+            "source": pa.array(["t"] * 6, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    rng = np.random.RandomState(3)
+    c0 = np.array(CENTROIDS[0])
+    vecs = [c0 / np.linalg.norm(c0) + 0.01 * rng.randn(64) for _ in range(6)]
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 6, pa.int32()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+
+    rows = mm_crossmodal_topk(spark, sf).collect()
+    by_qn = {(r.query_id, r.neighbor_id): r for r in rows}
+    # one-cell corpus: every query retrieves all five others
+    assert sorted({q for q, _ in by_qn}) == list(range(6))
+    assert all(len([1 for q, n in by_qn if q == i]) == 5 for i in range(6))
+    digest = {i: hashlib.sha256(t.encode()).hexdigest()
+              for i, t in enumerate(texts)}
+    for (q, n), r in by_qn.items():
+        assert r.payload_sha256 == digest[n]
+        assert r.n_bytes == len(texts[n].encode())
+        assert r.canonical_media_id == (2 if n in (2, 4) else n), (
+            "duplicate payload must retrieve its keep-first canonical")
+
+    from tests.oracle_compare import compare, duckdb_conn
+
+    import __spark_entry__ as e
+
+    con = duckdb_conn(sf)
+    ok, msg = compare(mm_crossmodal_topk(spark, sf), con,
+                      e.oracle_sql()["mm_crossmodal_topk"])
+    con.close()
+    assert ok, msg
