@@ -60,6 +60,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.streaming import (
     doc_chunks as streaming_doc_chunks,
     events as streaming_events,
     load as streaming_load,
+    semantic as streaming_semantic,
     sessionize_native as streaming_sessionize_native,
 )
 
@@ -70,7 +71,8 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
             streaming_doc_chunks, repetition, bpe, streaming_load,
             quantile_sketch, malformed, mm_resize, mm_pack,
-            streaming_sessionize_native, xml_source, binary_source)
+            streaming_sessionize_native, xml_source, binary_source,
+            streaming_semantic)
 
 # The driver evaluates registry entries in dict order and hash-checks the
 # first 50 per round. Ordering rule (VERDICT r4 tasks 1+7): derived from
