@@ -813,13 +813,17 @@ def mm_crossmodal_topk(spark, sf_dir):
     that payload (postgres_audit_repository.py:68-70 dedup semantics),
     so a re-crawled duplicate clip retrieves as its canonical.
 
-    Scale shape: the hit list is queries x k rows — localCheckpointed
-    (it feeds two consumers) and BROADCAST into the media join, so
-    media bytes never shuffle; the canonical map is computed only over
-    media semi-joined (broadcast again) to the hit digests, then the
-    40-byte digest keys aggregate map-side. At 100 TB: index probe is
-    cell-pruned, media side is a bucketed-by-id probe, canonicalization
-    touches only payloads that actually matched."""
+    Scale shape: the media table is read ONCE — the digest projection
+    (media_id, sha2, n_bytes; ~56 bytes/row, orders of magnitude below
+    the payload bytes) is localCheckpointed and feeds BOTH consumers
+    (hit join + canonical map), so payload bytes are touched in exactly
+    one scan. The hit list is queries x k rows — localCheckpointed (it
+    feeds two consumers) and BROADCAST into the media join; the
+    canonical map is computed only over digest rows semi-joined
+    (broadcast again) to the hit digests, then the 40-byte digest keys
+    aggregate map-side. At 100 TB: index probe is cell-pruned, media
+    side is a bucketed-by-id probe, canonicalization touches only
+    digests that actually matched."""
     from .similarity import ann_ivf_topk
 
     hits = ann_ivf_topk(spark, sf_dir)
@@ -827,7 +831,7 @@ def mm_crossmodal_topk(spark, sf_dir):
         "media_id",
         F.sha2("payload", 256).alias("payload_sha256"),
         "n_bytes",
-    )
+    ).localCheckpoint(eager=True)  # one payload scan; both joins read this
     hit_media = (
         F.broadcast(hits)
         .join(media, hits.neighbor_id == media.media_id)
