@@ -2063,6 +2063,111 @@ ORACLE_SQL["inc_semantic_dedup"] = f"""
 """
 
 
+def inc_semantic_dedup_mp(spark, sf_dir):
+    """Multi-probe incremental semantic dedup: inc_semantic_dedup with
+    the ARRIVING side probing its top-2 cells — the textbook
+    multi-probe IVF search shape (index vectors stay in their single
+    primary cell; only queries fan out), closing the same boundary-miss
+    class dedup_semantic_cells_mp closes for the batch entry: an
+    arrival whose primary cell differs from its near-dup's index cell
+    is invisible to the single-probe join by construction, but its
+    SECOND-best cell is the index vector's primary, so the multi-probe
+    join finds it (planted straddle fixture in
+    test_degenerate_parity.py).
+
+    Cost: exactly 2x the probed-cell occupancy per arrival — the
+    candidate join is still BATCH x INDEX keyed on cell_id, never
+    index x index, and an index vector lives in ONE cell so no
+    candidate pair can be generated twice (MIN needs no distinct).
+    Same top-2 rule as the batch twin (mask-then-argmax == the
+    oracle's (dot DESC, cell ASC) rank rule for every tie layout);
+    same keep-first contract with the index always winning
+    (postgres_audit_repository.py:68-70)."""
+    vecs = _vectors(spark, sf_dir)
+    dots = _matrix_dots(F.col("v"), CENTROIDS)
+    primary = F.array_position(F.col("dots"), F.array_max(F.col("dots")))
+    masked = F.transform(
+        F.col("dots"),
+        lambda x, i: F.when(
+            (i + 1) == F.col("cell_id"), F.lit(float("-inf"))
+        ).otherwise(x),
+    )
+    assigned = (
+        vecs.select("vec_id", "v", "nrm", dots.alias("dots"))
+        .withColumn("cell_id", primary.cast("long"))
+        .withColumn(
+            "cell2", F.array_position(masked, F.array_max(masked))
+            .cast("long")
+        )
+        .drop("dots")
+        .localCheckpoint(eager=True)  # batch + index slices read it once
+    )
+    is_batch = scrambled_bucket(F.col("vec_id"), INC_VEC_BATCH_MOD) == 0
+    probes = assigned.where(is_batch).select(
+        "vec_id",
+        F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+        F.explode(F.array(F.col("cell_id"), F.col("cell2")))
+        .alias("cell_id"),
+    )
+    index = assigned.where(~is_batch).select(
+        "cell_id",
+        F.col("vec_id").alias("idx_id"),
+        F.col("v").alias("iv"), F.col("nrm").alias("inrm"),
+    )
+    cos = _dot(F.col("bv"), F.col("iv")) / (F.col("bn") * F.col("inrm"))
+    matches = (
+        probes.join(index, "cell_id")
+        .where(F.round(cos, 6) >= NEAR_DUP_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(F.min("idx_id").alias("min_idx"))
+    )
+    return (
+        assigned.where(is_batch).select("vec_id")
+        .join(matches, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("min_idx").isNotNull().alias("is_dup"),
+            F.coalesce("min_idx", F.col("vec_id")).alias("canonical_id"),
+        )
+    )
+
+
+ORACLE_SQL["inc_semantic_dedup_mp"] = f"""
+    WITH base AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, v, nrm, dots,
+               CAST(list_position(dots, list_max(dots)) AS BIGINT)
+                   AS cell_id,
+               {scrambled_bucket_sql('vec_id', INC_VEC_BATCH_MOD)} = 0
+                   AS is_batch
+        FROM (SELECT vec_id, v, nrm, {_DUCK_CENT_DOTS} AS dots FROM base)
+    ), probes AS (
+        -- arriving side only; rank rule == the Spark mask-then-argmax
+        SELECT vec_id, CAST(ci AS BIGINT) AS cell FROM (
+            SELECT vec_id, ci, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dots[ci] DESC, ci ASC) AS rk
+            FROM (SELECT vec_id, dots,
+                         unnest(range(1, {N_CENTROIDS} + 1)) AS ci
+                  FROM assigned WHERE is_batch)
+        ) WHERE rk <= {SEM_PROBES}
+    ), matches AS (
+        SELECT p.vec_id, MIN(i.vec_id) AS min_idx
+        FROM probes p
+        JOIN assigned b ON b.vec_id = p.vec_id
+        JOIN assigned i ON i.cell_id = p.cell AND NOT i.is_batch
+        WHERE round({_duck_dot('b.v', 'i.v')} / (b.nrm * i.nrm), 6)
+              >= {NEAR_DUP_THRESHOLD}
+        GROUP BY p.vec_id
+    )
+    SELECT a.vec_id,
+           m.min_idx IS NOT NULL AS is_dup,
+           coalesce(m.min_idx, a.vec_id) AS canonical_id
+    FROM assigned a LEFT JOIN matches m ON m.vec_id = a.vec_id
+    WHERE a.is_batch
+"""
+
+
 ORACLE_SQL["dedup_semantic_cells"] = f"""
     WITH vecs AS (
         SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
@@ -2107,6 +2212,7 @@ QUERIES = {
     "dedup_semantic_cells": dedup_semantic_cells,
     "dedup_semantic_cells_mp": dedup_semantic_cells_mp,
     "inc_semantic_dedup": inc_semantic_dedup,
+    "inc_semantic_dedup_mp": inc_semantic_dedup_mp,
     "dedup_components": dedup_components,
     "dedup_components_bigstar": dedup_components_bigstar,
     "dedup_cluster_census": dedup_cluster_census,

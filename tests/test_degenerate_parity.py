@@ -207,3 +207,67 @@ def test_semantic_multiprobe_catches_cell_straddling_pair(spark, tmp_path):
 
     # and the oracle replicates the top-2 rule on the planted fixture
     _check(spark, sf, ["dedup_semantic_cells_mp"])
+
+
+def test_inc_multiprobe_catches_straddling_arrival(spark, tmp_path):
+    """The incremental twin of the SemDeDup boundary-miss class: an
+    ARRIVING vector whose primary cell differs from its near-dup INDEX
+    vector's cell is invisible to inc_semantic_dedup's single-probe
+    join by construction; inc_semantic_dedup_mp probes the arrival's
+    top-2 cells and must catch it. Fixture ids chosen for the
+    scrambled mod-10 slice: vec 0 IS the arriving batch (bucket 0);
+    vecs 1-3 are index. vec 0 = 1.1*e0 + e1 (primary cell 1, second
+    cell 2, 1-based), index vec 1 = e0 + 1.1*e1 (primary cell 2),
+    mutual cosine ~0.997; index vecs 2/3 are far (cells 6/10, below
+    threshold against everything)."""
+    import numpy as np
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
+        KNUTH_MULT,
+        SCRAMBLE_MOD,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        CENTROIDS,
+        INC_VEC_BATCH_MOD,
+        inc_semantic_dedup,
+        inc_semantic_dedup_mp,
+    )
+
+    def bucket(i):
+        return (i * KNUTH_MULT % SCRAMBLE_MOD) % INC_VEC_BATCH_MOD
+
+    assert bucket(0) == 0 and all(bucket(i) != 0 for i in (1, 2, 3)), (
+        "fixture ids must split arrival/index under the scrambled slice")
+
+    C = np.array(CENTROIDS)
+    e0 = C[0] / np.dot(C[0], C[0])
+    e1 = C[1] / np.dot(C[1], C[1])
+    vecs = [
+        1.1 * e0 + e1,                      # arriving straddler
+        e0 + 1.1 * e1,                      # its index near-dup, other cell
+        2.0 * C[5] / np.linalg.norm(C[5]),  # far index
+        2.0 * C[9] / np.linalg.norm(C[9]),  # far index
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0, 1, 2], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    single = {r.vec_id: r for r in inc_semantic_dedup(spark, sf).collect()}
+    assert set(single) == {0}, "only vec 0 is in the arriving slice"
+    assert single[0].is_dup is False and single[0].canonical_id == 0, (
+        "single-probe provably misses the cross-cell near-dup")
+
+    multi = {r.vec_id: r for r in inc_semantic_dedup_mp(spark, sf).collect()}
+    assert set(multi) == {0}
+    assert multi[0].is_dup is True and multi[0].canonical_id == 1, (
+        "the arrival's second-best cell is the index near-dup's primary")
+
+    _check(spark, sf, ["inc_semantic_dedup_mp"])
