@@ -1847,7 +1847,40 @@ def dedup_semantic_cells(spark, sf_dir):
     )
 
 
-SEM_PROBES = 2  # multi-probe width: each vector candidates under its top-2 cells
+# Multi-probe width. STRUCTURALLY PINNED to 2 on the Spark side: the
+# engine derives the probe set by mask-then-argmax (_top2_cells), which
+# yields exactly one extra cell; only the oracles' `rk <= SEM_PROBES`
+# is numeric. Widening to 3+ requires replacing _top2_cells with a
+# rank-k derivation IN THE SAME HELPER so engine and oracle move
+# together (r11 review finding).
+SEM_PROBES = 2
+assert SEM_PROBES == 2, "engine probe derivation (_top2_cells) is pinned to 2"
+
+
+def _primary_cell(dots: Column) -> Column:
+    """1-based argmax cell under the shared tie rule: FIRST occurrence
+    of the max (== smallest cell index among ties) — the single source
+    of the coarse-quantizer assignment for the r11 multi-probe family
+    and streaming.semantic.assign_cells. (inc_semantic_dedup /
+    dedup_semantic_cells, green-stamped r10, keep their identical
+    inline forms — re-deriving them through this helper would only
+    drift-mark two proven entries; their docstrings cross-reference
+    this rule.)"""
+    return F.array_position(dots, F.array_max(dots))
+
+
+def _top2_cells(dots: Column, primary: Column) -> Column:
+    """1-based SECOND-best cell: mask the primary slot to -inf, argmax
+    again. Equivalent to rank 2 under (dot DESC, cell ASC) for every
+    tie layout, because array_position always returns the FIRST
+    occurrence of the max — the one place the engine's top-2 rule
+    lives; the oracles replicate it as a rank-rule window."""
+    masked = F.transform(
+        dots,
+        lambda x, i: F.when((i + 1) == primary, F.lit(float("-inf")))
+        .otherwise(x),
+    )
+    return F.array_position(masked, F.array_max(masked))
 
 
 def dedup_semantic_cells_mp(spark, sf_dir):
@@ -1875,18 +1908,11 @@ def dedup_semantic_cells_mp(spark, sf_dir):
     canonical_id, is_duplicate)."""
     vecs = _vectors(spark, sf_dir)
     dots = _matrix_dots(F.col("v"), CENTROIDS)
-    primary = F.array_position(F.col("dots"), F.array_max(F.col("dots")))
-    masked = F.transform(
-        F.col("dots"),
-        lambda x, i: F.when(
-            (i + 1) == F.col("cluster_id"), F.lit(float("-inf"))
-        ).otherwise(x),
-    )
     assigned = (
         vecs.select("vec_id", "v", "nrm", dots.alias("dots"))
-        .withColumn("cluster_id", primary)
+        .withColumn("cluster_id", _primary_cell(F.col("dots")))
         .withColumn(
-            "cell2", F.array_position(masked, F.array_max(masked))
+            "cell2", _top2_cells(F.col("dots"), F.col("cluster_id"))
         )
         .drop("dots")
         .localCheckpoint(eager=True)  # probes + both verify sides read it
@@ -2085,18 +2111,11 @@ def inc_semantic_dedup_mp(spark, sf_dir):
     (postgres_audit_repository.py:68-70)."""
     vecs = _vectors(spark, sf_dir)
     dots = _matrix_dots(F.col("v"), CENTROIDS)
-    primary = F.array_position(F.col("dots"), F.array_max(F.col("dots")))
-    masked = F.transform(
-        F.col("dots"),
-        lambda x, i: F.when(
-            (i + 1) == F.col("cell_id"), F.lit(float("-inf"))
-        ).otherwise(x),
-    )
     assigned = (
         vecs.select("vec_id", "v", "nrm", dots.alias("dots"))
-        .withColumn("cell_id", primary.cast("long"))
+        .withColumn("cell_id", _primary_cell(F.col("dots")).cast("long"))
         .withColumn(
-            "cell2", F.array_position(masked, F.array_max(masked))
+            "cell2", _top2_cells(F.col("dots"), F.col("cell_id"))
             .cast("long")
         )
         .drop("dots")

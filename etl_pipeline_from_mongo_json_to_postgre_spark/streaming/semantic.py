@@ -37,6 +37,7 @@ from ..operators.similarity import (
     ORACLE_SQL as _SIM_ORACLE,
     _dot,
     _matrix_dots,
+    _primary_cell,
     _vectors,
 )
 from ..functions.sampling import scrambled_bucket
@@ -55,8 +56,7 @@ def assign_cells(vecs: DataFrame) -> DataFrame:
         _matrix_dots(F.col("v"), CENTROIDS).alias("dots"),
     ).select(
         "vec_id", "v", "nrm",
-        F.array_position("dots", F.array_max(F.col("dots"))).cast("long")
-        .alias("cell_id"),
+        _primary_cell(F.col("dots")).cast("long").alias("cell_id"),
     )
 
 
@@ -154,6 +154,12 @@ def stream_semantic_dedup(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+        # an EMPTY arriving slice fires zero micro-batches, so the b*
+        # glob matches nothing and spark.read would raise PATH_NOT_FOUND
+        # instead of matching the oracle's empty result (r11 review) —
+        # the batch twin returns an empty frame on the same input
+        if not any(d.startswith("b") for d in os.listdir(out_dir)):
+            return spark.createDataFrame([], BATCH_OUT_SCHEMA)
         result = spark.read.schema(BATCH_OUT_SCHEMA).parquet(
             os.path.join(out_dir, "b*")
         )

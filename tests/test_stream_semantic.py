@@ -119,3 +119,32 @@ def test_stream_equals_batch_twin(spark, tmp_path):
     batch_rows = sorted(inc_semantic_dedup(spark, sf).collect())
     assert len(stream_rows) > 0, "the 10% slice must be non-empty"
     assert stream_rows == batch_rows
+
+
+def test_empty_arriving_slice_returns_empty_frame(spark, tmp_path):
+    """An embeddings table whose ids ALL land outside the scrambled
+    arriving bucket must yield an EMPTY result — matching the batch
+    twin — not a path-not-found crash when zero micro-batches were
+    written (r11 review finding)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
+        KNUTH_MULT,
+        SCRAMBLE_MOD,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        INC_VEC_BATCH_MOD,
+        inc_semantic_dedup,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming.semantic import (
+        stream_semantic_dedup,
+    )
+
+    ids = [1, 2, 3]
+    assert all((i * KNUTH_MULT % SCRAMBLE_MOD) % INC_VEC_BATCH_MOD != 0
+               for i in ids)
+    rng = np.random.RandomState(23)
+    sf = _write_embeddings(tmp_path, [rng.randn(64) for _ in ids], ids=ids)
+
+    out = stream_semantic_dedup(spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "is_dup", "canonical_id"]
+    assert inc_semantic_dedup(spark, sf).count() == 0
