@@ -2002,6 +2002,113 @@ ORACLE_SQL["dedup_semantic_cells_mp"] = f"""
 """
 
 
+def sem_probe_eval(spark, sf_dir):
+    """Multi-probe quality census — the tuning signal for SEM_PROBES:
+    of all VERIFIED near-dup pairs reachable under top-2 probing, how
+    many does single-probe (primary-cell-only) assignment catch, and
+    how many are boundary pairs it structurally misses? The derived-
+    metric pattern of dedup_lsh_eval / ann_recall_eval applied to the
+    semantic family: a practitioner reads boundary_share to decide
+    whether the 2x candidate cost of multi-probe pays for their
+    quantizer (reference anchor: evaluates the same keep-first dedup
+    family, postgres_audit_repository.py:68-70).
+
+    Scale shape: one probe self-join (occupancy-bounded id rows
+    carrying both primaries), pair-keyed distinct, vectors rejoin the
+    candidate list for the exact-cosine verify, then a single global
+    aggregate — nothing beyond the mp pipeline it instruments, ending
+    in a 1-row frame. single-caught is derivable per pair (primary(a)
+    == primary(b)), so no second pipeline runs."""
+    vecs = _vectors(spark, sf_dir)
+    dots = _matrix_dots(F.col("v"), CENTROIDS)
+    assigned = (
+        vecs.select("vec_id", "v", "nrm", dots.alias("dots"))
+        .withColumn("prim", _primary_cell(F.col("dots")))
+        .withColumn("cell2", _top2_cells(F.col("dots"), F.col("prim")))
+        .drop("dots")
+        .localCheckpoint(eager=True)  # probes + verify sides read it
+    )
+    probes = assigned.select(
+        "vec_id", "prim",
+        F.explode(F.array(F.col("prim"), F.col("cell2")))
+        .alias("probe_cell"),
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(b, "probe_cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.col("a.prim") == F.col("b.prim")).alias("same_primary"),
+        )
+        .distinct()  # same_primary is a pure function of the pair
+    )
+    x = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    y = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    verified = (
+        cand.join(x, "vec_a").join(y, "vec_b")
+        .where(F.round(cos, 6) >= NEAR_DUP_THRESHOLD)
+        .select("same_primary")
+    )
+    n_multi = F.count("*")
+    n_single = F.sum(F.col("same_primary").cast("bigint"))
+    return verified.agg(
+        n_multi.alias("n_pairs_multi"),
+        n_single.alias("n_pairs_single"),
+        (n_multi - n_single).alias("n_boundary_pairs"),
+        F.when(
+            n_multi > 0,
+            F.round((n_multi - n_single).cast("double") / n_multi, 6),
+        ).alias("boundary_share"),
+    )
+
+
+ORACLE_SQL["sem_probe_eval"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, v, nrm, dots,
+               CAST(list_position(dots, list_max(dots)) AS BIGINT) AS prim
+        FROM (SELECT vec_id, v, nrm, {_DUCK_CENT_DOTS} AS dots FROM vecs)
+    ), probes AS (
+        SELECT vec_id, prim, CAST(ci AS BIGINT) AS probe_cell FROM (
+            SELECT vec_id, prim, ci, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dots[ci] DESC, ci ASC) AS rk
+            FROM (SELECT vec_id, prim, dots,
+                         unnest(range(1, {N_CENTROIDS} + 1)) AS ci
+                  FROM assigned)
+        ) WHERE rk <= {SEM_PROBES}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.prim = b.prim AS same_primary
+        FROM probes a JOIN probes b
+          ON a.probe_cell = b.probe_cell AND a.vec_id < b.vec_id
+    ), verified AS (
+        SELECT same_primary
+        FROM cand
+        JOIN assigned x ON x.vec_id = vec_a
+        JOIN assigned y ON y.vec_id = vec_b
+        WHERE round({_duck_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 6)
+              >= {NEAR_DUP_THRESHOLD}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs_multi,
+           CAST(sum(CASE WHEN same_primary THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_single,
+           CAST(count(*) - sum(CASE WHEN same_primary THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boundary_pairs,
+           CASE WHEN count(*) > 0 THEN
+               round(CAST(count(*) - sum(CASE WHEN same_primary
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6)
+           END AS boundary_share
+    FROM verified
+"""
+
+
 INC_VEC_BATCH_MOD = 10  # scrambled vec_id % 10 == 0 -> the "new batch"
 
 
@@ -2230,6 +2337,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_cells": dedup_semantic_cells,
     "dedup_semantic_cells_mp": dedup_semantic_cells_mp,
+    "sem_probe_eval": sem_probe_eval,
     "inc_semantic_dedup": inc_semantic_dedup,
     "inc_semantic_dedup_mp": inc_semantic_dedup_mp,
     "dedup_components": dedup_components,
