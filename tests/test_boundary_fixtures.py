@@ -189,3 +189,140 @@ def test_cohort_week_boundary_signup(spark, tmp_path):
         "Sunday-23:59:59 and Monday-00:00:00 signups share the ISO "
         "Monday cohort week; next Monday is offset 1")
     _parity(spark, sf, "ts_cohort_retention")
+
+
+def test_asof_join_tie_and_no_prior_view(spark, tmp_path):
+    """As-of semantics at the boundary: a view at EXACTLY the purchase
+    timestamp matches (\"at or before\" is closed, gap 0); among
+    same-timestamp views the LARGEST event_id wins (the engine's
+    (ts, tag, event_id) ordering and the oracle's max(event_id)
+    pre-collapse encode the same pick); a purchase with no prior view
+    carries NULLs, never drops."""
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0, 1, "view", 1.0),       # same-ts twin: id 2 must win
+        (3, t0, 1, "purchase", 9.0),   # tied with its views: gap 0
+        (4, t0 - datetime.timedelta(hours=1), 2, "purchase", 5.0),
+        (5, t0, 2, "view", 1.0),       # AFTER user 2's purchase
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        j5_asof_join,
+    )
+
+    out = {r.purchase_id: (r.view_event_id, r.gap_us)
+           for r in j5_asof_join(spark, sf).collect()}
+    assert out[3] == (2, 0), (
+        "a view AT the purchase ts matches with gap 0, larger id wins ties")
+    assert out[4] == (None, None), "no prior view -> NULL sides, row kept"
+    _parity(spark, sf, "j5_asof_join")
+
+
+def test_range_join_closed_horizon(spark, tmp_path):
+    """The 1-hour range-join horizon is CLOSED: a pair exactly 1 hour
+    apart qualifies (and necessarily spans two adjacent buckets, so
+    the bucket trick must surface it); one microsecond more does not."""
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    us = datetime.timedelta(microseconds=1)
+    rows = [
+        (6, t0, 3, "view", 1.0),
+        (7, t0 + datetime.timedelta(hours=1), 3, "view", 1.0),
+        (8, t0 + datetime.timedelta(hours=2) + us, 3, "view", 1.0),
+        (9, t0, 4, "view", 1.0),
+        (10, t0 + datetime.timedelta(hours=1) + us, 4, "view", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        j6_range_join,
+    )
+
+    pairs = {(r.a_id, r.b_id): r.gap_us
+             for r in j6_range_join(spark, sf).collect()}
+    assert pairs == {(6, 7): 3_600_000_000}, (
+        "exactly-1h pair is in (closed horizon, adjacent buckets); "
+        "1h+1us pairs are out")
+    _parity(spark, sf, "j6_range_join")
+
+
+def test_tumbling_window_start_inclusive(spark, tmp_path):
+    """Tumbling windows are [start, end): an event at EXACTLY the hour
+    boundary belongs to the window it starts, not the one it ends."""
+    rows = [
+        (1, datetime.datetime(2024, 3, 1, 9, 59, 59, 999999), 1, "view", 1.0),
+        (2, datetime.datetime(2024, 3, 1, 10, 0, 0), 1, "view", 1.0),
+        (3, datetime.datetime(2024, 3, 1, 10, 59, 59, 999999), 1, "view", 1.0),
+        (4, datetime.datetime(2024, 3, 1, 11, 0, 0), 1, "view", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        tumbling_window_agg,
+    )
+
+    out = {r.window_start.replace(tzinfo=None): r.cnt
+           for r in tumbling_window_agg(spark, sf).collect()}
+    assert out == {
+        datetime.datetime(2024, 3, 1, 9, 0): 1,
+        datetime.datetime(2024, 3, 1, 10, 0): 2,
+        datetime.datetime(2024, 3, 1, 11, 0): 1,
+    }
+    _parity(spark, sf, "tumbling_window_agg")
+
+
+def test_rolling_range_frame_inclusive_edge(spark, tmp_path):
+    """The trailing 1-hour RANGE frame is closed at its trailing edge:
+    an event exactly 1 hour older is counted; one microsecond older is
+    not. First event's lag gap is NULL."""
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + datetime.timedelta(hours=1), 1, "view", 2.0),
+        (3, t0 + datetime.timedelta(hours=2, microseconds=1), 1,
+         "view", 4.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        ts_rolling_stats,
+    )
+
+    out = {r.event_id: (r.n_1h, r.sum_1h, r.gap_us)
+           for r in ts_rolling_stats(spark, sf).collect()}
+    assert out[1] == (1, 1.0, None)
+    assert out[2] == (2, 3.0, 3_600_000_000), (
+        "exactly-1h-older event is inside the closed trailing frame")
+    assert out[3] == (1, 4.0, 3_600_000_001), (
+        "1h+1us-older event is outside")
+    _parity(spark, sf, "ts_rolling_stats")
+
+
+def test_lateness_bucket_edges(spark, tmp_path):
+    """Lateness buckets are closed at their upper bounds: lateness 0 is
+    in_order, EXACTLY 60s is '<=60s', 60s+1us falls to '<=10m'.
+    Arrival order is event_id; the running max of event time defines
+    lateness."""
+    t = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t, 1, "view", 1.0),                                    # rm=t, 0
+        (2, t - datetime.timedelta(seconds=60), 1, "view", 1.0),   # 60s
+        (3, t - datetime.timedelta(seconds=60, microseconds=1), 1,
+         "view", 1.0),                                             # 60s+1us
+        (4, t, 1, "view", 1.0),                                    # 0
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.timeseries import (
+        events_lateness_census,
+    )
+
+    out = {r.label: (r.n_events, r.share, r.max_lateness_s)
+           for r in events_lateness_census(spark, sf).collect()}
+    assert out == {
+        "in_order": (2, 0.5, 0.0),
+        "<=60s": (1, 0.25, 60.0),
+        "<=10m": (1, 0.25, 60.000001),
+    }
+    _parity(spark, sf, "events_lateness_census")
