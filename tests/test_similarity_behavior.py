@@ -427,3 +427,55 @@ class TestIncSemanticDedup:
                 assert r["canonical_id"] in index_ids  # index always wins
                 n_dups += 1
         assert n_dups > 0, "fixture must produce some incremental dups"
+
+
+class TestSemanticMultiProbe:
+    """r11 multi-probe family: the candidate bound must stay STRUCTURAL
+    under top-2 probing — the pair/probe joins key on the probed cell,
+    so no cartesian can appear; and the probe set must contain exactly
+    the primary plus the second-best cell under the shared rank rule."""
+
+    def test_mp_plans_have_no_cartesian(self, spark, sf_dir):
+        from etl_pipeline_from_mongo_json_to_postgre_spark.storage import physical_plan
+
+        for fn, key in (
+            (similarity.dedup_semantic_cells_mp, "probe_cell"),
+            (similarity.inc_semantic_dedup_mp, "cell_id"),
+            (similarity.sem_probe_eval, "probe_cell"),
+        ):
+            plan = physical_plan(fn(spark, sf_dir))
+            assert "CartesianProduct" not in plan, fn.__name__
+            assert key in plan, f"{fn.__name__}: join key missing from plan"
+
+    def test_top2_rule_matches_rank_definition(self, spark, sf_dir):
+        """_primary_cell/_top2_cells vs an independent numpy rank by
+        (dot DESC, cell ASC) over the REAL corpus — the helper is the
+        single source the oracles mirror, so it gets its own
+        engine-independent check."""
+        import numpy as np
+
+        vecs = similarity._vectors(spark, sf_dir)
+        dots_col = similarity._matrix_dots(F.col("v"), similarity.CENTROIDS)
+        got = {
+            r["vec_id"]: (r["c1"], r["c2"])
+            for r in vecs.select(
+                "vec_id", "v", dots_col.alias("dots")
+            ).select(
+                "vec_id", "v",
+                similarity._primary_cell(F.col("dots")).alias("c1"),
+                similarity._top2_cells(
+                    F.col("dots"),
+                    similarity._primary_cell(F.col("dots")),
+                ).alias("c2"),
+            ).collect()
+        }
+        C = np.array(similarity.CENTROIDS)
+        emb = {
+            r["vec_id"]: np.array(r["v"])
+            for r in vecs.select("vec_id", "v").collect()
+        }
+        for vid, v in emb.items():
+            d = C @ v
+            order = np.lexsort((np.arange(len(d)), -d))  # dot DESC, cell ASC
+            want = (int(order[0]) + 1, int(order[1]) + 1)  # 1-based
+            assert got[vid] == want, f"vec {vid}: {got[vid]} != {want}"
