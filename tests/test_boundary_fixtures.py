@@ -20,6 +20,14 @@ the pinned rule is provably the shared one:
 - ts_cohort_retention: weeks truncate to ISO Monday in both engines — a
   Sunday-23:59:59 signup lands in the SAME cohort week as that week's
   Monday-00:00:00 signup, and the following Monday is offset 1.
+
+Extended beyond the four tasked entries with the same treatment:
+as-of join (tie/zero-gap/NULL-keep), range join (closed 1h horizon at
+the adjacent-bucket edge), tumbling windows ([start, end)), rolling
+RANGE frame (closed trailing edge), lateness census (closed bucket
+bounds), SCD2 (zero-length same-day interval, as-of instant
+open/closed edges, status-reappearance island), w3 strict >400 carry,
+sliding-window membership at the slide boundary.
 """
 
 import datetime
@@ -326,3 +334,126 @@ def test_lateness_bucket_edges(spark, tmp_path):
         "<=10m": (1, 0.25, 60.000001),
     }
     _parity(spark, sf, "events_lateness_census")
+
+
+def _write_orders(tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    o_orderdate)."""
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_scd2_same_day_change_and_asof_edge(spark, tmp_path):
+    """SCD2 boundary rules, hand-computed:
+    - cust 1: status change exactly ON the AS-OF date (1998-06-15) —
+      the closing interval's valid_to == T is EXCLUDED (valid_to > T
+      strict) and the opening interval's valid_from == T is INCLUDED
+      (valid_from <= T closed): as-of returns the NEW status.
+    - cust 2: two different-status orders on the SAME day produce a
+      ZERO-LENGTH interval (valid_from == valid_to), kept, never
+      merged or dropped; as-of never matches it.
+    - cust 3: a status REAPPEARING (O -> F -> O) opens a third island —
+      islands are runs, not distinct values."""
+    d = datetime.datetime
+    rows = [
+        (1, 1, "O", 10.0, d(1998, 6, 10)),
+        (2, 1, "F", 10.0, d(1998, 6, 15)),
+        (3, 2, "O", 10.0, d(1998, 6, 1)),
+        (4, 2, "F", 10.0, d(1998, 6, 1)),
+        (5, 3, "O", 10.0, d(1998, 6, 1)),
+        (6, 3, "F", 10.0, d(1998, 6, 5)),
+        (7, 3, "O", 10.0, d(1998, 6, 10)),
+    ]
+    sf = _write_orders(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.incremental import (
+        inc_scd2_as_of,
+        inc_scd2_intervals,
+    )
+
+    def naive(ts):
+        return ts.replace(tzinfo=None) if ts is not None else None
+
+    iv = {(r.o_custkey, r.island): (r.o_orderstatus, naive(r.valid_from),
+                                    naive(r.valid_to), r.n_orders)
+          for r in inc_scd2_intervals(spark, sf).collect()}
+    assert iv == {
+        (1, 1): ("O", d(1998, 6, 10), d(1998, 6, 15), 1),
+        (1, 2): ("F", d(1998, 6, 15), None, 1),
+        (2, 1): ("O", d(1998, 6, 1), d(1998, 6, 1), 1),   # zero-length
+        (2, 2): ("F", d(1998, 6, 1), None, 1),
+        (3, 1): ("O", d(1998, 6, 1), d(1998, 6, 5), 1),
+        (3, 2): ("F", d(1998, 6, 5), d(1998, 6, 10), 1),
+        (3, 3): ("O", d(1998, 6, 10), None, 1),           # reappearance
+    }
+
+    asof = {r.o_custkey: r.o_orderstatus
+            for r in inc_scd2_as_of(spark, sf).collect()}
+    assert asof == {1: "F", 2: "F", 3: "O"}, (
+        "interval closing AT the as-of instant is out; the one opening "
+        "AT it is in")
+    _parity(spark, sf, "inc_scd2_intervals")
+    _parity(spark, sf, "inc_scd2_as_of")
+
+
+def test_w3_big_value_threshold_strict(spark, tmp_path):
+    """last_big_value carries values STRICTLY above 400: exactly 400.0
+    never enters the carry; 400.000001 does. percent_rank/cume_dist
+    hand-computed for the 3-row partition."""
+    t = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, t, 1, "view", 400.0),
+        (2, t + s, 1, "view", 400.000001),
+        (3, t + 2 * s, 1, "view", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        w3_distribution_funcs,
+    )
+
+    out = {r.event_id: (r.pr, r.cd, r.last_big_value)
+           for r in w3_distribution_funcs(spark, sf).collect()}
+    # value order: 1.0 (e3), 400.0 (e1), 400.000001 (e2)
+    assert out[3] == (0.0, 1 / 3, 400.000001)   # time-last row carries e2
+    assert out[1] == (0.5, 2 / 3, None), (
+        "exactly 400.0 is NOT big (strict >), so e1 carries nothing")
+    assert out[2] == (1.0, 1.0, 400.000001)
+    _parity(spark, sf, "w3_distribution_funcs")
+
+
+def test_sliding_window_membership_at_slide_boundary(spark, tmp_path):
+    """1h windows sliding every 30min: an event EXACTLY on a slide
+    boundary (10:30:00) belongs to the windows starting 10:00 and
+    10:30 — never three; one microsecond earlier shifts membership
+    back to (09:30, 10:00)."""
+    rows = [
+        (1, datetime.datetime(2024, 3, 1, 10, 30, 0), 1, "view", 1.0),
+        (2, datetime.datetime(2024, 3, 1, 10, 29, 59, 999999), 1,
+         "view", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.analytics import (
+        sliding_window_agg,
+    )
+
+    out = {r.window_start.replace(tzinfo=None): r.cnt
+           for r in sliding_window_agg(spark, sf).collect()}
+    assert out == {
+        datetime.datetime(2024, 3, 1, 9, 30): 1,
+        datetime.datetime(2024, 3, 1, 10, 0): 2,
+        datetime.datetime(2024, 3, 1, 10, 30): 1,
+    }
+    _parity(spark, sf, "sliding_window_agg")
