@@ -1854,7 +1854,10 @@ def dedup_semantic_cells(spark, sf_dir):
 # rank-k derivation IN THE SAME HELPER so engine and oracle move
 # together (r11 review finding).
 SEM_PROBES = 2
-assert SEM_PROBES == 2, "engine probe derivation (_top2_cells) is pinned to 2"
+if SEM_PROBES != 2:  # explicit raise: an assert is stripped under -O (ADVICE r11)
+    raise ValueError(
+        "engine probe derivation (_top2_cells) is pinned to 2; widening "
+        "requires a rank-k derivation shared by engine and oracles")
 
 
 def _primary_cell(dots: Column) -> Column:

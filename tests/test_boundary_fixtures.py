@@ -64,8 +64,11 @@ def _parity(spark, sf_dir, name):
     import __spark_entry__ as e
 
     q, o = e.queries(), e.oracle_sql()
-    ok, msg = compare(q[name](spark, sf_dir), con := duckdb_conn(sf_dir), o[name])
-    con.close()
+    con = duckdb_conn(sf_dir)
+    try:  # close even when compare raises (ADVICE r11: walrus leaked the con)
+        ok, msg = compare(q[name](spark, sf_dir), con, o[name])
+    finally:
+        con.close()
     assert ok, f"{name}: {msg}"
 
 

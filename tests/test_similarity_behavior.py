@@ -469,13 +469,22 @@ class TestSemanticMultiProbe:
                 ).alias("c2"),
             ).collect()
         }
-        C = np.array(similarity.CENTROIDS)
         emb = {
-            r["vec_id"]: np.array(r["v"])
+            r["vec_id"]: list(r["v"])
             for r in vecs.select("vec_id", "v").collect()
         }
+
+        def _seq_dot(a, b):
+            # same left-to-right sequential fold as similarity._dot —
+            # BLAS pairwise/FMA summation (C @ v) can differ in the last
+            # ulp and flip a near-tie between cells (ADVICE r11)
+            s = 0.0
+            for x, y in zip(a, b):
+                s += x * y
+            return s
+
         for vid, v in emb.items():
-            d = C @ v
+            d = np.array([_seq_dot(c, v) for c in similarity.CENTROIDS])
             order = np.lexsort((np.arange(len(d)), -d))  # dot DESC, cell ASC
             want = (int(order[0]) + 1, int(order[1]) + 1)  # 1-based
             assert got[vid] == want, f"vec {vid}: {got[vid]} != {want}"
