@@ -636,6 +636,117 @@ _SPLIT_SQL = (
     f"THEN 'val' ELSE 'test' END"
 )
 
+
+# ---------------------------------------------------------------------------
+# full curation DAG: gate -> dedup -> decontaminate -> mixture -> split
+# ---------------------------------------------------------------------------
+
+def corpus_curation_pipeline_full(spark, sf_dir):
+    """The full production curation DAG as ONE dataflow (VERDICT r10
+    task 7 / r12 task 1): quality gate -> exact dedup keep-first ->
+    benchmark decontamination -> temperature-scaled domain-mix quota ->
+    train/val/test split census. Extends corpus_curation_pipeline
+    (dedup.py) through the two stages it stopped short of —
+    corpus_decontaminate's shingle semi-join and sample_domain_mix's
+    sqrt quota — with every stage reading ONE materialized corpus
+    projection (reference anchor: the single-pass per-collection
+    pipeline composition, etl_pipeline/pipeline.py:128-284).
+
+    Stage semantics (each the proven single-stage entry's rule):
+    - gate: >= CURATION_MIN_WORDS whitespace words (dedup.py);
+    - dedup: keep-first (min doc_id) per (xxhash64(text), length)
+      within the gated non-benchmark corpus;
+    - decontaminate: drop survivors sharing ANY distinct DECON_K-word
+      shingle with the benchmark slice (source == BENCH_SOURCE). Bench
+      shingles come from the FULL slice, ungated/undeduped — the eval
+      suite is a given input, not something the pipeline curates;
+    - mixture: per-source quota floor(MIX_MULT * sqrt(n_s)) computed
+      over the CLEAN survivors (quota follows what upstream stages
+      kept), rank by scrambled key;
+    - split: scrambled doc_id mod 100, 80/10/10.
+
+    Scale shape: the corpus scans ONCE into a checkpointed projection
+    of (ids, 16-byte dedup key, shingle-hash array) — document text
+    never leaves the scan. Bench shingles broadcast (eval suites are
+    tiny by construction); the dedup shuffle carries hash keys; the
+    quota frame is source-cardinality and broadcasts back; the rank is
+    one shuffle on source. The clean-survivor id set is checkpointed
+    so the quota census and the rank branch don't re-run the
+    dedup/decontaminate joins twice. Plan pin: zero corpus FileScans
+    downstream of the checkpoint (tests/test_plans.py)."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    base = d.select(
+        "doc_id", "lang", "source",
+        F.size(w).alias("n_words"),
+        F.xxhash64("text").alias("_h"),
+        F.length("text").alias("_len"),
+        F.array_distinct(
+            shingle_hashes(word_hashes(w), k=DECON_K)
+        ).alias("sh"),
+    ).localCheckpoint(eager=True)  # ONE corpus scan feeds every stage
+
+    bench = (
+        base.where(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corpus = base.where(
+        (F.col("source") != BENCH_SOURCE)
+        & (F.col("n_words") >= _CURATION_MIN_WORDS)
+    )
+    survivors = (
+        corpus.groupBy("_h", "_len")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = corpus.join(survivors, "doc_id", "left_semi")
+    contaminated = (
+        deduped.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        deduped.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .localCheckpoint(eager=True)  # quota census + rank branch read it
+    )
+    quota = (
+        clean.groupBy("source")
+        .agg(F.count("*").alias("n_s"))
+        .select(
+            "source",
+            F.floor(F.lit(_MIX_MULT) * F.sqrt(F.col("n_s"))).alias("k_s"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(
+        scrambled_key(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    sampled = (
+        clean.select(
+            "doc_id", "lang", "source", F.row_number().over(win).alias("rk")
+        )
+        .join(F.broadcast(quota), "source")
+        .where(F.col("rk") <= F.col("k_s"))
+    )
+    bucket = scrambled_key(F.col("doc_id"), SPLIT_BUCKETS)
+    split = (
+        F.when(bucket < TRAIN_BELOW, "train")
+        .when(bucket < VAL_BELOW, "val")
+        .otherwise("test")
+    )
+    return (
+        sampled.select(split.alias("split"), "source", "lang")
+        .groupBy("split", "source", "lang")
+        .agg(F.count("*").alias("docs"))
+    )
+
+# full-pipeline constants reused in the oracle f-string below — no
+# cycle: neither corpus.py nor dedup.py imports this module
+from .corpus import MIX_MULT as _MIX_MULT  # noqa: E402
+from .dedup import CURATION_MIN_WORDS as _CURATION_MIN_WORDS  # noqa: E402
+
 _BM25_TERMS_SQL = ", ".join(
     f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
 )
@@ -826,6 +937,52 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
         GROUP BY 1, 2
     """,
+    "corpus_curation_pipeline_full": f"""
+        WITH hashed AS (
+            SELECT doc_id, lang, source, text,
+                   len({_DUCK_WORDS}) AS n_words,
+                   {duck_word_hashes(_DUCK_WORDS)} AS wh
+            FROM documents
+        ), base AS (
+            SELECT doc_id, lang, source, text, n_words,
+                   list_distinct({duck_shingle_hashes(DECON_K)}) AS sh
+            FROM hashed
+        ), bench AS (
+            SELECT DISTINCT unnest(sh) AS s FROM base
+            WHERE source = '{BENCH_SOURCE}'
+        ), corpus AS (
+            SELECT * FROM base
+            WHERE source <> '{BENCH_SOURCE}'
+              AND n_words >= {_CURATION_MIN_WORDS}
+        ), survivors AS (
+            SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
+        ), deduped AS (
+            SELECT * FROM corpus
+            WHERE doc_id IN (SELECT doc_id FROM survivors)
+        ), contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(sh) AS s FROM deduped) c
+            JOIN bench USING (s)
+        ), clean AS (
+            SELECT doc_id, lang, source FROM deduped
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), quota AS (
+            SELECT source,
+                   CAST(floor({_MIX_MULT} * sqrt(count(*))) AS BIGINT) AS k_s
+            FROM clean GROUP BY source
+        ), ranked AS (
+            SELECT doc_id, lang, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY {scrambled_key_sql('doc_id')}, doc_id) AS rk
+            FROM clean
+        ), sampled AS (
+            SELECT doc_id, lang, source
+            FROM ranked JOIN quota USING (source)
+            WHERE rk <= k_s
+        )
+        SELECT {_SPLIT_SQL} AS split, source, lang, count(*) AS docs
+        FROM sampled GROUP BY 1, 2, 3
+    """,
     "corpus_decontaminate": f"""
         WITH shingled AS (
             SELECT doc_id, source,
@@ -922,6 +1079,7 @@ QUERIES = {
     "train_split_assign": train_split_assign,
     "corpus_split_kl_drift": corpus_split_kl_drift,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_curation_pipeline_full": corpus_curation_pipeline_full,
     "events_anomaly_zscore": events_anomaly_zscore,
     "orders_pareto_frontier": orders_pareto_frontier,
     "text_winnowing_fingerprint": text_winnowing_fingerprint,

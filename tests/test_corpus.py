@@ -238,3 +238,51 @@ def test_kl_drift_matches_bruteforce(spark, sf_dir):
     assert row.train_tokens == n_tr and row.val_tokens == n_va
     assert abs(row.kl_train_val - kl) < 1e-6 + 1e-12 * v
     assert row.kl_train_val >= 0  # Gibbs' inequality (same support, smoothed)
+
+
+def test_curation_full_stage_interactions(spark, monkeypatch):
+    """Planted fixture for corpus_curation_pipeline_full — every stage
+    interaction hand-computed:
+    - the bench doc (src0) is UNGATED (5 words) yet still poisons the
+      corpus doc sharing its 3-gram;
+    - gate: a 10-word src1 doc drops;
+    - dedup: the exact duplicate of doc 1 (higher id) drops, keep-first;
+    - decontaminate: the src1 doc embedding the bench 3-gram drops;
+    - mixture: src2 has 17 clean docs, quota floor(4*sqrt(17)) = 16 —
+      exactly the doc with the LARGEST scrambled key drops;
+    - split: each kept doc lands in the bucket (id*KNUTH) % 100 says."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
+        KNUTH_MULT,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import curation_ext
+
+    good = "w" + " w".join(str(i) for i in range(1, 15))  # 15 distinct words
+    rows = [
+        (100, "en", "src0", "secret bench trigram here now"),  # bench, 5 words
+        (1, "en", "src1", good + " alpha"),
+        (2, "en", "src1", good + " alpha"),                    # exact dup of 1
+        (3, "en", "src1", good + " secret bench trigram"),     # contaminated
+        (4, "en", "src1", "only ten words " + " ".join(f"t{i}" for i in range(7))),
+    ]
+    src2_ids = list(range(10, 27))  # 17 clean src2 docs
+    rows += [(i, "de", "src2", good + f" unique{i}") for i in src2_ids]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, source string, text string")
+    monkeypatch.setattr(curation_ext, "_docs", lambda s, d: df)
+
+    out = {
+        (r["split"], r["source"], r["lang"]): r["docs"]
+        for r in curation_ext.corpus_curation_pipeline_full(spark, "unused").collect()
+    }
+    # src2: quota drops the largest-scrambled-key doc; src1: only doc 1
+    dropped = max(src2_ids, key=lambda i: ((i * KNUTH_MULT) % 1_000_000_007, i))
+    kept = {1} | (set(src2_ids) - {dropped})
+
+    def split_of(i):
+        b = (i * KNUTH_MULT) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    want = {}
+    for i in sorted(kept):
+        key = (split_of(i), "src1" if i == 1 else "src2", "en" if i == 1 else "de")
+        want[key] = want.get(key, 0) + 1
+    assert out == want

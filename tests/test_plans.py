@@ -358,6 +358,24 @@ def test_tfidf_single_text_scan(spark, sf_dir):
     assert "ExistingRDD" in plan
 
 
+def test_curation_full_single_corpus_scan(spark, sf_dir):
+    """Full curation DAG (gate -> dedup -> decontaminate -> mixture ->
+    split): every stage reads the ONE checkpointed corpus projection,
+    so the returned plan has zero corpus FileScans (r12 task 1's
+    <=2-scan pin, met at 0) and stays JVM-side."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.curation_ext import (
+        corpus_curation_pipeline_full,
+    )
+
+    plan = physical_plan(corpus_curation_pipeline_full(spark, sf_dir))
+    assert "FileScan" not in plan
+    assert "ExistingRDD" in plan
+    assert "Python" not in plan
+    # bench shingles + quota frame broadcast; the rank is the only
+    # corpus-sized exchange keyed on source
+    assert "BroadcastHashJoin" in plan
+
+
 def test_sparse_cosine_single_text_scan(spark, sf_dir):
     """Sparse cosine: tokenization runs once (tf checkpoint) and the
     df-capped frame materializes once (kept checkpoint) — the returned
