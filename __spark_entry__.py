@@ -37,6 +37,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     mixing,
     pca,
     repetition,
+    sem_trained,
     timeseries,
     multimodal,
     profiling,
@@ -70,7 +71,7 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             association, graph, tpch_suite, curation_ext, csv_source,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
             streaming_doc_chunks, repetition, bpe, streaming_load,
-            quantile_sketch, malformed, mm_resize, mm_pack,
+            quantile_sketch, malformed, mm_resize, mm_pack, sem_trained,
             streaming_sessionize_native, xml_source, binary_source,
             streaming_semantic)
 

@@ -1,0 +1,328 @@
+"""Semantic dedup under a TRAINED coarse quantizer (VERDICT r12
+task 3).
+
+The r10/r11 semantic family (similarity.dedup_semantic_cells*,
+inc_semantic_dedup*) quantizes with FIXED seeded centroids —
+similarity.CENTROIDS stands in for a k-means fit exactly as in
+ann_ivf_topk. sem_probe_eval then measured the cost of that stand-in:
+boundary_share = 0.628 of verified near-dup pairs straddle cells, the
+SemDeDup miss class (Abbas et al. 2023, arXiv:2303.09540) that top-2
+multi-probe masks at 2x candidate cost. This module acts on the
+census's own finding, following the ann_trained precedent: the
+quantizer is TRAINED offline (tools/train_sem_centroids.py —
+kmeans.train on the L2-normalized embeddings, spherical k-means) and
+the trained literals are committed as the model artifact
+(trained_sem_centroids.json) that queries broadcast.
+
+Measured effect of the committed sf0.1-trained artifact
+(sem_probe_eval vs sem_probe_eval_trained, r12): boundary_share
+0.628 -> 0.564 at sf0.001, 0.688 -> 0.598 at sf0.01, 0.645 -> 0.566
+at sf0.1 — a ~0.07-0.09 absolute reduction at every SF, with the
+probe window reaching MORE verified pairs at the train-scale corpus
+(2078 -> 2397 at sf0.1; the trained Voronoi cells are balanced, so
+probing two covers more of each vector's true neighborhood). The
+residual ~0.56 floor is inherent to this corpus: cos >= 0.35 pairs
+are ~69 degrees apart — wide relative to any 16-cell partition of a
+64-dim sphere — which is exactly why the entries keep multi-probe ON
+TOP of the trained quantizer instead of replacing it.
+
+Assignment rule: vectors are normalized (v̂ = v / ||v||) and assigned
+by argmax(v̂·c − |c|²/2) == argmin ||v̂ − c||² — the SAME rule the
+trainer fits with (kmeans._assign), which on normalized inputs is
+spherical k-means assignment. Ties break to the lowest cell id
+(array_position takes the first max) and the top-2 probe reuses
+similarity._top2_cells's mask-then-argmax — identical rank rule
+(score DESC, cell ASC) as the r11 mp family, so the oracles' rank-
+window derivation carries over unchanged.
+
+Shuffle discipline is the family's: candidates self-join (cell,
+vec_id) ID PAIRS only, vectors rejoin the distinct candidate list for
+the exact-cosine verify, keep-first canonical (min vec_id — the
+reference's dedup semantics, repositories/
+postgres_audit_repository.py:68-70).
+
+Reference parity: the reference (a Mongo->Postgres ETL) has no vector
+ops; this completes SURVEY.md's semantic-dedup scale path with the
+train->quantize->probe->verify acceptance pipeline a production
+SemDeDup deployment runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _DUCK_NORM,
+    _DUCK_V,
+    NEAR_DUP_THRESHOLD,
+    SEM_PROBES,
+    _dot,
+    _duck_dot,
+    _duck_list,
+    _matrix_dots,
+    _top2_cells,
+    _vectors,
+)
+
+_TRAINED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "trained_sem_centroids.json")
+
+
+def _load_trained():
+    try:
+        with open(_TRAINED_PATH) as fh:
+            t = json.load(fh)
+        return t["centroids"]
+    except (OSError, KeyError, json.JSONDecodeError):
+        return None
+
+
+SEM_CENTROIDS = _load_trained()
+
+
+def _require_trained():
+    if SEM_CENTROIDS is None:
+        raise RuntimeError(
+            "trained_sem_centroids.json missing - run "
+            "tools/train_sem_centroids.py")
+
+
+def _scores(vcol, nrmcol):
+    """Per-cell assignment scores of the NORMALIZED vector against the
+    trained centroids: dot(v̂, c) − |c|²/2 (argmax == nearest-L2 ==
+    spherical k-means assignment), one consolidated HOF expression."""
+    half = [sum(x * x for x in c) / 2.0 for c in SEM_CENTROIDS]
+    vhat = F.transform(vcol, lambda x: x / nrmcol)
+    return F.zip_with(
+        _matrix_dots(vhat, SEM_CENTROIDS),
+        F.array(*[F.lit(h) for h in half]),
+        lambda d, h: d - h,
+    )
+
+
+def _assigned(spark, sf_dir):
+    """(vec_id, v, nrm, cell_id, cell2) — every vector scored against
+    the trained quantizer, primary + second-best cells derived under
+    the family's shared rank rule, checkpointed once (probe and both
+    verify sides read it)."""
+    _require_trained()
+    vecs = _vectors(spark, sf_dir)
+    return (
+        vecs.select("vec_id", "v", "nrm",
+                    _scores(F.col("v"), F.col("nrm")).alias("scores"))
+        .withColumn(
+            "cell_id",
+            F.array_position("scores", F.array_max("scores")).cast("long"),
+        )
+        .withColumn(
+            "cell2",
+            _top2_cells(F.col("scores"), F.col("cell_id")).cast("long"),
+        )
+        .drop("scores")
+        .localCheckpoint(eager=True)
+    )
+
+
+def dedup_semantic_cells_trained(spark, sf_dir):
+    """The full production SemDeDup recipe: TRAINED quantizer + top-2
+    multi-probe + exact-cosine verify + keep-first canonical. Same
+    output schema as dedup_semantic_cells (vec_id, cluster_id = the
+    PRIMARY trained cell, canonical_id, is_duplicate); same 16-byte-row
+    candidate shuffle; candidate pairs distinct before vectors rejoin
+    (a pair sharing both probed cells must score once)."""
+    assigned = _assigned(spark, sf_dir)
+    probes = assigned.select(
+        "vec_id",
+        F.explode(F.array(F.col("cell_id"), F.col("cell2")))
+        .alias("probe_cell"),
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(b, "probe_cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    x = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    y = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        cand.join(x, "vec_a").join(y, "vec_b")
+        .where(F.round(cos, 6) >= NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    partner_min = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("min_partner")
+    )
+    return (
+        assigned.select("vec_id", F.col("cell_id").alias("cluster_id"))
+        .join(partner_min, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.least(
+                F.col("vec_id"),
+                F.coalesce(F.col("min_partner"), F.col("vec_id")),
+            ).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col("canonical_id") != F.col("vec_id"))
+    )
+
+
+def sem_probe_eval_trained(spark, sf_dir):
+    """sem_probe_eval re-run under the TRAINED quantizer — the census
+    that closes r12 task 3's loop: of all verified near-dup pairs
+    reachable under trained top-2 probing, how many share a primary
+    cell (single-probe would catch them) vs straddle a boundary?
+    Pinned against the seeded census in tests/test_sem_trained.py:
+    trained boundary_share strictly below seeded AND the trained probe
+    window reaches at least as many verified pairs."""
+    assigned = _assigned(spark, sf_dir)
+    probes = assigned.select(
+        "vec_id", F.col("cell_id").alias("prim"),
+        F.explode(F.array(F.col("cell_id"), F.col("cell2")))
+        .alias("probe_cell"),
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(b, "probe_cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.col("a.prim") == F.col("b.prim")).alias("same_primary"),
+        )
+        .distinct()  # same_primary is a pure function of the pair
+    )
+    x = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    y = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    verified = (
+        cand.join(x, "vec_a").join(y, "vec_b")
+        .where(F.round(cos, 6) >= NEAR_DUP_THRESHOLD)
+        .select("same_primary")
+    )
+    n_multi = F.count("*")
+    n_single = F.sum(F.col("same_primary").cast("bigint"))
+    return verified.agg(
+        n_multi.alias("n_pairs_multi"),
+        n_single.alias("n_pairs_single"),
+        (n_multi - n_single).alias("n_boundary_pairs"),
+        F.when(
+            n_multi > 0,
+            F.round((n_multi - n_single).cast("double") / n_multi, 6),
+        ).alias("boundary_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — same trained literals, same folds, same rank rule
+# ---------------------------------------------------------------------------
+
+def _duck_trained_sql() -> dict[str, str]:
+    k = len(SEM_CENTROIDS)
+    half = [sum(x * x for x in c) / 2.0 for c in SEM_CENTROIDS]
+    # one explicit (dot(vhat, c) - halfnorm) per trained centroid, flat
+    # literals (never index a literal matrix inside a lambda — the
+    # ann_trained 100x lesson)
+    scores = "[" + ", ".join(
+        f"({_duck_dot('vhat', _duck_list(c))}) - {half[i]!r}"
+        for i, c in enumerate(SEM_CENTROIDS)
+    ) + "]"
+    assigned = f"""
+        WITH vecs AS (
+            SELECT vec_id, v, nrm,
+                   list_transform(v, x -> x / nrm) AS vhat
+            FROM (SELECT vec_id, {_DUCK_V} AS v, {_DUCK_NORM} AS nrm
+                  FROM embeddings)
+        ), assigned AS (
+            SELECT vec_id, v, nrm, scores,
+                   CAST(list_position(scores, list_max(scores)) AS BIGINT)
+                       AS prim
+            FROM (SELECT vec_id, v, nrm, {scores} AS scores FROM vecs)
+        ), probes AS (
+            -- rank rule (score DESC, cell ASC) == Spark mask-then-argmax
+            SELECT vec_id, prim, CAST(ci AS BIGINT) AS probe_cell FROM (
+                SELECT vec_id, prim, ci, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY scores[ci] DESC, ci ASC) AS rk
+                FROM (SELECT vec_id, prim, scores,
+                             unnest(range(1, {k} + 1)) AS ci
+                      FROM assigned)
+            ) WHERE rk <= {SEM_PROBES}
+        )
+    """
+    dedup = assigned + f"""
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM probes a JOIN probes b
+              ON a.probe_cell = b.probe_cell AND a.vec_id < b.vec_id
+        ), pairs AS (
+            SELECT vec_a, vec_b
+            FROM cand
+            JOIN assigned x ON x.vec_id = vec_a
+            JOIN assigned y ON y.vec_id = vec_b
+            WHERE round({_duck_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 6)
+                  >= {NEAR_DUP_THRESHOLD}
+        ), pm AS (
+            SELECT vec_b AS vec_id, MIN(vec_a) AS min_partner
+            FROM pairs GROUP BY vec_b
+        )
+        SELECT a.vec_id, a.prim AS cluster_id,
+               least(a.vec_id, coalesce(pm.min_partner, a.vec_id))
+                   AS canonical_id,
+               least(a.vec_id, coalesce(pm.min_partner, a.vec_id))
+                   <> a.vec_id AS is_duplicate
+        FROM assigned a LEFT JOIN pm ON pm.vec_id = a.vec_id
+    """
+    eval_sql = assigned + f"""
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.prim = b.prim AS same_primary
+            FROM probes a JOIN probes b
+              ON a.probe_cell = b.probe_cell AND a.vec_id < b.vec_id
+        ), verified AS (
+            SELECT same_primary
+            FROM cand
+            JOIN assigned x ON x.vec_id = vec_a
+            JOIN assigned y ON y.vec_id = vec_b
+            WHERE round({_duck_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 6)
+                  >= {NEAR_DUP_THRESHOLD}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs_multi,
+               CAST(sum(CASE WHEN same_primary THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs_single,
+               CAST(count(*) - sum(CASE WHEN same_primary THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boundary_pairs,
+               CASE WHEN count(*) > 0 THEN
+                   round(CAST(count(*) - sum(CASE WHEN same_primary
+                                             THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6)
+               END AS boundary_share
+        FROM verified
+    """
+    return {
+        "dedup_semantic_cells_trained": dedup,
+        "sem_probe_eval_trained": eval_sql,
+    }
+
+
+if SEM_CENTROIDS is not None:
+    QUERIES = {
+        "dedup_semantic_cells_trained": dedup_semantic_cells_trained,
+        "sem_probe_eval_trained": sem_probe_eval_trained,
+    }
+    ORACLE_SQL = _duck_trained_sql()
+else:  # bootstrap: tools/train_sem_centroids.py imports this module
+    QUERIES = {}   # before the trained artifact exists
+    ORACLE_SQL = {}
