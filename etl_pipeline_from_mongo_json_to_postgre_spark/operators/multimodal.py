@@ -856,6 +856,79 @@ def mm_crossmodal_topk(spark, sf_dir):
     )
 
 
+def mm_crossmodal_recall_eval(spark, sf_dir):
+    """Quality gate for the cross-modal retriever (VERDICT r12 task 4):
+    what does mm_crossmodal_topk's IVF-pruned probe MISS vs exact
+    brute-force retrieval? Every other retrieval family in this engine
+    carries one (ann_recall_eval, dedup_lsh_eval, sem_probe_eval);
+    this is the cross-modal twin, measured where this operator's
+    contract actually lives: at the CANONICAL-PAYLOAD level — fetching
+    a re-crawled duplicate of the right clip is a hit, because the
+    retriever's output IS the canonical id (keep-first semantics,
+    postgres_audit_repository.py:68-70).
+
+    recall@k per query = |ivf canonical set ∩ exact canonical set| /
+    |exact canonical set| (the denominator can be < k when exact
+    neighbors share a payload).
+
+    Scale shape: the media table is scanned ONCE into the checkpointed
+    digest projection; both hit lists are queries x k rows and
+    broadcast into it; the canonical map is computed only over digests
+    some hit touched (broadcast semi-join), exactly the
+    mm_crossmodal_topk discipline. Nothing here is corpus x corpus."""
+    from .similarity import ann_cosine_topk, ann_ivf_topk
+
+    media = documents_as_media(spark, sf_dir).select(
+        "media_id",
+        F.sha2("payload", 256).alias("payload_sha256"),
+    ).localCheckpoint(eager=True)  # one payload scan; both joins read this
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id").withColumn("src", F.lit("exact"))
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id").withColumn("src", F.lit("ivf"))
+    hits = exact.unionByName(ivf)
+    hm = (
+        F.broadcast(hits)
+        .join(media, hits.neighbor_id == media.media_id)
+        .select("src", "query_id", "payload_sha256")
+        .localCheckpoint(eager=True)  # digest list + canon join read it
+    )
+    hit_digests = hm.select("payload_sha256").distinct()
+    canon = (
+        media.join(F.broadcast(hit_digests), "payload_sha256")
+        .groupBy("payload_sha256")
+        .agg(F.min("media_id").alias("canonical_media_id"))
+    )
+    hc = (
+        hm.join(F.broadcast(canon), "payload_sha256")
+        .select("src", "query_id", "canonical_media_id")
+        .distinct()
+    )
+    truth = hc.where(F.col("src") == "exact").select(
+        "query_id", "canonical_media_id")
+    pred = hc.where(F.col("src") == "ivf").select(
+        "query_id", "canonical_media_id")
+    n_truth = truth.groupBy("query_id").agg(
+        F.count("*").alias("n_exact_canon"))
+    hitcnt = (
+        pred.join(truth, ["query_id", "canonical_media_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        n_truth.join(hitcnt, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact_canon",
+            F.coalesce("hits", F.lit(0).cast("bigint")).alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0).cast("bigint")).cast("double")
+                / F.col("n_exact_canon")
+            ).alias("recall"),
+        )
+    )
+
+
 def _mm_crossmodal_oracle() -> str:
     # DuckDB sha256(VARCHAR) hashes the UTF-8 bytes — verified equal to
     # Spark's sha2(encode(text,'utf-8'), 256) lowercase hex.
@@ -886,8 +959,56 @@ def _mm_crossmodal_oracle() -> str:
 ORACLE_SQL["mm_crossmodal_topk"] = _mm_crossmodal_oracle()
 
 
+def _mm_crossmodal_recall_oracle() -> str:
+    from .similarity import ORACLE_SQL as _sim_oracle
+
+    return f"""
+        WITH exact_hits AS ({_sim_oracle["ann_cosine_topk"]}),
+        ivf_hits AS ({_sim_oracle["ann_ivf_topk"]}),
+        media AS (
+            SELECT doc_id AS media_id, sha256(text) AS payload_sha256
+            FROM documents
+        ), hm AS (
+            SELECT 'exact' AS src, h.query_id, m.payload_sha256
+            FROM exact_hits h JOIN media m ON m.media_id = h.neighbor_id
+            UNION ALL
+            SELECT 'ivf' AS src, h.query_id, m.payload_sha256
+            FROM ivf_hits h JOIN media m ON m.media_id = h.neighbor_id
+        ), canon AS (
+            SELECT payload_sha256, MIN(media_id) AS canonical_media_id
+            FROM media
+            WHERE payload_sha256 IN (SELECT payload_sha256 FROM hm)
+            GROUP BY 1
+        ), hc AS (
+            SELECT DISTINCT src, query_id, canonical_media_id
+            FROM hm JOIN canon USING (payload_sha256)
+        ), n_truth AS (
+            SELECT query_id, count(*) AS n_exact_canon FROM hc
+            WHERE src = 'exact' GROUP BY 1
+        ), hitcnt AS (
+            SELECT p.query_id, count(*) AS hits
+            FROM (SELECT query_id, canonical_media_id FROM hc
+                  WHERE src = 'ivf') p
+            JOIN (SELECT query_id, canonical_media_id FROM hc
+                  WHERE src = 'exact') t
+              ON t.query_id = p.query_id
+             AND t.canonical_media_id = p.canonical_media_id
+            GROUP BY 1
+        )
+        SELECT n.query_id, n.n_exact_canon,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               CAST(CAST(COALESCE(h.hits, 0) AS BIGINT) AS DOUBLE)
+                   / n.n_exact_canon AS recall
+        FROM n_truth n LEFT JOIN hitcnt h USING (query_id)
+    """
+
+
+ORACLE_SQL["mm_crossmodal_recall_eval"] = _mm_crossmodal_recall_oracle()
+
+
 QUERIES = {
     "mm_crossmodal_topk": mm_crossmodal_topk,
+    "mm_crossmodal_recall_eval": mm_crossmodal_recall_eval,
     "mm_payload_dedup": mm_payload_dedup,
     "mm_binary_stats": mm_binary_stats,
     "mm_feature_extract": mm_feature_extract,

@@ -358,3 +358,32 @@ def test_crossmodal_topk_canonicalizes_duplicate_payloads(spark, tmp_path):
                       e.oracle_sql()["mm_crossmodal_topk"])
     con.close()
     assert ok, msg
+
+
+def test_crossmodal_recall_eval_envelope(spark, sf_dir):
+    """The retrieval-quality census reports honestly (r12 task 4): one
+    row per brute-force query, recall = hits / n_exact_canon bounded to
+    [0, 1], hits never exceed the truth-set size, and the corpus-level
+    mean clears a sanity floor (measured 0.44 at sf0.001 / 0.52 at
+    sf0.01 for the untuned nprobe — the number this census exists to
+    surface, mirroring ann_recall_eval's role for the id-level probe)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        mm_crossmodal_recall_eval,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+    )
+
+    out = mm_crossmodal_recall_eval(spark, sf_dir).cache()
+    assert out.count() == N_QUERIES
+    assert out.where(
+        (F.col("recall") < 0) | (F.col("recall") > 1)
+        | (F.col("hits") > F.col("n_exact_canon"))
+        | (F.col("n_exact_canon") < 1) | (F.col("n_exact_canon") > TOPK)
+    ).count() == 0
+    mean_recall = out.agg(F.avg("recall")).collect()[0][0]
+    assert mean_recall > 0.3
+    out.unpersist()
