@@ -38,6 +38,7 @@ from ..operators.similarity import (
     _dot,
     _matrix_dots,
     _primary_cell,
+    _top2_cells,
     _vectors,
 )
 from ..functions.sampling import scrambled_bucket
@@ -169,11 +170,132 @@ def stream_semantic_dedup(spark, sf_dir):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def assign_cells_mp(vecs: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm) -> + cell_id, cell2: primary AND second-best
+    coarse cells under the family's shared rank rule (dot DESC, cell
+    ASC; similarity._top2_cells mask-then-argmax) — identical to
+    inc_semantic_dedup_mp's assignment, so the streaming and batch mp
+    twins share one rule by construction."""
+    return (
+        vecs.select(
+            "vec_id", "v", "nrm",
+            _matrix_dots(F.col("v"), CENTROIDS).alias("dots"),
+        )
+        .withColumn("cell_id", _primary_cell(F.col("dots")).cast("long"))
+        .withColumn(
+            "cell2",
+            _top2_cells(F.col("dots"), F.col("cell_id")).cast("long"),
+        )
+        .drop("dots")
+    )
+
+
+def classify_semantic_batch_mp(
+    batch_df: DataFrame, index_df: DataFrame
+) -> DataFrame:
+    """One arriving micro-batch against the static index, MULTI-PROBE:
+    the arrival fans out to its top-2 cells (textbook multi-probe IVF —
+    index vectors stay in their single primary cell, only queries fan
+    out), closing the boundary-miss class for the streaming path: an
+    arrival whose primary differs from its near-dup's index cell meets
+    it in the arrival's SECOND-best cell. An index vector lives in ONE
+    cell so no candidate pair is generated twice (MIN needs no
+    distinct); cost is exactly 2x probed-cell occupancy per arrival.
+    batch_df: (vec_id, v, nrm, cell_id, cell2); index_df: (cell_id,
+    idx_id, iv, inrm)."""
+    probes = batch_df.select(
+        "vec_id",
+        F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+        F.explode(F.array(F.col("cell_id"), F.col("cell2")))
+        .alias("cell_id"),
+    )
+    cos = _dot(F.col("bv"), F.col("iv")) / (F.col("bn") * F.col("inrm"))
+    matches = (
+        probes.join(index_df, "cell_id")
+        .where(F.round(cos, 6) >= NEAR_DUP_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(F.min("idx_id").alias("min_idx"))
+    )
+    return (
+        batch_df.select("vec_id")
+        .join(matches, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("min_idx").isNotNull().alias("is_dup"),
+            F.coalesce("min_idx", F.col("vec_id")).alias("canonical_id"),
+        )
+    )
+
+
+def stream_semantic_dedup_mp(spark, sf_dir):
+    """queries() entry (VERDICT r12 task 5): stream_semantic_dedup
+    lifted to top-2 multi-probe — the same staged-arrivals -> file
+    readStream -> foreachBatch -> idempotent overwrite-per-batch sink
+    harness, with the arriving side probing its top-2 cells and the
+    oracle EXACTLY inc_semantic_dedup_mp's SQL: if the engine dropped,
+    doubled, or single-probed any micro-batch, the union could not
+    hash-match the mp batch twin. The index stays single-celled
+    (multi-probe fans out queries, never the index), so per-batch cost
+    is 2x probed-cell occupancy and the sink/redelivery contract is
+    unchanged (test_stream_semantic.py)."""
+    tune_for_oracle(spark)
+    assigned = assign_cells_mp(_vectors(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )  # index + arrival slices read it once
+    is_batch = scrambled_bucket(F.col("vec_id"), INC_VEC_BATCH_MOD) == 0
+    index = assigned.where(~is_batch).select(
+        "cell_id",
+        F.col("vec_id").alias("idx_id"),
+        F.col("v").alias("iv"), F.col("nrm").alias("inrm"),
+    ).localCheckpoint(eager=True)  # static across every micro-batch
+    arriving = assigned.where(is_batch).select(
+        "vec_id", "v", "nrm", "cell_id", "cell2"
+    )
+
+    stage_dir = tempfile.mkdtemp(prefix="sem_mp_stage_")
+    out_dir = tempfile.mkdtemp(prefix="sem_mp_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_sem_mp_")
+    try:
+        arriving.repartition(4).write.mode("overwrite").parquet(stage_dir)
+        stream = (
+            spark.readStream
+            .schema("vec_id bigint, v array<double>, nrm double, "
+                    "cell_id bigint, cell2 bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        writer = semantic_batch_writer(out_dir)
+
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            writer(classify_semantic_batch_mp(batch_df, index), batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        # empty arriving slice -> zero micro-batches -> empty frame,
+        # matching the batch twin (same guard as the single-probe entry)
+        if not any(d.startswith("b") for d in os.listdir(out_dir)):
+            return spark.createDataFrame([], BATCH_OUT_SCHEMA)
+        result = spark.read.schema(BATCH_OUT_SCHEMA).parquet(
+            os.path.join(out_dir, "b*")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        for d in (stage_dir, out_dir, ckpt_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 QUERIES = {
     "stream_semantic_dedup": stream_semantic_dedup,
+    "stream_semantic_dedup_mp": stream_semantic_dedup_mp,
 }
 
-# The streaming twin must equal the batch twin row-for-row: same SQL.
+# The streaming twins must equal the batch twins row-for-row: same SQL.
 ORACLE_SQL = {
     "stream_semantic_dedup": _SIM_ORACLE["inc_semantic_dedup"],
+    "stream_semantic_dedup_mp": _SIM_ORACLE["inc_semantic_dedup_mp"],
 }

@@ -148,3 +148,66 @@ def test_empty_arriving_slice_returns_empty_frame(spark, tmp_path):
     assert out.count() == 0
     assert out.columns == ["vec_id", "is_dup", "canonical_id"]
     assert inc_semantic_dedup(spark, sf).count() == 0
+
+
+def test_stream_mp_equals_batch_mp_twin(spark, tmp_path):
+    """stream_semantic_dedup_mp must equal inc_semantic_dedup_mp
+    row-for-row on the same table — the micro-batch decomposition and
+    the top-2 fan-out change nothing (r12 task 5)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        inc_semantic_dedup_mp,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming.semantic import (
+        stream_semantic_dedup_mp,
+    )
+
+    rng = np.random.RandomState(17)
+    vecs = [rng.randn(64) for _ in range(60)]
+    sf = _write_embeddings(tmp_path, vecs)
+
+    stream_rows = sorted(stream_semantic_dedup_mp(spark, sf).collect())
+    batch_rows = sorted(inc_semantic_dedup_mp(spark, sf).collect())
+    assert len(stream_rows) > 0, "the 10% slice must be non-empty"
+    assert stream_rows == batch_rows
+
+
+def test_stream_mp_catches_straddling_arrival(spark, tmp_path):
+    """The boundary-miss close-out THROUGH the real streaming engine:
+    the planted straddler (arrival's primary != its index near-dup's
+    cell, second-best == it; test_degenerate_parity fixture) is missed
+    by the single-probe stream and caught by the mp stream."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
+        KNUTH_MULT,
+        SCRAMBLE_MOD,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.similarity import (
+        CENTROIDS,
+        INC_VEC_BATCH_MOD,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.streaming.semantic import (
+        stream_semantic_dedup,
+        stream_semantic_dedup_mp,
+    )
+
+    def bucket(i):
+        return (i * KNUTH_MULT % SCRAMBLE_MOD) % INC_VEC_BATCH_MOD
+
+    assert bucket(0) == 0 and all(bucket(i) != 0 for i in (1, 2, 3))
+    C = np.array(CENTROIDS)
+    e0 = C[0] / np.dot(C[0], C[0])
+    e1 = C[1] / np.dot(C[1], C[1])
+    vecs = [
+        1.1 * e0 + e1,                      # arriving straddler
+        e0 + 1.1 * e1,                      # its index near-dup, other cell
+        2.0 * C[5] / np.linalg.norm(C[5]),  # far index
+        2.0 * C[9] / np.linalg.norm(C[9]),  # far index
+    ]
+    sf = _write_embeddings(tmp_path, vecs)
+
+    single = {r.vec_id: r for r in stream_semantic_dedup(spark, sf).collect()}
+    assert set(single) == {0}
+    assert single[0].is_dup is False and single[0].canonical_id == 0
+
+    multi = {r.vec_id: r for r in stream_semantic_dedup_mp(spark, sf).collect()}
+    assert set(multi) == {0}
+    assert multi[0].is_dup is True and multi[0].canonical_id == 1
