@@ -1,0 +1,135 @@
+"""Full-registry scaling-exponent probe (VERDICT r12 task 6).
+
+BASELINE.md's round-4 exponent table predates ~70 of the current
+entries (all r5-r12 births). This script regenerates it for EVERY
+registry entry:
+
+1. `--tables`: introspect which parquet tables each entry reads, by
+   wrapping sources.parquet.load_table and BUILDING each entry's
+   DataFrame (no execution for almost all entries; the k-means/PCA
+   trainers do run driver-side iterations during construction).
+   Writes tools/entry_tables.json.
+2. `--exponents A B`: given two engine-census --json dumps (sf0.001
+   and sf0.1), compute per-entry alpha = ln(t_hi/t_lo)/ln(growth),
+   where growth is the MAX growth factor among the entry's input
+   tables (region/nation 1x are ignored; relational+events 100x,
+   documents 10x, embeddings 4x — measured from the testdata). Emits
+   a markdown table sorted by alpha, flagging alpha > 0.5.
+
+Entries whose wall time is dominated by fixed per-query overhead
+(~0.2-0.5 s plan/JVM setup) show alpha near 0 by construction — the
+table's purpose is catching SUPER-linear outliers, not precise
+sub-linear slopes.
+
+Usage:
+    python tools/registry_exponents.py --tables
+    SPARK_GRAFT_SF_DIR=... python tools/engine_census.py --json lo.json
+    SPARK_GRAFT_SF_DIR=... python tools/engine_census.py --json hi.json
+    python tools/registry_exponents.py --exponents lo.json hi.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "entry_tables.json")
+
+GROWTH = {
+    "region": 1.0, "nation": 1.0,
+    "customer": 100.0, "supplier": 100.0, "part": 100.0,
+    "orders": 100.0, "lineitem": 100.0, "events": 100.0,
+    "documents": 10.0, "embeddings": 4.0,
+}
+
+
+def record_tables(sf_dir: str) -> dict[str, list[str]]:
+    from etl_pipeline_from_mongo_json_to_postgre_spark.session import get_spark
+    from etl_pipeline_from_mongo_json_to_postgre_spark.sources import parquet as pq_src
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="entry-tables", cpus=8)
+    real = pq_src.load_table
+    seen: set[str] = set()
+
+    def wrapped(spark_, sf_dir_, name):
+        seen.add(name)
+        return real(spark_, sf_dir_, name)
+
+    pq_src.load_table = wrapped
+    # operator modules bind load_table by name at import time — patch
+    # every module-level reference too
+    patched = []
+    for mod in sys.modules.values():
+        if getattr(mod, "load_table", None) is real:
+            mod.load_table = wrapped
+            patched.append(mod)
+    out: dict[str, list[str]] = {}
+    try:
+        for name, fn in sorted(entrymod.queries().items()):
+            seen.clear()
+            try:
+                fn(spark, sf_dir)  # build the plan; no .collect() here
+            except Exception as exc:  # noqa: BLE001 — record and move on
+                out[name] = [f"ERROR:{type(exc).__name__}"]
+                continue
+            out[name] = sorted(seen)
+    finally:
+        pq_src.load_table = real
+        for mod in patched:
+            mod.load_table = real
+    with open(TABLES_PATH, "w") as fh:
+        json.dump(out, fh, indent=0, sort_keys=True)
+    print(f"wrote {TABLES_PATH} ({len(out)} entries)")
+    return out
+
+
+def exponents(lo_path: str, hi_path: str) -> None:
+    lo = json.load(open(lo_path))
+    hi = json.load(open(hi_path))
+    tables = json.load(open(TABLES_PATH))
+    rows = []
+    for name in sorted(set(lo) & set(hi)):
+        tl = tables.get(name, [])
+        growth = max((GROWTH.get(t, 1.0) for t in tl), default=1.0)
+        t0, t1 = float(lo[name]), float(hi[name])
+        if growth <= 1.0 or t0 <= 0:
+            alpha = 0.0
+        else:
+            alpha = math.log(max(t1, 1e-9) / max(t0, 1e-9)) / math.log(growth)
+        rows.append((alpha, name, growth, t0, t1, ",".join(tl)))
+    rows.sort(reverse=True)
+    print("| entry | tables (growth) | t_sf0.001 | t_sf0.1 | alpha |")
+    print("|---|---|---|---|---|")
+    for alpha, name, growth, t0, t1, tl in rows:
+        flag = " **FLAG**" if alpha > 0.5 else ""
+        print(f"| {name} | {tl} ({growth:.0f}x) | {t0:.2f} | {t1:.2f} "
+              f"| {alpha:.2f}{flag} |")
+    flagged = [r for r in rows if r[0] > 0.5]
+    print(f"\n{len(rows)} entries; {len(flagged)} with alpha > 0.5: "
+          + ", ".join(f"{n} ({a:.2f})" for a, n, *_ in flagged))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tables", action="store_true",
+                    help="introspect entry->tables map")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--exponents", nargs=2, metavar=("LO_JSON", "HI_JSON"))
+    a = ap.parse_args()
+    if a.tables:
+        record_tables(a.sf_dir)
+    if a.exponents:
+        exponents(*a.exponents)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
