@@ -77,6 +77,8 @@ DOC_FAMILY = [
     "text_bpe_train",
     # round-9 additions that scale on documents
     "mm_interleaved_pack",
+    # round-12 additions that scale on documents
+    "corpus_curation_pipeline_full",
 ]
 
 
