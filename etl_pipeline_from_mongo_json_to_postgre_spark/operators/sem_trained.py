@@ -72,12 +72,18 @@ _TRAINED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _load_trained():
+    """ONLY a missing file is the legitimate bootstrap state (the
+    trainer imports this module before the artifact exists). A
+    corrupted/truncated COMMITTED artifact must raise loudly —
+    swallowing it would silently deregister both trained entries and
+    every suite would stay green with the registry two entries short
+    (r12 review finding)."""
     try:
         with open(_TRAINED_PATH) as fh:
             t = json.load(fh)
-        return t["centroids"]
-    except (OSError, KeyError, json.JSONDecodeError):
+    except FileNotFoundError:
         return None
+    return t["centroids"]
 
 
 SEM_CENTROIDS = _load_trained()

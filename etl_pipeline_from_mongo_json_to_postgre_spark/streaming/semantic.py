@@ -104,20 +104,64 @@ def semantic_batch_writer(out_dir: str):
     return write
 
 
-def stream_semantic_dedup(spark, sf_dir):
-    """queries() entry: the arriving 10% embedding slice staged as 4
-    arrival files -> file readStream (one micro-batch per file) ->
-    foreachBatch cell-probe classification against the static index ->
-    per-batch parquet sink -> union of the written batches. The oracle
-    is EXACTLY inc_semantic_dedup's SQL: if the engine dropped,
-    doubled, or misclassified any micro-batch, the union could not
-    hash-match the batch twin.
+def _run_classify_stream(spark, arriving: DataFrame, arr_schema: str,
+                         index: DataFrame, classify) -> DataFrame:
+    """The ONE streaming harness both semantic twins run (r12 review:
+    the mp twin had copy-pasted it): arriving slice staged as 4 arrival
+    files -> file readStream (one micro-batch per file) -> foreachBatch
+    ``classify(batch, index)`` -> idempotent overwrite-per-batch sink
+    -> union of the written batches, scratch dirs removed before
+    returning. An EMPTY arriving slice fires zero micro-batches, so the
+    b* glob matches nothing and spark.read would raise PATH_NOT_FOUND
+    instead of matching the oracle's empty result (r11 review) — the
+    batch twins return an empty frame on the same input.
 
     The result is |arriving slice| rows (10% of the embedding table —
     bounded and small at every test SF); like stream_load_audit_census
     it is materialized eagerly and re-wrapped as a local DataFrame so
-    the scratch dirs (staged arrivals, sink, checkpoint) can be removed
-    before returning."""
+    the scratch dirs (staged arrivals, sink, checkpoint) can be
+    removed before returning."""
+    stage_dir = tempfile.mkdtemp(prefix="sem_stage_")
+    out_dir = tempfile.mkdtemp(prefix="sem_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_sem_")
+    try:
+        arriving.repartition(4).write.mode("overwrite").parquet(stage_dir)
+        stream = (
+            spark.readStream
+            .schema(arr_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        writer = semantic_batch_writer(out_dir)
+
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            writer(classify(batch_df, index), batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        if not any(d.startswith("b") for d in os.listdir(out_dir)):
+            return spark.createDataFrame([], BATCH_OUT_SCHEMA)
+        result = spark.read.schema(BATCH_OUT_SCHEMA).parquet(
+            os.path.join(out_dir, "b*")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        for d in (stage_dir, out_dir, ckpt_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def stream_semantic_dedup(spark, sf_dir):
+    """queries() entry: the arriving 10% embedding slice classified
+    against the static index through the real streaming engine (see
+    _run_classify_stream for the harness contract). The oracle is
+    EXACTLY inc_semantic_dedup's SQL: if the engine dropped, doubled,
+    or misclassified any micro-batch, the union could not hash-match
+    the batch twin."""
     tune_for_oracle(spark)
     assigned = assign_cells(_vectors(spark, sf_dir)).localCheckpoint(
         eager=True
@@ -131,43 +175,11 @@ def stream_semantic_dedup(spark, sf_dir):
     arriving = assigned.where(is_batch).select(
         "vec_id", "v", "nrm", "cell_id"
     )
-
-    stage_dir = tempfile.mkdtemp(prefix="sem_stage_")
-    out_dir = tempfile.mkdtemp(prefix="sem_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_sem_")
-    try:
-        arriving.repartition(4).write.mode("overwrite").parquet(stage_dir)
-        stream = (
-            spark.readStream
-            .schema("vec_id bigint, v array<double>, nrm double, cell_id bigint")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage_dir)
-        )
-        writer = semantic_batch_writer(out_dir)
-
-        def _process(batch_df: DataFrame, batch_id: int) -> None:
-            writer(classify_semantic_batch(batch_df, index), batch_id)
-
-        q = (
-            stream.writeStream.foreachBatch(_process)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .start()
-        )
-        q.awaitTermination()
-        # an EMPTY arriving slice fires zero micro-batches, so the b*
-        # glob matches nothing and spark.read would raise PATH_NOT_FOUND
-        # instead of matching the oracle's empty result (r11 review) —
-        # the batch twin returns an empty frame on the same input
-        if not any(d.startswith("b") for d in os.listdir(out_dir)):
-            return spark.createDataFrame([], BATCH_OUT_SCHEMA)
-        result = spark.read.schema(BATCH_OUT_SCHEMA).parquet(
-            os.path.join(out_dir, "b*")
-        )
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        for d in (stage_dir, out_dir, ckpt_dir):
-            shutil.rmtree(d, ignore_errors=True)
+    return _run_classify_stream(
+        spark, arriving,
+        "vec_id bigint, v array<double>, nrm double, cell_id bigint",
+        index, classify_semantic_batch,
+    )
 
 
 def assign_cells_mp(vecs: DataFrame) -> DataFrame:
@@ -237,7 +249,8 @@ def stream_semantic_dedup_mp(spark, sf_dir):
     hash-match the mp batch twin. The index stays single-celled
     (multi-probe fans out queries, never the index), so per-batch cost
     is 2x probed-cell occupancy and the sink/redelivery contract is
-    unchanged (test_stream_semantic.py)."""
+    unchanged (test_stream_semantic.py; harness shared via
+    _run_classify_stream)."""
     tune_for_oracle(spark)
     assigned = assign_cells_mp(_vectors(spark, sf_dir)).localCheckpoint(
         eager=True
@@ -251,42 +264,12 @@ def stream_semantic_dedup_mp(spark, sf_dir):
     arriving = assigned.where(is_batch).select(
         "vec_id", "v", "nrm", "cell_id", "cell2"
     )
-
-    stage_dir = tempfile.mkdtemp(prefix="sem_mp_stage_")
-    out_dir = tempfile.mkdtemp(prefix="sem_mp_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_sem_mp_")
-    try:
-        arriving.repartition(4).write.mode("overwrite").parquet(stage_dir)
-        stream = (
-            spark.readStream
-            .schema("vec_id bigint, v array<double>, nrm double, "
-                    "cell_id bigint, cell2 bigint")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage_dir)
-        )
-        writer = semantic_batch_writer(out_dir)
-
-        def _process(batch_df: DataFrame, batch_id: int) -> None:
-            writer(classify_semantic_batch_mp(batch_df, index), batch_id)
-
-        q = (
-            stream.writeStream.foreachBatch(_process)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .start()
-        )
-        q.awaitTermination()
-        # empty arriving slice -> zero micro-batches -> empty frame,
-        # matching the batch twin (same guard as the single-probe entry)
-        if not any(d.startswith("b") for d in os.listdir(out_dir)):
-            return spark.createDataFrame([], BATCH_OUT_SCHEMA)
-        result = spark.read.schema(BATCH_OUT_SCHEMA).parquet(
-            os.path.join(out_dir, "b*")
-        )
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        for d in (stage_dir, out_dir, ckpt_dir):
-            shutil.rmtree(d, ignore_errors=True)
+    return _run_classify_stream(
+        spark, arriving,
+        "vec_id bigint, v array<double>, nrm double, "
+        "cell_id bigint, cell2 bigint",
+        index, classify_semantic_batch_mp,
+    )
 
 
 QUERIES = {

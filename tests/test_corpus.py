@@ -253,6 +253,7 @@ def test_curation_full_stage_interactions(spark, monkeypatch):
     - split: each kept doc lands in the bucket (id*KNUTH) % 100 says."""
     from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
         KNUTH_MULT,
+        SCRAMBLE_MOD,
     )
     from etl_pipeline_from_mongo_json_to_postgre_spark.operators import curation_ext
 
@@ -274,7 +275,7 @@ def test_curation_full_stage_interactions(spark, monkeypatch):
         for r in curation_ext.corpus_curation_pipeline_full(spark, "unused").collect()
     }
     # src2: quota drops the largest-scrambled-key doc; src1: only doc 1
-    dropped = max(src2_ids, key=lambda i: ((i * KNUTH_MULT) % 1_000_000_007, i))
+    dropped = max(src2_ids, key=lambda i: ((i * KNUTH_MULT) % SCRAMBLE_MOD, i))
     kept = {1} | (set(src2_ids) - {dropped})
 
     def split_of(i):

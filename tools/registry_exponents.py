@@ -95,13 +95,25 @@ def exponents(lo_path: str, hi_path: str) -> None:
     lo = json.load(open(lo_path))
     hi = json.load(open(hi_path))
     tables = json.load(open(TABLES_PATH))
-    rows = []
+    rows, unmeasured = [], []
     for name in sorted(set(lo) & set(hi)):
-        tl = tables.get(name, [])
+        # engine_census dumps failures as "ERR <msg>" strings into the
+        # same JSON; a crashed entry must surface as UNMEASURED, never
+        # abort the report for the other 282 (r12 review finding)
+        try:
+            t0, t1 = float(lo[name]), float(hi[name])
+        except (TypeError, ValueError):
+            unmeasured.append((name, "census error"))
+            continue
+        tl = tables.get(name)
+        if tl is None or any(t.startswith("ERROR:") for t in tl):
+            # an introspection failure or a map hole is NOT alpha 0.0 —
+            # that would print a super-linear entry as the safest value
+            unmeasured.append((name, "tables unknown"))
+            continue
         growth = max((GROWTH.get(t, 1.0) for t in tl), default=1.0)
-        t0, t1 = float(lo[name]), float(hi[name])
         if growth <= 1.0 or t0 <= 0:
-            alpha = 0.0
+            alpha = 0.0  # fixed-size input by construction: flat
         else:
             alpha = math.log(max(t1, 1e-9) / max(t0, 1e-9)) / math.log(growth)
         rows.append((alpha, name, growth, t0, t1, ",".join(tl)))
@@ -115,6 +127,9 @@ def exponents(lo_path: str, hi_path: str) -> None:
     flagged = [r for r in rows if r[0] > 0.5]
     print(f"\n{len(rows)} entries; {len(flagged)} with alpha > 0.5: "
           + ", ".join(f"{n} ({a:.2f})" for a, n, *_ in flagged))
+    if unmeasured:
+        print(f"UNMEASURED ({len(unmeasured)}): "
+              + ", ".join(f"{n} [{why}]" for n, why in unmeasured))
 
 
 def main() -> int:
