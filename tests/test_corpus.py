@@ -287,3 +287,36 @@ def test_curation_full_stage_interactions(spark, monkeypatch):
         key = (split_of(i), "src1" if i == 1 else "src2", "en" if i == 1 else "de")
         want[key] = want.get(key, 0) + 1
     assert out == want
+
+
+def test_curation_full_without_benchmark_slice(spark, monkeypatch):
+    """A corpus with NO benchmark source: the bench shingle set is
+    empty, so decontamination must pass every deduped survivor through
+    (empty broadcast join side + left-anti against an empty id list),
+    not drop rows or error. 17 clean src2 docs -> quota 16 survives
+    unchanged from the with-bench fixture."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.functions.sampling import (
+        KNUTH_MULT,
+        SCRAMBLE_MOD,
+    )
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import curation_ext
+
+    good = "w" + " w".join(str(i) for i in range(1, 15))
+    src2_ids = list(range(10, 27))
+    rows = [(i, "de", "src2", good + f" unique{i}") for i in src2_ids]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string")
+    monkeypatch.setattr(curation_ext, "_docs", lambda s, d: df)
+
+    rows_out = curation_ext.corpus_curation_pipeline_full(spark, "unused").collect()
+    total = sum(r["docs"] for r in rows_out)
+    assert total == len(src2_ids) - 1  # quota floor(4*sqrt(17)) = 16
+    # split census matches the hand-computed buckets of the 16 survivors
+    dropped = max(src2_ids, key=lambda i: ((i * KNUTH_MULT) % SCRAMBLE_MOD, i))
+    want = {}
+    for i in set(src2_ids) - {dropped}:
+        b = (i * KNUTH_MULT) % 100
+        s = "train" if b < 80 else ("val" if b < 90 else "test")
+        want[(s, "src2", "de")] = want.get((s, "src2", "de"), 0) + 1
+    assert {(r["split"], r["source"], r["lang"]): r["docs"]
+            for r in rows_out} == want

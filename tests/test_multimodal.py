@@ -387,3 +387,55 @@ def test_crossmodal_recall_eval_envelope(spark, sf_dir):
     mean_recall = out.agg(F.avg("recall")).collect()[0][0]
     assert mean_recall > 0.3
     out.unpersist()
+
+
+def test_crossmodal_recall_collapses_duplicate_payloads(spark, tmp_path):
+    """The contract that distinguishes this gate from ann_recall_eval:
+    recall is scored at the CANONICAL-PAYLOAD level. Fixture: 60
+    vectors in 3 tight cosine clusters (20 each), every doc in a
+    cluster carrying the IDENTICAL payload text. Each query's exact
+    top-5 neighbors are its own cluster's other copies — 5 distinct
+    ids but ONE distinct payload — so n_exact_canon must collapse to 1
+    (not TOPK=5) and a retriever that fetches ANY copy scores 1.0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.multimodal import (
+        mm_crossmodal_recall_eval,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = [rng.randn(64) * 4 for _ in range(3)]
+    n = 60
+    vecs = [centers[i % 3] + 0.01 * rng.randn(64) for i in range(n)]
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    texts = [f"cluster {i % 3} shared payload text" for i in range(n)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    out = {r["query_id"]: r
+           for r in mm_crossmodal_recall_eval(spark, str(tmp_path)).collect()}
+    assert len(out) == 20  # N_QUERIES
+    for qid, r in out.items():
+        assert r["n_exact_canon"] == 1, (
+            f"query {qid}: 5 same-payload neighbors must collapse to one "
+            f"canonical, got {r['n_exact_canon']}")
+        assert r["hits"] == 1 and r["recall"] == 1.0, (
+            f"query {qid}: fetching any copy of the right payload is a hit")
