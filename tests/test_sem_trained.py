@@ -96,3 +96,19 @@ def test_trained_assignment_matches_numpy(spark, sf_dir):
                   for c, h in zip(sem_trained.SEM_CENTROIDS, half)]
         want = max(range(len(scores)), key=lambda i: (scores[i], -i)) + 1
         assert r["cell"] == want, f"vec {r['vec_id']}"
+
+
+def test_trained_plans_have_no_cartesian(spark, sf_dir):
+    """The candidate bound stays STRUCTURAL under the trained
+    quantizer: pair/probe joins key on the probed cell, no cartesian,
+    no Python eval nodes (mirrors the r11 mp-family plan pin)."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.storage import (
+        physical_plan,
+    )
+
+    for fn in (sem_trained.dedup_semantic_cells_trained,
+               sem_trained.sem_probe_eval_trained):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "probe_cell" in plan, f"{fn.__name__}: join key missing"
+        assert "Python" not in plan, fn.__name__
