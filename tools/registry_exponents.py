@@ -41,6 +41,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "entry_tables.json")
 
+# Staging roundtrip entries read documents through a fingerprint-cached
+# stage dir (sources/csv_source.stage_dir et al.), which skips
+# load_table on a cache hit — introspection would record [] and the
+# entry would be mis-scored as fixed-input. Their real input is pinned
+# here instead.
+KNOWN_TABLES = {
+    "s10_csv_roundtrip": ["documents"],
+    "s11_orc_roundtrip": ["documents"],
+    "s12_xml_roundtrip": ["documents"],
+    "s13_binaryfile_media_scan": ["documents"],
+}
+
 GROWTH = {
     "region": 1.0, "nation": 1.0,
     "customer": 100.0, "supplier": 100.0, "part": 100.0,
@@ -80,7 +92,7 @@ def record_tables(sf_dir: str) -> dict[str, list[str]]:
             except Exception as exc:  # noqa: BLE001 — record and move on
                 out[name] = [f"ERROR:{type(exc).__name__}"]
                 continue
-            out[name] = sorted(seen)
+            out[name] = KNOWN_TABLES.get(name) or sorted(seen)
     finally:
         pq_src.load_table = real
         for mod in patched:
