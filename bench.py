@@ -74,6 +74,21 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = 0.0
+    # Load-average guard (VERDICT r12 task 7): r12 lost a rep to a 57 s
+    # load-contaminated run diagnosed after the fact via `uptime`
+    # (load ~5 decaying from two full-registry census passes). Record
+    # the 1-min load in the JSON tail and warn at generation time so a
+    # contaminated rep is flagged when it happens, not adjudicated
+    # later. Threshold 2.0: an idle-host rep starts well under 1; a
+    # decaying census leaves >4 for tens of minutes.
+    load_start = round(os.getloadavg()[0], 2)
+    if load_start > 2.0:
+        print(
+            f"bench: WARNING 1-min load average {load_start} > 2.0 at "
+            "start — rep likely contaminated by concurrent work; "
+            "prefer a re-run on a drained host",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="bench")
 
     from __spark_entry__ import queries
@@ -129,6 +144,13 @@ def main() -> None:
                 "host_note": "same-tree spread up to ~1.5x; quiet-host "
                              "anchors in BASELINE.md (r10: 22.4-24.0s "
                              "= 0.63-0.67x)",
+                # 1-min load average at rep start/end (VERDICT r12
+                # task 7): >2.0 at start means the rep ran against
+                # leftover host load and its wall time should not be
+                # compared to quiet-host anchors.
+                "load_avg_1m_start": load_start,
+                "load_avg_1m_end": round(os.getloadavg()[0], 2),
+                "load_contaminated": load_start > 2.0,
             }
         )
     )

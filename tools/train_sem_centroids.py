@@ -39,8 +39,18 @@ SEM_TRAIN_ITERS = 10
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    nlist = SEM_TRAIN_K
+    for a in sys.argv[1:]:
+        if a.startswith("--nlist"):
+            nlist = int(a.split("=", 1)[1] if "=" in a
+                        else sys.argv[sys.argv.index(a) + 1])
 
+    # genuine first-training bootstrap: the module import below must
+    # tolerate a missing artifact without tripping the dropped-artifact
+    # guard (sem_trained._load_trained)
+    os.environ["SPARK_GRAFT_SEM_BOOTSTRAP"] = "1"
     from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
         kmeans,
         sem_trained,
@@ -54,19 +64,23 @@ def main() -> int:
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
     )
     cents, hist = kmeans.train(
-        vecs, k=SEM_TRAIN_K, iters=SEM_TRAIN_ITERS, init="scrambled")
+        vecs, k=nlist, iters=SEM_TRAIN_ITERS, init="scrambled")
     print("SSE history:", [round(h, 4) for h in hist])
 
     out = {
         "sf_dir": sf_dir,
-        "k": SEM_TRAIN_K,
+        "k": nlist,
         "iters": SEM_TRAIN_ITERS,
         "normalized": True,
         "centroids": cents,
     }
-    with open(sem_trained._TRAINED_PATH, "w") as fh:
+    # a non-default nlist is an A/B experiment artifact (VERDICT r12
+    # task 3) — never clobber the committed production quantizer
+    path = (sem_trained._TRAINED_PATH if nlist == SEM_TRAIN_K else
+            sem_trained._TRAINED_PATH.replace(".json", f"_k{nlist}.json"))
+    with open(path, "w") as fh:
         json.dump(out, fh)
-    print("wrote", sem_trained._TRAINED_PATH)
+    print("wrote", path)
     return 0
 
 
