@@ -33,6 +33,7 @@ from etl_pipeline_from_mongo_json_to_postgre_spark.operators import (
     kmeans,
     malformed,
     mm_pack,
+    mm_probe,
     mm_resize,
     mixing,
     pca,
@@ -71,7 +72,8 @@ _MODULES = (analytics, transform_queries, scalar_funcs, text_queries, dedup,
             association, graph, tpch_suite, curation_ext, csv_source,
             orc_source, mixing, ann_trained, variant_ingest, chunking,
             streaming_doc_chunks, repetition, bpe, streaming_load,
-            quantile_sketch, malformed, mm_resize, mm_pack, sem_trained,
+            quantile_sketch, malformed, mm_resize, mm_pack, mm_probe,
+            sem_trained,
             streaming_sessionize_native, xml_source, binary_source,
             streaming_semantic)
 
