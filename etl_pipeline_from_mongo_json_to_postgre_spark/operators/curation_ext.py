@@ -31,6 +31,20 @@ TRAIN_BELOW = 80          # buckets [0,80) -> train
 VAL_BELOW = 90            # [80,90) -> val, [90,100) -> test
 BENCH_SOURCE = "src0"     # documents.source treated as the eval suite
 DECON_K = 3               # shingle width for decontamination
+
+# Relative df-cap on the bench shingle set (r13, the r5 SPARSE_MAX_DF
+# pattern): a shingle present in more than max(DECON_DF_FLOOR,
+# ceil(DECON_DF_FRAC * screened docs)) screened documents is
+# boilerplate, not leakage evidence — the ABSOLUTE rule degenerated to
+# ~100% drop on the synthetic ~30-word vocabulary (2 survivors of 4750
+# at sf0.1). Sizing is measurement-backed (BASELINE.md r13): max bench
+# -shingle df is 7 at sf0.001 and 5 at sf0.01, so the floor of 8 is
+# INERT at both gated SFs (hash-identical results), while at sf0.1 it
+# lifts survivors 2 -> 195. The relative arm takes over above 8000
+# screened docs: on a 10M-doc corpus the cap is 10k — phrases shared
+# by >0.1% of a corpus are idiom, not eval contamination.
+DECON_DF_FLOOR = 8
+DECON_DF_FRAC = 0.001
 WINNOW_K = 3              # k-gram width for winnowing
 WINNOW_W = 4              # winnowing window
 PRICE_BUCKET = 1000.0     # pareto pre-prune bucket width (o_totalprice)
@@ -94,16 +108,23 @@ def train_split_assign(spark, sf_dir):
 
 def corpus_decontaminate(spark, sf_dir):
     """Decontaminated-corpus census: drop every non-benchmark document
-    sharing ANY distinct 3-word shingle with the benchmark slice
+    sharing any RARE distinct 3-word shingle with the benchmark slice
     (documents.source == 'src0'), then report per-source totals /
-    kept / dropped.
+    kept / dropped. Rare = corpus document frequency <=
+    max(DECON_DF_FLOOR, ceil(DECON_DF_FRAC * corpus docs)) — shingles
+    more common than the cap are idiom/boilerplate, not leakage
+    evidence (constants above; sized so the cap is inert at the gated
+    SFs and closes the r12 sf0.1 degeneracy note).
 
     Scale shape: both sides reduce to (doc_id, shingle-hash) longs
     before the semi-join — the benchmark side (an eval suite) is tiny
-    and broadcasts; document text never crosses a shuffle. The kept set
-    comes from ONE left-anti join against the contaminated-id list.
-    Portable polynomial shingle hashes -> the oracle reproduces the
-    exact hash values (not just equivalent grams)."""
+    and broadcasts; document text never crosses a shuffle. The df cap
+    adds ONE counts-only aggregate on shingle hashes (map-side
+    combinable) plus a one-row broadcast for the corpus count; it can
+    only SHRINK the broadcast bench set. The kept set comes from ONE
+    left-anti join against the contaminated-id list. Portable
+    polynomial shingle hashes -> the oracle reproduces the exact hash
+    values (not just equivalent grams)."""
     d = _docs(spark, sf_dir)
     w = _words(F.col("text"))
     shingled = (
@@ -121,9 +142,22 @@ def corpus_decontaminate(spark, sf_dir):
         .distinct()
     )
     corpus = shingled.where(F.col("source") != BENCH_SOURCE)
+    corpus_ex = corpus.select("doc_id", F.explode("sh").alias("s"))
+    df_counts = corpus_ex.groupBy("s").agg(F.count("*").alias("df"))
+    n_corpus = corpus.agg(F.count("*").alias("n_corpus"))
+    cap = F.greatest(
+        F.lit(DECON_DF_FLOOR).cast("long"),
+        F.ceil(F.lit(DECON_DF_FRAC) * F.col("n_corpus")).cast("long"),
+    )
+    bench_capped = (
+        df_counts.join(F.broadcast(bench), "s")
+        .crossJoin(F.broadcast(n_corpus))  # one-row corpus count
+        .where(F.col("df") <= cap)
+        .select("s")
+    )
     contaminated = (
-        corpus.select("doc_id", F.explode("sh").alias("s"))
-        .join(F.broadcast(bench), "s")
+        corpus_ex
+        .join(F.broadcast(bench_capped), "s")
         .select("doc_id")
         .distinct()
     )
@@ -656,10 +690,13 @@ def corpus_curation_pipeline_full(spark, sf_dir):
     - gate: >= CURATION_MIN_WORDS whitespace words (dedup.py);
     - dedup: keep-first (min doc_id) per (xxhash64(text), length)
       within the gated non-benchmark corpus;
-    - decontaminate: drop survivors sharing ANY distinct DECON_K-word
-      shingle with the benchmark slice (source == BENCH_SOURCE). Bench
-      shingles come from the FULL slice, ungated/undeduped — the eval
-      suite is a given input, not something the pipeline curates;
+    - decontaminate: drop survivors sharing any RARE distinct
+      DECON_K-word shingle with the benchmark slice (source ==
+      BENCH_SOURCE); rare = df over the SCREENED (deduped) population
+      <= max(DECON_DF_FLOOR, ceil(DECON_DF_FRAC * screened docs)) —
+      the r13 df cap, constants above. Bench shingles come from the
+      FULL slice, ungated/undeduped — the eval suite is a given input,
+      not something the pipeline curates;
     - mixture: per-source quota floor(MIX_MULT * sqrt(n_s)) computed
       over the CLEAN survivors (quota follows what upstream stages
       kept), rank by scrambled key;
@@ -701,9 +738,22 @@ def corpus_curation_pipeline_full(spark, sf_dir):
         .select("doc_id")
     )
     deduped = corpus.join(survivors, "doc_id", "left_semi")
+    dedup_ex = deduped.select("doc_id", F.explode("sh").alias("s"))
+    df_counts = dedup_ex.groupBy("s").agg(F.count("*").alias("df"))
+    n_screened = deduped.agg(F.count("*").alias("n_screened"))
+    cap = F.greatest(
+        F.lit(DECON_DF_FLOOR).cast("long"),
+        F.ceil(F.lit(DECON_DF_FRAC) * F.col("n_screened")).cast("long"),
+    )
+    bench_capped = (
+        df_counts.join(F.broadcast(bench), "s")
+        .crossJoin(F.broadcast(n_screened))  # one-row screened count
+        .where(F.col("df") <= cap)
+        .select("s")
+    )
     contaminated = (
-        deduped.select("doc_id", F.explode("sh").alias("s"))
-        .join(F.broadcast(bench), "s")
+        dedup_ex
+        .join(F.broadcast(bench_capped), "s")
         .select("doc_id")
         .distinct()
     )
@@ -959,10 +1009,19 @@ ORACLE_SQL: dict[str, str] = {
         ), deduped AS (
             SELECT * FROM corpus
             WHERE doc_id IN (SELECT doc_id FROM survivors)
+        ), dedup_ex AS (
+            SELECT doc_id, unnest(sh) AS s FROM deduped
+        ), corpus_df AS (
+            SELECT s, count(*) AS df FROM dedup_ex GROUP BY s
+        ), n AS (
+            SELECT count(*) AS n_screened FROM deduped
+        ), bench_capped AS (
+            SELECT b.s FROM bench b JOIN corpus_df c USING (s), n
+            WHERE c.df <= greatest({DECON_DF_FLOOR},
+                CAST(ceil({DECON_DF_FRAC} * n.n_screened) AS BIGINT))
         ), contaminated AS (
             SELECT DISTINCT doc_id
-            FROM (SELECT doc_id, unnest(sh) AS s FROM deduped) c
-            JOIN bench USING (s)
+            FROM dedup_ex JOIN bench_capped USING (s)
         ), clean AS (
             SELECT doc_id, lang, source FROM deduped
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
@@ -997,10 +1056,19 @@ ORACLE_SQL: dict[str, str] = {
             WHERE source = '{BENCH_SOURCE}'
         ), corpus AS (
             SELECT * FROM shingled WHERE source <> '{BENCH_SOURCE}'
+        ), corpus_ex AS (
+            SELECT doc_id, unnest(sh) AS s FROM corpus
+        ), corpus_df AS (
+            SELECT s, count(*) AS df FROM corpus_ex GROUP BY s
+        ), n AS (
+            SELECT count(*) AS n_corpus FROM corpus
+        ), bench_capped AS (
+            SELECT b.s FROM bench b JOIN corpus_df c USING (s), n
+            WHERE c.df <= greatest({DECON_DF_FLOOR},
+                CAST(ceil({DECON_DF_FRAC} * n.n_corpus) AS BIGINT))
         ), contaminated AS (
             SELECT DISTINCT doc_id
-            FROM (SELECT doc_id, unnest(sh) AS s FROM corpus) c
-            JOIN bench USING (s)
+            FROM corpus_ex JOIN bench_capped USING (s)
         ), kept AS (
             SELECT source, count(*) AS kept_docs FROM corpus
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)

@@ -320,3 +320,31 @@ def test_curation_full_without_benchmark_slice(spark, monkeypatch):
         want[(s, "src2", "de")] = want.get((s, "src2", "de"), 0) + 1
     assert {(r["split"], r["source"], r["lang"]): r["docs"]
             for r in rows_out} == want
+
+
+def test_decon_df_cap_inert_at_gated_sfs_and_bites_at_sf01():
+    """r13 relative decontamination cap (the r5 SPARSE_MAX_DF pattern):
+    max(DECON_DF_FLOOR, ceil(DECON_DF_FRAC * screened docs)) df-caps
+    the bench shingle set. Pins the three measured facts behind the
+    constants: (a) the cap is INERT at the gated SFs — total kept at
+    sf0.001 equals the pre-cap r12 value (62); (b) at sf0.1 the r12
+    degeneracy (2 survivors of 4750) is closed — kept = 195; (c) the
+    floor arm dominates below 8000 screened docs by construction."""
+    import math
+
+    import duckdb  # noqa: F401  (oracle_compare brings the dep)
+
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators import curation_ext as ce
+    from tests.oracle_compare import duckdb_conn
+
+    sql = ce.ORACLE_SQL["corpus_decontaminate"]
+    kept001 = duckdb_conn("/root/testdata/sf0.001").execute(
+        f"SELECT sum(kept_docs) FROM ({sql})").fetchone()[0]
+    assert kept001 == 62  # byte-identical to the pre-cap rule (r13 A/B)
+    import os
+    if os.path.isdir("/root/testdata/sf0.1"):
+        kept01 = duckdb_conn("/root/testdata/sf0.1").execute(
+            f"SELECT sum(kept_docs) FROM ({sql})").fetchone()[0]
+        assert kept01 == 195  # was 2 under the absolute rule
+    assert max(ce.DECON_DF_FLOOR,
+               math.ceil(ce.DECON_DF_FRAC * 8000)) == ce.DECON_DF_FLOOR
