@@ -120,7 +120,20 @@ def planted_v_column():
     """The planted vector as a Column over ANY frame carrying a
     ``vec_id`` column — the ONE definition shared by the batch fixture
     below and the streaming ingest twin
-    (streaming/doc_chunks.stream_ann_cell_assign)."""
+    (streaming/doc_chunks.stream_ann_cell_assign).
+
+    Loop-invariant hoisting (r13, found by the stream_ann_cell_assign
+    wall decomposition): higher-order-function lambdas are interpreted
+    per ELEMENT, with no hoisting of invariant subexpressions — the
+    original ``transform(sequence(1, DIM), j -> blob[j] + pat[j] +
+    noise(j))`` re-evaluated the blob lookup (a CreateArray of NB x DIM
+    literals) and the pattern concat (TSUB more literal-array lookups)
+    64 times per row, ~3 ms/row. Structuring as ``zip_with(blob, pat)``
+    then ``zip_with(base, sequence)`` evaluates blob/pat ONCE per row
+    as array operands: measured 5.8 s -> 1.04 s for the sf0.1 cell
+    census, collected results bit-identical (the float grouping
+    (blob[j] + pat[j]) + noise is preserved exactly, so the DuckDB
+    oracle text still matches)."""
     blob = F.element_at(
         F.array(*[_plane_lit(b) for b in BLOBS]),
         (F.col("vec_id") % NB).cast("int") + 1,
@@ -130,11 +143,13 @@ def planted_v_column():
                      _g_expr(s) + 1)
         for s in range(TSUB)
     ])
-    return F.transform(
+    base = F.zip_with(blob, pat, lambda x, y: x + y)
+    return F.zip_with(
+        base,
         F.sequence(F.lit(1), F.lit(DIM)),
         # noise fully parenthesized ((x/m)*0.02 - 0.01) so the float
         # grouping matches the DuckDB text exactly
-        lambda j: (F.element_at(blob, j) + F.element_at(pat, j))
+        lambda b, j: b
         + (
             (
                 ((F.col("vec_id") + 1) * F.lit(NOISE_MUL) + j * NOISE_ADD)
