@@ -765,3 +765,26 @@ def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
     assert "might_contain" in plan, "runtime bloom filter did not inject"
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert rows == baseline
+
+
+def test_mm_crossmodal_mp_plan_digest_keyed_no_rescan(spark, sf_dir):
+    """The widened-probe cross-modal retriever keeps the family's scale
+    shape (mm_probe module docstring): the returned plan reads ZERO
+    parquet FileScans (embeddings and the payload projection are each
+    scanned once into localCheckpoints upstream), every join is
+    broadcast (hit list and canonical map are query-bounded — a
+    SortMergeJoin or CartesianProduct means a data-scale frame leaked
+    into the join graph), and every exchange is keyed on the sha256
+    digest — raw payload bytes never cross a shuffle."""
+    from etl_pipeline_from_mongo_json_to_postgre_spark.operators.mm_probe import (
+        mm_crossmodal_topk_mp,
+    )
+
+    plan = physical_plan(mm_crossmodal_topk_mp(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "FileScan" not in plan
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        head = chunk.splitlines()[0]
+        assert "payload_sha256" in head
+        assert "payload#" not in head
