@@ -61,6 +61,59 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _df_capped_contaminated(screened_ex, bench, n_screened):
+    """doc_ids of screened docs that share a DF-CAPPED bench shingle —
+    the one decontamination rule, stated once for both entries
+    (corpus_decontaminate and corpus_curation_pipeline_full; the r13
+    review found the two inline copies drifting apart was the next
+    likely bug).
+
+    ``screened_ex``: (doc_id, s) exploded shingles of the screened
+    corpus; ``bench``: distinct bench shingles (s); ``n_screened``: a
+    ONE-ROW count frame (any single column name). The cap
+    max(DECON_DF_FLOOR, ceil(DECON_DF_FRAC * n)) is the relative rule
+    documented above. Cost shape: one counts-only aggregate on shingle
+    hashes (map-side combinable) + a one-row broadcast; the cap can
+    only SHRINK the broadcast bench set. Oracle twin:
+    ``_duck_df_cap_ctes``."""
+    df_counts = screened_ex.groupBy("s").agg(F.count("*").alias("df"))
+    n_col = n_screened.columns[0]
+    cap = F.greatest(
+        F.lit(DECON_DF_FLOOR).cast("long"),
+        F.ceil(F.lit(DECON_DF_FRAC) * F.col(n_col)).cast("long"),
+    )
+    bench_capped = (
+        df_counts.join(F.broadcast(bench), "s")
+        .crossJoin(F.broadcast(n_screened))  # one-row screened count
+        .where(F.col("df") <= cap)
+        .select("s")
+    )
+    return (
+        screened_ex
+        .join(F.broadcast(bench_capped), "s")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _duck_df_cap_ctes(ex_cte: str, n_cte: str, n_col: str) -> str:
+    """DuckDB twin of ``_df_capped_contaminated``: the corpus_df /
+    bench_capped / contaminated CTE chain over an exploded-shingle CTE
+    ``ex_cte`` (doc_id, s), a one-row count CTE ``n_cte`` exposing
+    ``n_col``, and a ``bench`` CTE (s). Emitted WITHOUT a leading
+    WITH/comma so callers splice it into their own chain."""
+    return f"""corpus_df AS (
+            SELECT s, count(*) AS df FROM {ex_cte} GROUP BY s
+        ), bench_capped AS (
+            SELECT b.s FROM bench b JOIN corpus_df c USING (s), {n_cte}
+            WHERE c.df <= greatest({DECON_DF_FLOOR},
+                CAST(ceil({DECON_DF_FRAC} * {n_cte}.{n_col}) AS BIGINT))
+        ), contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM {ex_cte} JOIN bench_capped USING (s)
+        )"""
+
+
 def _words(col):
     return F.filter(F.split(col, " "), lambda x: x != "")
 
@@ -143,24 +196,8 @@ def corpus_decontaminate(spark, sf_dir):
     )
     corpus = shingled.where(F.col("source") != BENCH_SOURCE)
     corpus_ex = corpus.select("doc_id", F.explode("sh").alias("s"))
-    df_counts = corpus_ex.groupBy("s").agg(F.count("*").alias("df"))
-    n_corpus = corpus.agg(F.count("*").alias("n_corpus"))
-    cap = F.greatest(
-        F.lit(DECON_DF_FLOOR).cast("long"),
-        F.ceil(F.lit(DECON_DF_FRAC) * F.col("n_corpus")).cast("long"),
-    )
-    bench_capped = (
-        df_counts.join(F.broadcast(bench), "s")
-        .crossJoin(F.broadcast(n_corpus))  # one-row corpus count
-        .where(F.col("df") <= cap)
-        .select("s")
-    )
-    contaminated = (
-        corpus_ex
-        .join(F.broadcast(bench_capped), "s")
-        .select("doc_id")
-        .distinct()
-    )
+    contaminated = _df_capped_contaminated(
+        corpus_ex, bench, corpus.agg(F.count("*").alias("n_corpus")))
     kept = corpus.join(contaminated, "doc_id", "left_anti")
     totals = corpus.groupBy("source").agg(F.count("*").alias("total_docs"))
     kept_counts = kept.groupBy("source").agg(F.count("*").alias("kept_docs"))
@@ -739,24 +776,8 @@ def corpus_curation_pipeline_full(spark, sf_dir):
     )
     deduped = corpus.join(survivors, "doc_id", "left_semi")
     dedup_ex = deduped.select("doc_id", F.explode("sh").alias("s"))
-    df_counts = dedup_ex.groupBy("s").agg(F.count("*").alias("df"))
-    n_screened = deduped.agg(F.count("*").alias("n_screened"))
-    cap = F.greatest(
-        F.lit(DECON_DF_FLOOR).cast("long"),
-        F.ceil(F.lit(DECON_DF_FRAC) * F.col("n_screened")).cast("long"),
-    )
-    bench_capped = (
-        df_counts.join(F.broadcast(bench), "s")
-        .crossJoin(F.broadcast(n_screened))  # one-row screened count
-        .where(F.col("df") <= cap)
-        .select("s")
-    )
-    contaminated = (
-        dedup_ex
-        .join(F.broadcast(bench_capped), "s")
-        .select("doc_id")
-        .distinct()
-    )
+    contaminated = _df_capped_contaminated(
+        dedup_ex, bench, deduped.agg(F.count("*").alias("n_screened")))
     clean = (
         deduped.join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
@@ -1011,18 +1032,9 @@ ORACLE_SQL: dict[str, str] = {
             WHERE doc_id IN (SELECT doc_id FROM survivors)
         ), dedup_ex AS (
             SELECT doc_id, unnest(sh) AS s FROM deduped
-        ), corpus_df AS (
-            SELECT s, count(*) AS df FROM dedup_ex GROUP BY s
         ), n AS (
             SELECT count(*) AS n_screened FROM deduped
-        ), bench_capped AS (
-            SELECT b.s FROM bench b JOIN corpus_df c USING (s), n
-            WHERE c.df <= greatest({DECON_DF_FLOOR},
-                CAST(ceil({DECON_DF_FRAC} * n.n_screened) AS BIGINT))
-        ), contaminated AS (
-            SELECT DISTINCT doc_id
-            FROM dedup_ex JOIN bench_capped USING (s)
-        ), clean AS (
+        ), {_duck_df_cap_ctes("dedup_ex", "n", "n_screened")}, clean AS (
             SELECT doc_id, lang, source FROM deduped
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         ), quota AS (
@@ -1058,18 +1070,9 @@ ORACLE_SQL: dict[str, str] = {
             SELECT * FROM shingled WHERE source <> '{BENCH_SOURCE}'
         ), corpus_ex AS (
             SELECT doc_id, unnest(sh) AS s FROM corpus
-        ), corpus_df AS (
-            SELECT s, count(*) AS df FROM corpus_ex GROUP BY s
         ), n AS (
             SELECT count(*) AS n_corpus FROM corpus
-        ), bench_capped AS (
-            SELECT b.s FROM bench b JOIN corpus_df c USING (s), n
-            WHERE c.df <= greatest({DECON_DF_FLOOR},
-                CAST(ceil({DECON_DF_FRAC} * n.n_corpus) AS BIGINT))
-        ), contaminated AS (
-            SELECT DISTINCT doc_id
-            FROM corpus_ex JOIN bench_capped USING (s)
-        ), kept AS (
+        ), {_duck_df_cap_ctes("corpus_ex", "n", "n_corpus")}, kept AS (
             SELECT source, count(*) AS kept_docs FROM corpus
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
             GROUP BY source

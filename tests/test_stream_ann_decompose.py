@@ -20,9 +20,9 @@ loudly: the in-batch budget (the hoisting fix) and the overhead share
 
 import pytest
 
-from tools.stream_ann_decompose import run_decomposed
+pytest.importorskip("pyspark")  # before tools import — it imports pyspark
 
-pytest.importorskip("pyspark")
+from tools.stream_ann_decompose import run_decomposed  # noqa: E402
 
 
 def _best_of(spark, sf_dir, budget_ms=None, max_reps=2):

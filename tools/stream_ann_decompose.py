@@ -15,7 +15,7 @@ handle, then splits each micro-batch's durationMs from
 
 Usage: python tools/stream_ann_decompose.py [sf_dir ...]
 Prints one markdown row per (sf, rep) and a summary; the in-batch
-budget is pinned in tests/test_streaming_decompose.py.
+budget is pinned in tests/test_stream_ann_decompose.py.
 """
 
 from __future__ import annotations

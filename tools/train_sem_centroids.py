@@ -26,6 +26,7 @@ is the sampled index-build job and the JSON is the model artifact.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -39,13 +40,15 @@ SEM_TRAIN_ITERS = 10
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    nlist = SEM_TRAIN_K
-    for a in sys.argv[1:]:
-        if a.startswith("--nlist"):
-            nlist = int(a.split("=", 1)[1] if "=" in a
-                        else sys.argv[sys.argv.index(a) + 1])
+    # argparse, not hand-rolled flag filtering: the r13 review found
+    # the space form `--nlist 32` leaking its VALUE into the
+    # positional list (sf_dir became "32"), so exactly the documented
+    # A/B invocation crashed while `--nlist=32` worked
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--nlist", type=int, default=SEM_TRAIN_K)
+    cli = ap.parse_args()
+    sf_dir, nlist = cli.sf_dir, cli.nlist
 
     # genuine first-training bootstrap: the module import below must
     # tolerate a missing artifact without tripping the dropped-artifact
