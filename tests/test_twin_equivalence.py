@@ -66,8 +66,7 @@ def test_decomposition_census_matches_registered_stream_entry(spark):
 
     entry_rows = _rows(stream_ann_cell_assign(spark, SF))
     r = run_decomposed(spark, SF)
-    qname = [t.name for t in spark.catalog.listTables()
-             if t.name.startswith("decomp_")]
-    assert qname, "decomposition memory sink not found"
-    harness_rows = _rows(spark.table(qname[-1]))
+    # read the sink by the name run_decomposed reports — a catalog scan
+    # for decomp_* picked up stale sf0.1 sinks from earlier suite tests
+    harness_rows = _rows(spark.table(r["qname"]))
     assert harness_rows == entry_rows

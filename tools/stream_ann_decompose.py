@@ -90,6 +90,7 @@ def run_decomposed(spark, sf_dir: str) -> dict:
         "in_batch_ms": sum(b["addBatch_ms"] for b in batches),
         "overhead_ms": sum(b["overhead_ms"] for b in batches),
         "n_rows": n_rows,
+        "qname": qname,  # the memory-sink table (twin-equivalence pin)
     }
 
 
