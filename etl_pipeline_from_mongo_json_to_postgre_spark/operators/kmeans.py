@@ -128,32 +128,59 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def _update(
-    assigned: DataFrame, k: int, dim: int = DIM
-) -> tuple[list[list[float] | None], list[int]]:
+    assigned: DataFrame, k: int, dim: int = DIM, with_vsq: bool = False
+) -> tuple[list[list[float] | None], list[int], float | None]:
     """Mean update: decimal per-(cluster, dim) sums with map-side
     combine; K*dim rows back to the driver. Returns (new centroids —
     None for empty clusters, which keep their previous centroid in the
-    caller — and per-cluster assignment counts, which make the
-    mid-iteration SSE free: see train)."""
+    caller — per-cluster assignment counts, which make the
+    mid-iteration SSE free: see train, and — when ``with_vsq`` —
+    total Σ||v||², folded into the SAME shuffle instead of a separate
+    corpus scan (r13 optimization round: one full pass + driver action
+    deleted from train; measured ~0.8 s / 2 jobs at sf0.1).
+
+    Exactness of the fold: the per-row ||v||² is the SAME double
+    left-fold expression the standalone scan used, attached BEFORE the
+    posexplode and summed only where pos == 0 (each input row
+    contributes exactly once), cast to decimal per row and
+    decimal-accumulated — bit-identical to the old separate pass
+    because decimal addition is order-free."""
+    vsq = F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                      F.lit(0.0), lambda a, x: a + x)
+    pre = assigned.select(
+        "cluster_id",
+        *([vsq.alias("vsq")] if with_vsq else []),
+        F.posexplode("v").alias("pos", "x"),
+    )
     sums = (
-        assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cluster_id", "pos")
+        pre.groupBy("cluster_id", "pos")
         .agg(
             F.sum(F.col("x").cast(_ACC)).alias("s"),
             F.count("*").alias("n"),
+            *([F.sum(F.when(F.col("pos") == 0, F.col("vsq")).cast(_ACC))
+               .alias("vsq_part")] if with_vsq else []),
         )
         .collect()
     )
+    from decimal import Decimal
+
     acc: dict[int, list[float]] = {}
     cnt: dict[int, int] = {}
+    # exact driver-side accumulation: the per-group partials arrive as
+    # decimals; summing them in Decimal (order-free, exact at this
+    # precision) and converting to float ONCE reproduces the old
+    # single-aggregate total bit-for-bit
+    total_vsq = Decimal(0)
     for r in sums:
         c = r["cluster_id"] - 1  # array_position is 1-based
         acc.setdefault(c, [0.0] * dim)[r["pos"]] = float(r["s"])
         cnt[c] = r["n"]
+        if with_vsq and r["vsq_part"] is not None:
+            total_vsq += r["vsq_part"]
     return [
         [x / cnt[c] for x in acc[c]] if c in cnt else None  # type: ignore[misc]
         for c in range(k)
-    ], [cnt.get(c, 0) for c in range(k)]
+    ], [cnt.get(c, 0) for c in range(k)], (float(total_vsq) if with_vsq else None)
 
 
 def _d2(centroids: list[list[float]]):
@@ -208,18 +235,19 @@ def train(
                  else _init_centroids(vecs, k))
     history: list[float] = []
     total_vsq = 0.0
-    if compute_history:
-        # Σ||v||² once — with it, every iteration's SSE is FREE from the
-        # update pass's own statistics (was: one extra assign+SSE pass
-        # per iteration, ~45% of kmeans_train's wall at sf0.1):
-        # Σ_c Σ_{v∈c} ||v - mean_c||² == Σ||v||² - Σ_c n_c·||mean_c||².
-        vsq = F.aggregate(F.transform(F.col("v"), lambda x: x * x),
-                          F.lit(0.0), lambda a, x: a + x)
-        total_vsq = float(
-            vecs.select(F.sum(vsq.cast(_ACC)).alias("s")).collect()[0]["s"])
-    for _ in range(iters):
+    for it in range(iters):
         assigned = _assign(vecs, centroids)
-        updated, counts = _update(assigned, k, dim)
+        # Σ||v||² once, folded into the FIRST update pass's shuffle —
+        # with it, every iteration's SSE is FREE from the update pass's
+        # own statistics (r7 deleted the per-iteration assign+SSE pass,
+        # ~45% of kmeans_train's wall at sf0.1; r13 deleted the
+        # remaining standalone Σ||v||² scan + driver action):
+        # Σ_c Σ_{v∈c} ||v - mean_c||² == Σ||v||² - Σ_c n_c·||mean_c||².
+        want_vsq = compute_history and it == 0
+        updated, counts, vsq_total = _update(assigned, k, dim,
+                                             with_vsq=want_vsq)
+        if want_vsq:
+            total_vsq = vsq_total
         centroids = [
             u if u is not None else centroids[i] for i, u in enumerate(updated)
         ]

@@ -938,18 +938,24 @@ def emb_pq_census(spark, sf_dir):
             F.zip_with(sub, c, lambda x, y: (x - y) * (x - y))
         )
 
-    sub_codes = []
+    # bind each subspace's 8-code distance array ONCE as a column (r13
+    # optimization round, same fix as ann_trained._trained_base):
+    # array_position and array_min both consume it, and interpreted
+    # HOFs get no common-subexpression elimination — the inline form
+    # evaluated every 8x16-element distance transform twice per row
+    dist_cols = []
     for s in range(PQ_SUBSPACES):
         sub = F.slice(F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
         codebook = F.array(*[_plane_lit(c) for c in PQ_CODEBOOKS[s]])
-        dists = F.transform(codebook, _dist_fn(sub))
-        sub_codes.append(
-            F.array_position(dists, F.array_min(dists)).cast("int")
-        )
+        dist_cols.append(F.transform(codebook, _dist_fn(sub)).alias(f"_d{s}"))
+    sub_codes = [
+        F.array_position(F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}")))
+        .cast("int")
+        for s in range(PQ_SUBSPACES)
+    ]
     return (
-        vecs.select(
-            F.posexplode(F.array(*sub_codes)).alias("pos", "code")
-        )
+        vecs.select(*dist_cols)
+        .select(F.posexplode(F.array(*sub_codes)).alias("pos", "code"))
         .select((F.col("pos") + 1).alias("subspace"), "code")
         .groupBy("subspace", "code")
         .agg(F.count("*").alias("cnt"))

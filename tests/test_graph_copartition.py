@@ -109,3 +109,40 @@ def test_pagerank_rounds_reuse_links_layout_in_smj_regime(smj_spark):
             assert not node.startswith("Exchange"), (
                 "a round re-shuffled the pre-partitioned links frame:\n"
                 + plan)
+
+
+def test_pagerank_dst_layout_makes_rounds_aggregate_without_exchange(spark):
+    """r13 optimization-round pin: pagerank lays links out on DST (the
+    aggregation key). In the broadcast regime (node-sized rank frame),
+    each round's contribution HashAggregate must consume the links scan
+    with NO Exchange anywhere between — zero edge-sized shuffles per
+    round. Red if the layout key regresses to src (the aggregate then
+    re-shuffles the contributions every round) or if the checkpoint
+    stops advertising its partitioning."""
+    edges = spark.range(2000).select(
+        (F.col("id") % 97).alias("src"), ((F.col("id") * 7) % 97).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    adj = sym.distinct()
+    degree = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    links = checkpoint_partitioned(adj.join(degree, "src"), "dst")
+    ranks = degree.select("src", F.lit(1.0).alias("rank"))
+    for _ in range(2):
+        contribs = links.join(ranks, "src").select(
+            F.col("dst").alias("src"),
+            (F.col("rank") / F.col("deg")).alias("c"))
+        ranks = contribs.groupBy("src").agg(F.sum("c").alias("rank"))
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    chains = _parents_of_scans(plan, "Scan ExistingRDD")
+    plan_lines = plan.splitlines()
+    scan_idx = [j for j, l in enumerate(plan_lines) if "Scan ExistingRDD" in l]
+    link_chains = [
+        c for i, c in enumerate(chains) if "deg" in plan_lines[scan_idx[i]]
+    ]
+    assert link_chains, "no links ExistingRDD scan in the physical plan"
+    for chain in link_chains:
+        for node in chain:
+            assert not node.startswith("Exchange"), (
+                "a pagerank round shuffled the dst-partitioned links "
+                "frame (layout regression):\n" + plan)
