@@ -201,13 +201,26 @@ def _sub_sq_dists(rescol, s: int):
 
 
 def _trained_base(spark, sf_dir):
-    """(vec_id, v, scores, cell, codes) — every corpus vector coarse-
-    assigned and PQ-coded against the TRAINED literals, checkpointed
-    once (corpus candidate side + query side both read it)."""
+    """(vec_id, v, cell, codes) checkpoint — see _trained_parts."""
+    return _trained_parts(spark, sf_dir)[0]
+
+
+def _trained_parts(spark, sf_dir):
+    """(base, scores_col): every corpus vector coarse-assigned and
+    PQ-coded against the TRAINED literals, checkpointed once (corpus
+    candidate side + query side both read it). The 16-double coarse
+    score array is bound for the cell argmax and DROPPED before the
+    checkpoint (r14): only the T_NQ probe rows ever read scores, and
+    they recompute them from the checkpointed v (same literals, same
+    fold — bit-identical) instead of materializing nlist doubles per
+    corpus row. The constructed scores Column is returned so the probe
+    side reuses the expression OBJECT — building the 16x64 literal
+    matrix is ~1k py4j round trips of driver time per construction."""
     _require_trained()
+    scores_col = _coarse_scores(F.col("v"))
     base = (
         planted_vectors(spark, sf_dir)
-        .select("vec_id", "v", _coarse_scores(F.col("v")).alias("scores"))
+        .select("vec_id", "v", scores_col.alias("scores"))
         .select(
             "vec_id", "v", "scores",
             F.array_position("scores", F.array_max("scores")).alias("cell"),
@@ -231,12 +244,12 @@ def _trained_base(spark, sf_dir):
         # TWICE per row (measured: base materialization 8.9 -> 5.5 s at
         # sf0.1, rows bit-identical; the bound column evaluates once)
         .select(
-            "vec_id", "v", "scores", "cell",
+            "vec_id", "v", "cell",
             *[_sub_sq_dists(F.col("res"), s).alias(f"_d{s}")
               for s in range(TSUB)],
         )
         .select(
-            "vec_id", "v", "scores", "cell",
+            "vec_id", "v", "cell",
             F.array(*[
                 F.array_position(
                     F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))
@@ -246,7 +259,7 @@ def _trained_base(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-    return base
+    return base, scores_col
 
 
 def ann_ivf_pq_trained_topk(spark, sf_dir):
@@ -255,10 +268,10 @@ def ann_ivf_pq_trained_topk(spark, sf_dir):
     query recomputes its 4x8 table against each probed cell's
     centroid), candidates scored with 4 table lookups + 3 adds, corpus
     side of the probe join carries only (vec_id, cell, codes)."""
-    return _topk_from_base(_trained_base(spark, sf_dir))
+    return _topk_from_base(*_trained_parts(spark, sf_dir))
 
 
-def _topk_from_base(base):
+def _topk_from_base(base, scores_col=None):
     from pyspark.sql.window import Window
 
     cand = base.select("vec_id", "cell", "codes")
@@ -266,12 +279,16 @@ def _topk_from_base(base):
     cent_lit = F.array(*[_plane_lit(c) for c in TRAINED_CENTROIDS])
     qprobe_w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("cid"))
+    if scores_col is None:
+        scores_col = _coarse_scores(F.col("v"))
     probes = (
         base.where(F.col("vec_id") < T_NQ)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            F.posexplode("scores").alias("pos", "score"),
+            # recomputed from the checkpointed v for the bounded query
+            # rows only (see _trained_parts — bit-identical)
+            F.posexplode(scores_col).alias("pos", "score"),
         )
         .withColumn("cid", (F.col("pos") + 1).cast("long"))
         .withColumn("probe_rank", F.row_number().over(qprobe_w))
@@ -321,7 +338,7 @@ def ann_pq_trained_recall(spark, sf_dir):
     the planted corpus is materialized once, not once per side."""
     from pyspark.sql.window import Window
 
-    base = _trained_base(spark, sf_dir)
+    base, scores_col = _trained_parts(spark, sf_dir)
     vecs = base.select("vec_id", "v")
     queries = vecs.where(F.col("vec_id") < T_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
@@ -337,7 +354,7 @@ def ann_pq_trained_recall(spark, sf_dir):
         .where(F.col("rank") <= T_TOPK)
         .select("query_id", "neighbor_id")
     )
-    pq = _topk_from_base(base).select("query_id", "neighbor_id")
+    pq = _topk_from_base(base, scores_col).select("query_id", "neighbor_id")
     hitcnt = (
         pq.join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")

@@ -161,10 +161,28 @@ def dedup_minhash_pairs(spark, sf_dir):
     4-component tuples per band (equal tuples <=> equal xxhash keys,
     modulo 2^-64 collisions).
     """
-    sigs = dedup_minhash_signature(spark, sf_dir)
+    # Keys-only bucket join (r14, guide §8 / §2.3 — the discipline the
+    # similarity twin already documents): the r13 form carried all 16
+    # signature components through BOTH self-join inputs (19-column
+    # broadcast/shuffle sides) and then funneled 34 columns through the
+    # pair-dedup exchange as 32 partial_first aggregates per row. Now
+    # the self-join moves only (doc_id, band, band_key) triples, the
+    # dedup exchange carries bare (doc_a, doc_b) pairs with map-side
+    # combine, and the signatures re-attach to the DEDUPED pair list by
+    # two joins against the checkpointed signature frame (doc-count-
+    # sized: AQE broadcasts it here, hash-joins it at scale). Rows
+    # identical by construction: same candidate set, same est_jaccard
+    # inputs (mh columns are functions of doc_id).
+    #
+    # localCheckpoint (eager), NOT cache(): three consumers (both band
+    # sides + the re-attach) read the materialized partitions, and the
+    # backing RDD blocks are reclaimed by the ContextCleaner when this
+    # DataFrame is GC'd — cache() entries would pile up in the
+    # CacheManager across the driver's many query invocations per
+    # session.
+    sigs = dedup_minhash_signature(spark, sf_dir).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
-        *[F.col(f"mh{j}") for j in range(16)],
         F.posexplode(
             F.array(
                 *[
@@ -174,12 +192,6 @@ def dedup_minhash_pairs(spark, sf_dir):
             )
         ).alias("band", "band_key"),
     )
-    # localCheckpoint (eager), NOT cache(): both self-join branches read
-    # the materialized partitions (the signature pipeline runs once), and
-    # the backing RDD blocks are reclaimed by the ContextCleaner when this
-    # DataFrame is GC'd — cache() entries would pile up in the
-    # CacheManager across the driver's many query invocations per session.
-    bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -191,16 +203,20 @@ def dedup_minhash_pairs(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            *[F.col(f"a.mh{j}").alias(f"amh{j}") for j in range(16)],
-            *[F.col(f"b.mh{j}").alias(f"bmh{j}") for j in range(16)],
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    x = sigs.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(16)])
+    y = sigs.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(16)])
     est = sum(
         F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0) for j in range(16)
     ) / F.lit(16.0)
-    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
-        F.col("est_jaccard") >= JACCARD_THRESHOLD
+    return (
+        cand.join(x, "doc_a").join(y, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= JACCARD_THRESHOLD)
     )
 
 

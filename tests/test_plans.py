@@ -72,7 +72,12 @@ def test_q1_partial_aggregation_single_exchange(spark, sf_dir):
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("Exchange") <= 2  # hash agg + optional fan_out
+    # ADVICE r13: any second exchange must be EXACTLY fan_out's
+    # round-robin — a future hash exchange on another frame would have
+    # slipped through a bare `count("Exchange") <= 2` bound
+    n_rr = plan.count("Exchange RoundRobinPartitioning")
+    assert n_rr <= 1
+    assert plan.count("Exchange") == 1 + n_rr
     # whole-stage-codegen spans ("*(n) Op") cover the agg + scan
     assert "*(" in plan
 

@@ -1,9 +1,9 @@
-"""Round-13 optimization probe (guide §1): per-query noop-timed reps,
+"""Optimization probe (guide §1): per-query noop-timed reps,
 ``explain("formatted")`` capture, and per-rep job counts.
 
 Usage:
-    python tools/perf_probe_r13.py [entry ...] [--reps N]
-        [--plans TAG] [--out FILE]
+    python tools/perf_probe.py [entry ...] [--reps N]
+        [--plans TAG] [--plans-dir rNN] [--out FILE]
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 by default.
 
 For every entry, on ONE warmed session (bench confs + UI enabled):
@@ -11,8 +11,9 @@ For every entry, on ONE warmed session (bench confs + UI enabled):
   - planning time (df construction + executedPlan materialization),
   - number of Spark jobs the timed action launches (fixed-overhead
     proxy: each job is a driver round-trip + at least one stage),
-and with --plans TAG writes plans/r13/<entry>_<TAG>.txt. Probe-only;
-nothing here is used by bench.py or the driver.
+and with --plans TAG writes plans/<plans-dir>/<entry>_<TAG>.txt.
+Probe-only; nothing here is used by bench.py or the driver. (Was
+tools/perf_probe_r13.py; renamed + round-parametrized for r14.)
 """
 
 from __future__ import annotations
@@ -50,7 +51,7 @@ def build_session(cpus: int):
 
     return (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("perf_probe_r13")
+        .appName("perf_probe")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -84,7 +85,9 @@ def main() -> None:
     ap.add_argument("entries", nargs="*", default=None)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--plans", default=None,
-                    help="write plans/r13/<entry>_<TAG>.txt")
+                    help="write plans/<plans-dir>/<entry>_<TAG>.txt")
+    ap.add_argument("--plans-dir", default="r14",
+                    help="subdirectory of plans/ for --plans output")
     ap.add_argument("--out", default=None, help="write JSON results here")
     args = ap.parse_args()
     entries = args.entries or DEFAULT_ENTRIES
@@ -99,8 +102,15 @@ def main() -> None:
     registry = queries()
     sc = spark.sparkContext
 
-    first = [e for e in entries if e in registry][0]
-    registry[first](spark, sf_dir).count()  # warm JVM + parquet footers
+    known = [e for e in entries if e in registry]
+    if not known:
+        # ADVICE r13: a bare [0] here raised IndexError and masked the
+        # real problem (every requested entry name unknown)
+        unknown = sorted(set(entries) - set(registry))
+        print(f"perf_probe: no requested entry is in the registry; "
+              f"unknown names: {unknown}", file=sys.stderr)
+        raise SystemExit(2)
+    registry[known[0]](spark, sf_dir).count()  # warm JVM + parquet footers
 
     results: dict[str, dict] = {}
     seen: set[str] = set()
@@ -114,8 +124,9 @@ def main() -> None:
         df._jdf.queryExecution().executedPlan()
         plan_s = time.time() - t_plan0
         if args.plans:
-            os.makedirs(os.path.join(REPO, "plans", "r13"), exist_ok=True)
-            with open(os.path.join(REPO, "plans", "r13",
+            os.makedirs(os.path.join(REPO, "plans", args.plans_dir),
+                        exist_ok=True)
+            with open(os.path.join(REPO, "plans", args.plans_dir,
                                    f"{name}_{args.plans}.txt"), "w") as fh:
                 fh.write(explain_formatted(registry[name](spark, sf_dir)))
         best, best_jobs = None, 0
