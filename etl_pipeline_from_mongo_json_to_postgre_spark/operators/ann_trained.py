@@ -59,6 +59,7 @@ from .similarity import (
     _duck_list,
     _fold_sum,
     _matrix_dots,
+    _matrix_lit,
     _plane_lit,
 )
 
@@ -135,12 +136,11 @@ def planted_v_column():
     (blob[j] + pat[j]) + noise is preserved exactly, so the DuckDB
     oracle text still matches)."""
     blob = F.element_at(
-        F.array(*[_plane_lit(b) for b in BLOBS]),
+        _matrix_lit(BLOBS),
         (F.col("vec_id") % NB).cast("int") + 1,
     )
     pat = F.concat(*[
-        F.element_at(F.array(*[_plane_lit(p) for p in PATTERNS[s]]),
-                     _g_expr(s) + 1)
+        F.element_at(_matrix_lit(PATTERNS[s]), _g_expr(s) + 1)
         for s in range(TSUB)
     ])
     base = F.zip_with(blob, pat, lambda x, y: x + y)
@@ -194,7 +194,7 @@ def _coarse_scores(vcol):
 def _sub_sq_dists(rescol, s: int):
     """squared L2 of residual subspace s to each trained code."""
     sub = F.slice(rescol, s * TSUBDIM + 1, TSUBDIM)
-    cb = F.array(*[_plane_lit(c) for c in TRAINED_CODEBOOKS[s]])
+    cb = _matrix_lit(TRAINED_CODEBOOKS[s])
     return F.transform(
         cb, lambda c: _fold_sum(F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)))
     )
@@ -230,7 +230,7 @@ def _trained_parts(spark, sf_dir):
             F.zip_with(
                 F.col("v"),
                 F.element_at(
-                    F.array(*[_plane_lit(c) for c in TRAINED_CENTROIDS]),
+                    _matrix_lit(TRAINED_CENTROIDS),
                     F.col("cell").cast("int"),
                 ),
                 lambda x, y: x - y,
@@ -276,7 +276,7 @@ def _topk_from_base(base, scores_col=None):
 
     cand = base.select("vec_id", "cell", "codes")
 
-    cent_lit = F.array(*[_plane_lit(c) for c in TRAINED_CENTROIDS])
+    cent_lit = _matrix_lit(TRAINED_CENTROIDS)
     qprobe_w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("cid"))
     if scores_col is None:

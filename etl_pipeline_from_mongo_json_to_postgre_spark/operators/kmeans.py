@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: F401 (SparkSession in r
 from pyspark.sql import functions as F
 
 from ..functions.sampling import scrambled_key
-from .similarity import DIM, _matrix_dots, _vectors
+from .similarity import DIM, _matrix_dots, _matrix_lit, _vectors
 
 K = 16
 ITERS = 3
@@ -189,7 +189,7 @@ def _d2(centroids: list[list[float]]):
     literal centroid matrix — the ONE definition both the SSE metric
     and the census query use."""
     sq = [sum(x * x for x in c) for c in centroids]
-    cvals = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cvals = _matrix_lit(centroids)
     csq = F.array(*[F.lit(s) for s in sq])
     vdot = F.aggregate(
         F.zip_with(

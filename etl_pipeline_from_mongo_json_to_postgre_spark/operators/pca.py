@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import DIM, _matrix_dots, _vectors
+from .similarity import DIM, _matrix_dots, _plane_lit, _vectors
 
 N_COMPONENTS = 8
 _ACC = "decimal(32,14)"
@@ -76,7 +76,7 @@ def project(vecs: DataFrame, mean, components) -> DataFrame:
     """Center and project: one HOF expression per row, zero shuffle."""
     centered = F.zip_with(
         F.col("v"),
-        F.array(*[F.lit(m) for m in mean]),
+        _plane_lit(mean),
         lambda x, m: x - m,
     )
     dots = _matrix_dots(centered, components)

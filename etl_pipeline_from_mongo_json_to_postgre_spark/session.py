@@ -23,6 +23,15 @@ def get_spark(app_name: str = "etl_pipeline_from_mongo_json_to_postgre_spark",
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce target 256m (r14 config A/B; guide §2.2/§9): a
+        # BYTE-size target, so it is scale-adaptive by construction —
+        # locally it coalesces the tiny post-shuffle partitions harder
+        # (measured -5..-6% across two disjoint 7-8 entry interleaved
+        # subsets at sf0.1), on a cluster it lands partitions in the
+        # 100 MB-1 GB band §2.2 prescribes instead of the 64 MB
+        # default's finer split. Results unaffected (AQE runtime
+        # coalescing only).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
         # explicit (it defaults on with AQE): runtime splitting of skewed
         # shuffle partitions in sort-merge joins — first line of defense
         # before the manual salting in operators/skew.py
@@ -75,6 +84,13 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     try:
         cores = spark.sparkContext.defaultParallelism
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
+    # AQE coalesce target 256m — same rationale as get_spark (r14):
+    # byte-size target, scale-adaptive; measured -5..-6% locally.
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
     except Exception:
         pass
     # Planner default (perf-only, r9): accept SUBSET-key co-partitioning

@@ -80,10 +80,13 @@ def main() -> None:
         return (alive.groupBy("src").agg(F.count("*").alias("core_degree"))
                 .select(F.col("src").alias("node"), "core_degree"))
 
-    # row-identity gates first (sorted collect compare vs committed)
+    # row-identity gates first (sorted collect compare vs committed).
+    # NOTE: a lazy (eager=False) mid-loop cut variant HANGS under this
+    # session (first action never completes, ~0% CPU after 15 min) —
+    # non-eager localCheckpoint inside an AQE-planned iterative loop is
+    # not a usable lever; recorded as rejected in OPTIMIZATION_r14.md.
     committed = sorted(map(tuple, G.graph_kcore_parts(spark, sf_dir).collect()))
     for label, fn in [
-        ("kcore_lazy_cut3", lambda: kcore_variant(3, eager=False)),
         ("kcore_no_cut", lambda: kcore_variant(0, eager=True)),
         ("kcore_cut4_eager", lambda: kcore_variant(4, eager=True)),
     ]:
@@ -93,7 +96,6 @@ def main() -> None:
     # warm then time
     timed("kcore_committed_cut3_eager",
           lambda: G.graph_kcore_parts(spark, sf_dir))
-    timed("kcore_lazy_cut3", lambda: kcore_variant(3, eager=False))
     timed("kcore_no_cut", lambda: kcore_variant(0, eager=True))
     timed("kcore_cut4_eager", lambda: kcore_variant(4, eager=True))
 
